@@ -1,0 +1,205 @@
+"""URL canonicalization + pay-level-domain extraction, fully vectorized.
+
+Semantics modeled on IRLbot's URL handling (checkAndTransformURL /
+getPLDofURL in the reference's IRLbotUtil; reference tree was empty at build
+time — SURVEY.md §0 — so the contract is pinned by the IRLbot paper and the
+golden table in tests/test_urls.py):
+
+  canonicalize(url, base):
+    - resolve relative references against base (scheme-relative, absolute
+      path, relative path, query-only)
+    - strip the fragment
+    - lowercase scheme and host; path/query case preserved
+    - drop default ports (http:80, https:443)
+    - collapse dot-segments ("/./", "/../") in the path
+    - empty path -> "/"
+    - REJECT (null) anything that is not http(s), has no host, or exceeds
+      MAX_URL_LEN
+
+  pld(host): pay-level-domain via an embedded public-suffix table
+    ("a.b.example.co.uk" -> "example.co.uk").
+
+Implementation is pure pandas Series ops (str.extract / str.replace masks),
+wrapped in Arrow-batched pandas UDFs — no per-row Python anywhere.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+MAX_URL_LEN = 2048
+
+# Two-level public suffixes (minimal embedded table; a cluster deployment
+# swaps in the full publicsuffix.org list as a broadcast set — the lookup
+# below is set-membership and does not change shape with table size).
+_TWO_LEVEL_SUFFIXES = frozenset(
+    {
+        "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+        "com.au", "net.au", "org.au", "edu.au", "gov.au",
+        "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+        "com.br", "net.br", "org.br", "gov.br",
+        "co.in", "net.in", "org.in", "gen.in",
+        "com.cn", "net.cn", "org.cn", "gov.cn",
+        "co.nz", "net.nz", "org.nz",
+        "co.za", "org.za", "com.mx", "com.ar", "com.tr", "com.sg",
+        "co.kr", "or.kr", "com.tw", "com.hk",
+    }
+)
+
+_SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.\-]*):"
+# scheme://host[:port][/path...]
+_SPLIT_RE = (
+    r"^(?P<scheme>[a-zA-Z][a-zA-Z0-9+.\-]*)://"
+    r"(?P<host>[^/:?#]*)(?::(?P<port>\d*))?(?P<rest>[/?].*)?$"
+)
+
+
+def _remove_dot_segments(paths: pd.Series) -> pd.Series:
+    """Collapse /./ and /../ segments, vectorized to fixpoint.
+
+    Each pass is a whole-Series regex replace; loop count is bounded by the
+    deepest nesting in the batch (tiny), not by row count.
+    """
+    out = paths
+    for _ in range(64):
+        nxt = out.str.replace(r"/\./", "/", regex=True)
+        nxt = nxt.str.replace(r"/\.$", "/", regex=True)
+        # "/segment/../" -> "/" (segment must not itself be "." / "..")
+        nxt = nxt.str.replace(r"/[^/]*[^/.][^/]*/\.\./", "/", regex=True)
+        nxt = nxt.str.replace(r"/[^/]*[^/.][^/]*/\.\.$", "/", regex=True)
+        # "/../" at the root has no parent to pop — collapses to "/"
+        nxt = nxt.str.replace(r"^/\.\./", "/", regex=True)
+        nxt = nxt.str.replace(r"^/\.\.$", "/", regex=True)
+        if nxt.equals(out):
+            break
+        out = nxt
+    return out
+
+
+def resolve_series(urls: pd.Series, bases: pd.Series) -> pd.Series:
+    """RFC-3986-style reference resolution, vectorized with masks."""
+    urls = urls.fillna("").str.strip()
+    bases = bases.fillna("").str.strip()
+
+    has_scheme = urls.str.match(_SCHEME_RE)
+    out = urls.copy()
+
+    bp = bases.str.extract(_SPLIT_RE)
+    base_origin = bp["scheme"].fillna("") + "://" + bp["host"].fillna("")
+    base_port = bp["port"].fillna("")
+    base_origin = base_origin.where(base_port == "", base_origin + ":" + base_port)
+    base_path = (
+        bp["rest"].fillna("/").str.replace(r"[?#].*$", "", regex=True)
+    )
+    base_dir = base_path.str.replace(r"[^/]*$", "", regex=True)
+    base_dir = base_dir.where(base_dir != "", "/")
+
+    base_query = bp["rest"].fillna("").str.extract(r"(\?[^#]*)")[0].fillna("")
+
+    empty_ref = ~has_scheme & (urls == "")
+    scheme_rel = ~has_scheme & ~empty_ref & urls.str.startswith("//")
+    abs_path = ~has_scheme & ~empty_ref & ~scheme_rel & urls.str.startswith("/")
+    query_only = ~has_scheme & urls.str.startswith("?")
+    frag_only = ~has_scheme & urls.str.startswith("#")
+    rel_path = (
+        ~has_scheme
+        & ~empty_ref
+        & ~scheme_rel
+        & ~abs_path
+        & ~query_only
+        & ~frag_only
+    )
+
+    # empty reference -> the base itself (minus fragment), per RFC 3986 §5.3
+    out = out.mask(empty_ref, base_origin + base_path + base_query)
+    out = out.mask(scheme_rel, bp["scheme"].fillna("") + ":" + urls)
+    out = out.mask(abs_path, base_origin + urls)
+    out = out.mask(query_only | frag_only, base_origin + base_path + urls)
+    out = out.mask(rel_path, base_origin + base_dir + urls)
+    # relative ref with no usable base -> unresolvable
+    no_base = bp["host"].isna() | (bp["host"].fillna("") == "")
+    out = out.mask(~has_scheme & no_base, "")
+    return out
+
+
+def canonicalize_series(
+    urls: pd.Series, bases: pd.Series | None = None
+) -> pd.Series:
+    """Vectorized canonicalization; returns canonical URL or <NA> (reject)."""
+    if bases is None:
+        bases = pd.Series([""] * len(urls), index=urls.index)
+    u = resolve_series(urls, bases)
+    # strip fragment early (it never survives)
+    u = u.str.replace(r"#.*$", "", regex=True)
+
+    parts = u.str.extract(_SPLIT_RE)
+    scheme = parts["scheme"].str.lower()
+    host = parts["host"].str.lower().str.strip(".")
+    port = parts["port"]
+    rest = parts["rest"].fillna("")
+
+    path = rest.str.replace(r"\?.*$", "", regex=True)
+    query = rest.str.extract(r"(\?.*)$")[0].fillna("")
+    path = path.where(path != "", "/")
+    path = _remove_dot_segments(path)
+
+    default_port = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    port_sfx = (":" + port.fillna("")).where(
+        port.notna() & (port != "") & ~default_port, ""
+    )
+
+    canon = scheme + "://" + host + port_sfx + path + query
+
+    ok = (
+        scheme.isin(["http", "https"])
+        & host.notna()
+        & (host != "")
+        & ~host.str.contains(r"[^a-z0-9.\-:_]", regex=True, na=True)
+        & (canon.str.len() <= MAX_URL_LEN)
+    )
+    return canon.where(ok, pd.NA)
+
+
+def host_of_series(urls: pd.Series) -> pd.Series:
+    """Lowercased host of an (already canonical) URL; <NA> if none."""
+    h = urls.str.extract(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/:?#]+)")[0]
+    return h.str.lower()
+
+
+def pld_series(hosts: pd.Series) -> pd.Series:
+    """Pay-level-domain of a hostname, vectorized.
+
+    Last two labels, or last three when the last two form a known
+    two-level public suffix (co.uk etc.). IP literals pass through whole.
+    """
+    h = hosts.fillna("").str.lower().str.strip(".")
+    is_ip = h.str.match(r"^\d{1,3}(\.\d{1,3}){3}$")
+    last2 = h.str.extract(r"([^.]+\.[^.]+)$")[0]
+    last3 = h.str.extract(r"([^.]+\.[^.]+\.[^.]+)$")[0]
+    suffix_hit = last2.isin(_TWO_LEVEL_SUFFIXES)
+    pld = last2.where(~suffix_hit, last3)
+    # single-label hosts (e.g. "localhost") are their own PLD
+    pld = pld.fillna(h)
+    pld = pld.mask(is_ip, h)
+    return pld.mask(h == "", pd.NA)
+
+
+# ---- Spark column wrappers (Arrow-batched) ----
+
+@F.pandas_udf(StringType())
+def canonicalize_udf(urls: pd.Series, bases: pd.Series) -> pd.Series:
+    return canonicalize_series(urls, bases).astype("object")
+
+
+@F.pandas_udf(StringType())
+def host_udf(urls: pd.Series) -> pd.Series:
+    return host_of_series(urls).astype("object")
+
+
+@F.pandas_udf(StringType())
+def pld_udf(hosts: pd.Series) -> pd.Series:
+    return pld_series(hosts).astype("object")

@@ -1,0 +1,109 @@
+"""DRUM check+update, Spark-first.
+
+The reference's DRUM (IRLbot paper; at.rovo.caching.drum in the reference
+dependency tree — tree empty at build time, SURVEY.md §0) classifies a batch
+of keyed tuples against a persistent sorted store as UNIQUE_KEY /
+DUPLICATE_KEY, merges uniques in, and redispatches in arrival order. Its
+broker/disk-writer/merger thread machinery exists to turn random-access
+membership into sequential per-bucket merges.
+
+Spark already gives us that shape for free:
+  - bucketing            = hash partitioning on the key (shuffle exchange)
+  - the sequential merge = a left-anti join against the bucket-partitioned
+                           `url_seen` table (sort-merge or shuffled-hash,
+                           Catalyst's pick; runtime bloom filter pre-probes)
+  - arrival-order redispatch = carry an explicit `seq` column; classification
+                           is a COLUMN, not a callback
+  - the RAM fast-path    = per-bucket bloom sidecars (membership.py) that
+                           let a batch skip the join for definite-negatives
+
+Classification semantics (pinned by the reference's DrumTest contract):
+within one batch, the FIRST arrival of a key is UNIQUE_KEY iff the key is
+not in the store; every later arrival of the same key in the same batch is
+DUPLICATE_KEY. check_update appends the newly-unique keys to the store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from jirlbot_spark.session import DEFAULT_NUM_BUCKETS
+
+SEQ_COL = "__seq"
+RESULT_COL = "drum_result"
+UNIQUE_KEY = "UNIQUE_KEY"
+DUPLICATE_KEY = "DUPLICATE_KEY"
+
+
+def with_seq(df: DataFrame, order_col: str | None = None) -> DataFrame:
+    """Attach the arrival-order column DRUM dispatch semantics require.
+
+    If the caller has a natural order column, use it (deterministic across
+    runs — required for crawl-order equivalence). Fallback is Spark's
+    partition-monotonic id (deterministic per physical plan only).
+    """
+    if SEQ_COL in df.columns:
+        return df
+    if order_col is not None:
+        return df.withColumn(SEQ_COL, F.col(order_col).cast("long"))
+    return df.withColumn(SEQ_COL, F.monotonically_increasing_id())
+
+
+def classify_batch(
+    batch: DataFrame,
+    seen: DataFrame | None,
+    key_col: str = "url_hash",
+    order_col: str | None = None,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+) -> DataFrame:
+    """DRUM CHECK: classify every batch row UNIQUE_KEY / DUPLICATE_KEY.
+
+    Plan shape (scale-reviewed): one shuffle on `key_col` shared by the
+    in-batch window and the anti-join (same hash partitioning, Catalyst
+    reuses the exchange); `seen` is bucket-partitioned so the probe prunes
+    to matching buckets and the runtime bloom filter drops most probes
+    before the sort-merge.
+    """
+    batch = with_seq(batch, order_col)
+    w = Window.partitionBy(key_col).orderBy(SEQ_COL)
+    batch = batch.withColumn("__rn", F.row_number().over(w))
+
+    firsts = batch.filter(F.col("__rn") == 1).select(key_col).distinct()
+    if seen is not None:
+        new_keys = firsts.join(seen.select(key_col), key_col, "left_anti")
+    else:
+        new_keys = firsts
+    new_keys = new_keys.withColumn("__is_new", F.lit(True))
+
+    out = batch.join(new_keys, key_col, "left").withColumn(
+        RESULT_COL,
+        F.when(
+            (F.col("__rn") == 1) & F.col("__is_new").isNotNull(),
+            F.lit(UNIQUE_KEY),
+        ).otherwise(F.lit(DUPLICATE_KEY)),
+    )
+    return out.drop("__rn", "__is_new")
+
+
+def check_update(
+    batch: DataFrame,
+    seen: DataFrame | None,
+    key_col: str = "url_hash",
+    order_col: str | None = None,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+) -> tuple[DataFrame, DataFrame]:
+    """DRUM CHECK_UPDATE: returns (classified_batch, new_unique_keys).
+
+    The caller commits `new_unique_keys` (bucket column attached, ready for
+    partitioned append) atomically with the rest of the batch's tables —
+    the store append IS the UPDATE half, kept out of this function so one
+    manifest rename commits everything (storage.TableStore.commit_batch).
+    """
+    classified = classify_batch(batch, seen, key_col, order_col, num_buckets)
+    uniques = (
+        classified.filter(F.col(RESULT_COL) == UNIQUE_KEY)
+        .select(key_col)
+        .withColumn("bucket", F.pmod(F.col(key_col), F.lit(num_buckets)).cast("int"))
+    )
+    return classified, uniques

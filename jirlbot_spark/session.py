@@ -1,0 +1,101 @@
+"""SparkSession construction tuned for the crawl-analytics engine.
+
+Scale posture (100 TB / 1000-executor design, local[k] test):
+  - AQE on (runtime coalescing, skew-join splitting) — hot-PLD skew is a
+    first-class concern per the north rule.
+  - runtime bloom-filter join on — helps the url_seen anti-join probe.
+  - Arrow enabled for the vectorized pandas-UDF surface (the ONLY Python
+    execution path; per-row Python UDFs are banned in this codebase).
+  - ANSI off: classic cast/overflow semantics so engine SQL matches the
+    DuckDB oracle's arithmetic (truncating casts handled explicitly).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+# Number of hash buckets for the DRUM-analog membership layer. Chosen so one
+# bucket of a 10^10-key url_seen table (~80 GB of longs) is ~2.5 GB — one
+# executor's working set. Tests use the same constant; semantics never depend
+# on it (pure layout).
+DEFAULT_NUM_BUCKETS = 32
+
+
+def get_spark(
+    app_name: str = "jirlbot-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32")
+    )
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    # Iceberg catalog is config-only in the sandbox (no runtime jar shipped
+    # with pyspark 4.1.2); on a cluster set SPARK_GRAFT_ICEBERG_CATALOG to a
+    # warehouse path and the storage layer writes through the catalog.
+    warehouse = os.environ.get("SPARK_GRAFT_ICEBERG_WAREHOUSE")
+    if warehouse:
+        b = (
+            b.config(
+                "spark.sql.catalog.jirlbot",
+                "org.apache.iceberg.spark.SparkCatalog",
+            )
+            .config("spark.sql.catalog.jirlbot.type", "hadoop")
+            .config("spark.sql.catalog.jirlbot.warehouse", warehouse)
+        )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship jirlbot_spark to executor Python workers (`--py-files` analog).
+
+    Driver-side sys.path edits don't reach executor workers; without this,
+    any pandas UDF defined in the package fails to unpickle on workers when
+    the job isn't launched from the repo root. On a real cluster the same
+    zip goes to `spark-submit --py-files` (see `make dist`).
+    """
+    try:
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        zpath = os.path.join(
+            tempfile.gettempdir(), f"jirlbot_spark_pyfiles_{os.getpid()}.zip"
+        )
+        if not os.path.exists(zpath):
+            with zipfile.ZipFile(zpath, "w") as z:
+                for dirpath, _, files in os.walk(pkg_dir):
+                    for fn in files:
+                        if fn.endswith(".py"):
+                            full = os.path.join(dirpath, fn)
+                            rel = os.path.join(
+                                "jirlbot_spark",
+                                os.path.relpath(full, pkg_dir),
+                            )
+                            z.write(full, rel)
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:  # never let packaging kill the session
+        pass

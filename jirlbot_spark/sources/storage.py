@@ -1,0 +1,158 @@
+"""Atomic multi-table batch commits over Parquet directories.
+
+The reference keeps crawl state restart-safe via DRUM's on-disk bucket files
+and sorted cache (IRLbot paper, DRUM section). Our analog: every microbatch
+commits (frontier, url_seen, metrics, ...) together by writing new data
+directories and then atomically renaming a JSON manifest that names the live
+directories per table plus the committed batch_id. Readers resolve the
+manifest first, so a crash mid-batch leaves only orphan directories that no
+manifest references — resume is "read manifest, continue from batch_id+1",
+replaying nothing (north rule: "resumes exactly from checkpointed frontier
+state").
+
+Scale notes:
+  - `url_seen` is APPEND-ONLY sorted-run storage, partitioned by the DRUM
+    bucket column: each batch appends one bucket-partitioned run of the keys
+    it proved unique. Membership probes prune to matching bucket partitions
+    (partition pruning on `bucket`), which is the read-side analog of DRUM's
+    per-bucket sequential merge. `compact()` folds runs when they pile up.
+  - On a cluster with an Iceberg catalog this whole class maps 1:1 to
+    Iceberg snapshot commits (`MERGE INTO` + snapshot ids); the manifest
+    protocol is the sandbox stand-in and is interface-compatible.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST = "_manifest.json"
+
+
+@dataclass
+class TableWrite:
+    df: DataFrame
+    mode: str = "append"  # "append" | "overwrite"
+    partition_by: tuple[str, ...] = field(default_factory=tuple)
+
+
+class TableStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # ---- manifest ----
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, MANIFEST)
+
+    def manifest(self) -> dict:
+        p = self._manifest_path()
+        if not os.path.exists(p):
+            return {"batch_id": -1, "tables": {}}
+        with open(p) as f:
+            return json.load(f)
+
+    def last_batch(self) -> int:
+        return int(self.manifest()["batch_id"])
+
+    # ---- reads ----
+    def exists(self, name: str) -> bool:
+        return bool(self.manifest()["tables"].get(name))
+
+    def read(self, name: str) -> DataFrame | None:
+        dirs = self.manifest()["tables"].get(name)
+        if not dirs:
+            return None
+        # Each run is its own partitioned-parquet root; load per-run and
+        # union by name so partition columns survive (and per-run partition
+        # pruning still applies).
+        dfs = [
+            self.spark.read.parquet(os.path.join(self.root, name, d))
+            for d in dirs
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    # ---- atomic batch commit ----
+    def commit_batch(self, batch_id: int, writes: dict[str, TableWrite]) -> None:
+        """Write every table's new data dir, then swap the manifest once."""
+        m = self.manifest()
+        if batch_id <= m["batch_id"]:
+            raise ValueError(
+                f"batch {batch_id} already committed (last={m['batch_id']})"
+            )
+        tables = dict(m["tables"])
+        for name, w in writes.items():
+            run = f"b{batch_id:08d}_{uuid.uuid4().hex[:8]}"
+            out = os.path.join(self.root, name, run)
+            writer = w.df.write.mode("overwrite")
+            if w.partition_by:
+                writer = writer.partitionBy(*w.partition_by)
+            writer.parquet(out)
+            if w.mode == "overwrite":
+                tables[name] = [run]
+            else:
+                tables[name] = tables.get(name, []) + [run]
+        new_manifest = {
+            "batch_id": batch_id,
+            "tables": tables,
+            "committed_at": time.time(),
+        }
+        tmp = self._manifest_path() + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(new_manifest, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._manifest_path())  # the atomic commit point
+
+    # ---- maintenance ----
+    def compact(self, name: str, partition_by: tuple[str, ...] = ()) -> None:
+        """Fold a table's sorted runs into one (DRUM cache-file rewrite)."""
+        df = self.read(name)
+        if df is None:
+            return
+        m = self.manifest()
+        run = f"compact_{uuid.uuid4().hex[:8]}"
+        out = os.path.join(self.root, name, run)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(out)
+        old = m["tables"][name]
+        m["tables"][name] = [run]
+        tmp = self._manifest_path() + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._manifest_path())
+        for d in old:
+            shutil.rmtree(os.path.join(self.root, name, d), ignore_errors=True)
+
+    def gc_orphans(self) -> list[str]:
+        """Remove data dirs no manifest references (post-crash cleanup)."""
+        live = {
+            os.path.join(name, d)
+            for name, dirs in self.manifest()["tables"].items()
+            for d in dirs
+        }
+        removed = []
+        for name in os.listdir(self.root):
+            tdir = os.path.join(self.root, name)
+            if not os.path.isdir(tdir):
+                continue
+            for d in os.listdir(tdir):
+                rel = os.path.join(name, d)
+                if rel not in live:
+                    shutil.rmtree(os.path.join(self.root, rel), ignore_errors=True)
+                    removed.append(rel)
+        return removed

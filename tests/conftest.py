@@ -1,0 +1,28 @@
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from jirlbot_spark.session import get_spark
+
+    s = get_spark(
+        app_name="jirlbot-tests",
+        master="local[4]",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.autoBroadcastJoinThreshold": "1048576"},
+    )
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return "/root/testdata/sf0.001"

@@ -1,0 +1,133 @@
+"""Golden table for URL canonicalization + PLD extraction.
+
+Modeled on the reference's IRLbotUtilTest contract (checkAndTransformURL /
+getPLDofURL); reference tree was empty at build time (SURVEY.md §0), so the
+vectors encode the IRLbot-paper / RFC 3986 semantics the north rule pins.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from jirlbot_spark.functions.urls import (
+    canonicalize_series,
+    host_of_series,
+    pld_series,
+)
+
+REJECT = None
+
+CANON_CASES = [
+    # (raw, base, expected)
+    ("http://example.com", "", "http://example.com/"),
+    ("HTTP://EXAMPLE.COM/Path", "", "http://example.com/Path"),
+    ("http://example.com:80/", "", "http://example.com/"),
+    ("https://example.com:443/a", "", "https://example.com/a"),
+    ("http://example.com:8080/a", "", "http://example.com:8080/a"),
+    ("http://example.com/a#frag", "", "http://example.com/a"),
+    ("http://example.com/a?q=1#frag", "", "http://example.com/a?q=1"),
+    ("http://example.com/a/./b", "", "http://example.com/a/b"),
+    ("http://example.com/a/../b", "", "http://example.com/b"),
+    ("http://example.com/a/b/../../c", "", "http://example.com/c"),
+    ("http://example.com/a/.", "", "http://example.com/a/"),
+    ("  http://example.com/  ", "", "http://example.com/"),
+    ("http://Example.COM./x", "", "http://example.com/x"),
+    # relative resolution
+    ("/abs/path", "http://base.org/dir/page", "http://base.org/abs/path"),
+    ("rel/page", "http://base.org/dir/page", "http://base.org/dir/rel/page"),
+    ("rel/page", "http://base.org", "http://base.org/rel/page"),
+    ("../up", "http://base.org/a/b/c", "http://base.org/a/up"),
+    ("//other.com/x", "https://base.org/", "https://other.com/x"),
+    ("?q=2", "http://base.org/p?q=1", "http://base.org/p?q=2"),
+    ("", "http://base.org/dir/page", "http://base.org/dir/page"),
+    # port carried through base
+    ("/x", "http://base.org:8080/a", "http://base.org:8080/x"),
+    # rejects
+    ("ftp://example.com/file", "", REJECT),
+    ("mailto:a@b.com", "", REJECT),
+    ("javascript:void(0)", "", REJECT),
+    ("rel/only", "", REJECT),
+    ("http:///nohost", "", REJECT),
+    ("http://ho st.com/", "", REJECT),
+    ("http://example.com/" + "x" * 3000, "", REJECT),
+]
+
+PLD_CASES = [
+    ("www.example.com", "example.com"),
+    ("example.com", "example.com"),
+    ("a.b.c.example.com", "example.com"),
+    ("www.example.co.uk", "example.co.uk"),
+    ("example.co.uk", "example.co.uk"),
+    ("deep.sub.example.com.au", "example.com.au"),
+    ("localhost", "localhost"),
+    ("192.168.0.1", "192.168.0.1"),
+    ("EXAMPLE.ORG", "example.org"),
+    ("trailing.dot.com.", "dot.com"),
+]
+
+
+def test_canonicalize_golden_table():
+    raw = pd.Series([c[0] for c in CANON_CASES])
+    base = pd.Series([c[1] for c in CANON_CASES])
+    out = canonicalize_series(raw, base)
+    for i, (r, b, exp) in enumerate(CANON_CASES):
+        got = out.iloc[i]
+        got = None if pd.isna(got) else got
+        assert got == exp, f"canonicalize({r!r}, base={b!r}) = {got!r}, want {exp!r}"
+
+
+def test_canonicalize_idempotent():
+    raw = pd.Series([c[2] for c in CANON_CASES if c[2] is not None])
+    out = canonicalize_series(raw, pd.Series([""] * len(raw)))
+    assert list(out) == list(raw)
+
+
+def test_pld_golden_table():
+    hosts = pd.Series([c[0] for c in PLD_CASES])
+    out = pld_series(hosts)
+    for i, (h, exp) in enumerate(PLD_CASES):
+        assert out.iloc[i] == exp, f"pld({h!r}) = {out.iloc[i]!r}, want {exp!r}"
+
+
+def test_host_extraction():
+    urls = pd.Series(
+        ["http://A.b.COM:8080/x?y#z", "https://plain.org/", "not a url"]
+    )
+    out = host_of_series(urls)
+    assert out.iloc[0] == "a.b.com"
+    assert out.iloc[1] == "plain.org"
+    assert pd.isna(out.iloc[2])
+
+
+def test_dedup_after_canonicalization():
+    variants = pd.Series(
+        [
+            "http://example.com",
+            "HTTP://example.com:80/",
+            "http://EXAMPLE.com/#top",
+            "http://example.com/a/../",
+        ]
+    )
+    out = canonicalize_series(variants, pd.Series([""] * 4))
+    assert out.nunique() == 1 and out.iloc[0] == "http://example.com/"
+
+
+def test_spark_canonicalize_udf(spark):
+    from pyspark.sql import functions as F
+
+    from jirlbot_spark.functions.urls import canonicalize_udf, pld_udf, host_udf
+
+    df = spark.createDataFrame(
+        [(c[0], c[1]) for c in CANON_CASES], ["url", "base"]
+    )
+    got = df.select(
+        canonicalize_udf(F.col("url"), F.col("base")).alias("canon")
+    ).collect()
+    for row, (r, b, exp) in zip(got, CANON_CASES):
+        assert row.canon == exp, f"{r!r} -> {row.canon!r}, want {exp!r}"
+
+    df2 = spark.createDataFrame([(h,) for h, _ in PLD_CASES], ["host"])
+    got2 = df2.select(pld_udf(F.col("host")).alias("pld")).collect()
+    for row, (h, exp) in zip(got2, PLD_CASES):
+        assert row.pld == exp
