@@ -1,0 +1,107 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jirlbot_spark.operators.politeness import politeness_schedule
+from jirlbot_spark.operators.robots import (
+    FAIL,
+    PASS,
+    UNKNOWN,
+    parse_robots_txt_df,
+    robots_check,
+    robots_requested_new,
+)
+
+
+def test_robots_requested_anti(spark):
+    hosts = spark.createDataFrame([(1,), (2,), (3,), (2,)], ["host_hash"])
+    requested = spark.createDataFrame([(2,)], ["host_hash"])
+    out = sorted(
+        r.host_hash for r in robots_requested_new(hosts, requested).collect()
+    )
+    assert out == [1, 3]
+    assert sorted(
+        r.host_hash for r in robots_requested_new(hosts, None).collect()
+    ) == [1, 2, 3]
+
+
+def test_robots_check_classification(spark):
+    urls = spark.createDataFrame(
+        [
+            (1, "/public/a"),
+            (1, "/private/x"),
+            (2, "/anything"),
+            (3, "/whatever"),
+            (4, "/x"),
+        ],
+        ["host_hash", "path"],
+    )
+    robots = spark.createDataFrame(
+        [
+            (1, ["/private", "/tmp"]),
+            (2, []),           # allow-all
+            (3, ["/"]),        # disallow-all
+        ],
+        ["host_hash", "disallow"],
+    )
+    got = {
+        (r.host_hash, r.path): r.robots_status
+        for r in robots_check(urls, robots).collect()
+    }
+    assert got[(1, "/public/a")] == PASS
+    assert got[(1, "/private/x")] == FAIL
+    assert got[(2, "/anything")] == PASS
+    assert got[(3, "/whatever")] == FAIL
+    assert got[(4, "/x")] == UNKNOWN  # no cached robots -> defer
+
+
+def test_parse_robots_txt(spark):
+    body1 = "User-agent: *\nDisallow: /private\nCrawl-delay: 5\nDisallow: /tmp\n"
+    body2 = "User-agent: googlebot\nDisallow: /only-google\n"
+    body3 = "# empty\n"
+    raw = spark.createDataFrame(
+        [("a.com", body1), ("b.com", body2), ("c.com", body3)],
+        ["host", "body"],
+    )
+    got = {r.host: r for r in parse_robots_txt_df(raw).collect()}
+    assert sorted(got["a.com"].disallow) == ["/private", "/tmp"]
+    assert got["a.com"].crawl_delay == 5.0
+    assert got["b.com"].disallow == []  # other-agent rules don't apply
+    assert got["c.com"].disallow == [] and got["c.com"].crawl_delay == 0.0
+
+
+def test_politeness_spacing_property(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, f"h{rng.randint(0, 4)}", float(rng.randint(0, 3)), 2.0)
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(
+        rows, ["url_hash", "host", "priority", "crawl_delay"]
+    )
+    out = politeness_schedule(df, min_delay_s=1.0).collect()
+    by_host: dict[str, list] = {}
+    for r in out:
+        by_host.setdefault(r.host, []).append(r)
+    for host, rs in by_host.items():
+        rs.sort(key=lambda r: r.seq_in_host)
+        assert [r.seq_in_host for r in rs] == list(range(1, len(rs) + 1))
+        for a, b in zip(rs, rs[1:]):
+            assert b.planned_at_s - a.planned_at_s >= 2.0 - 1e-9
+        # schedule order respects (priority, url_hash)
+        order = [(r.priority, r.url_hash) for r in rs]
+        assert order == sorted(order)
+
+
+def test_politeness_min_delay_floor(spark):
+    df = spark.createDataFrame(
+        [(1, "h", 0.0, 0.0), (2, "h", 0.0, 0.0)],
+        ["url_hash", "host", "priority", "crawl_delay"],
+    )
+    out = sorted(
+        politeness_schedule(df, min_delay_s=1.5).collect(),
+        key=lambda r: r.seq_in_host,
+    )
+    assert out[1].planned_at_s - out[0].planned_at_s == 1.5

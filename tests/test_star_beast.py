@@ -1,0 +1,125 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jirlbot_spark.operators.beast import (
+    beast_enforce,
+    split_admitted,
+    topk_per_bucket,
+)
+from jirlbot_spark.operators.star import (
+    distinct_new_edges,
+    pld_indegree,
+    star_budgets,
+)
+
+
+def test_star_indegree_and_budget(spark):
+    # pld 1 linked from 3 distinct plds (one duplicated edge, one self-link);
+    # pld 2 from 1; spam pld 9 self-links massively -> indegree 0
+    edges = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 1), (10, 1), (1, 1), (10, 2)]
+        + [(9, 9)] * 50,
+        ["src_pld", "dst_pld"],
+    )
+    d = distinct_new_edges(edges, None)
+    deg = {r.pld_hash: r.indegree for r in pld_indegree(d).collect()}
+    assert deg == {1: 3, 2: 1}
+
+    budgets = star_budgets(
+        pld_indegree(d), top_k=2, b_hi=100, b_lo=10
+    ).collect()
+    by_pld = {r.pld_hash: (r.rank, r.budget) for r in budgets}
+    assert by_pld[1] == (1, 100)
+    assert by_pld[2] == (2, 10)
+
+
+def test_distinct_edges_incremental(spark):
+    e1 = spark.createDataFrame([(1, 2), (1, 3)], ["src_pld", "dst_pld"])
+    e2 = spark.createDataFrame(
+        [(1, 2), (4, 2), (2, 2)], ["src_pld", "dst_pld"]
+    )
+    first = distinct_new_edges(e1, None)
+    second = distinct_new_edges(e2, first)
+    got = sorted((r.src_pld, r.dst_pld) for r in second.collect())
+    assert got == [(4, 2)]  # (1,2) already present, (2,2) self-link
+
+
+def _frontier(spark, rows):
+    return spark.createDataFrame(
+        rows, ["url_hash", "pld_hash", "priority", "enqueue_batch"]
+    )
+
+
+def test_beast_admission_and_deferral(spark):
+    rows = [(i, 1, float(i % 3), 0) for i in range(10)] + [
+        (100, 2, 0.0, 0)
+    ]
+    budgets = spark.createDataFrame([(1, 4)], ["pld_hash", "budget"])
+    out = beast_enforce(
+        _frontier(spark, rows), budgets, default_budget=10, salt_buckets=1
+    )
+    admitted, deferred = split_admitted(out)
+    a = admitted.collect()
+    assert sum(1 for r in a if r.pld_hash == 1) == 4
+    assert sum(1 for r in a if r.pld_hash == 2) == 1  # default budget
+    d = deferred.collect()
+    assert all(r.enqueue_batch == 1 for r in d)
+    assert len(d) == 6
+    # admission picks lowest (priority, url_hash) first
+    keys = sorted(r.url_hash for r in a if r.pld_hash == 1)
+    assert keys == [0, 3, 6, 9]  # priority 0.0 rows win
+
+
+def test_salted_equals_unsalted(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, rng.randint(1, 3), float(rng.randint(0, 5)), 0)
+        for i in range(200)
+    ]
+    budgets = spark.createDataFrame(
+        [(1, 17), (2, 5), (3, 50)], ["pld_hash", "budget"]
+    )
+    f = _frontier(spark, rows)
+    unsalted = beast_enforce(f, budgets, salt_buckets=1)
+    salted = beast_enforce(f, budgets, salt_buckets=8)
+    ua = sorted(
+        r.url_hash for r in unsalted.filter(F.col("admitted")).collect()
+    )
+    sa = sorted(
+        r.url_hash for r in salted.filter(F.col("admitted")).collect()
+    )
+    assert ua == sa
+
+
+def test_budget_monotonicity(spark):
+    """Higher indegree -> budget never smaller (property from SURVEY §5)."""
+    import random
+
+    rng = random.Random(3)
+    deg = spark.createDataFrame(
+        [(p, rng.randint(0, 1000)) for p in range(300)],
+        ["pld_hash", "indegree"],
+    )
+    b = star_budgets(deg, top_k=100, b_hi=1000, b_lo=10).collect()
+    by_deg = sorted(b, key=lambda r: (-r.indegree, r.pld_hash))
+    budgets = [r.budget for r in by_deg]
+    assert budgets == sorted(budgets, reverse=True)
+
+
+def test_topk_per_bucket(spark):
+    rows = [(i, i % 4, float(i), 0) for i in range(100)]
+    f = _frontier(spark, rows).withColumn(
+        "bucket", F.pmod("url_hash", F.lit(4))
+    )
+    out = topk_per_bucket(f, 5, "bucket")
+    counts = (
+        out.groupBy("bucket").count().collect()
+    )
+    assert all(r["count"] == 5 for r in counts)
+    # each bucket keeps its lowest-priority rows
+    got = sorted(r.url_hash for r in out.filter(F.col("bucket") == 0).collect())
+    assert got == [0, 4, 8, 12, 16]
