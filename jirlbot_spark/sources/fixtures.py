@@ -1,0 +1,161 @@
+"""Deterministic synthetic fixtures (FIXTURES.md §A).
+
+All generators are pure functions of (seed, scale) via numpy default_rng —
+no wall clock, no global state. They produce:
+
+  - pages:     the image+caption pair table in the exact input-hint shape
+               (image_id, bytes, w, h, fmt, caption, phash)
+  - seed_urls: dirty seed list (uppercase hosts, :80, fragments, dot
+               segments, post-canonicalization duplicates)
+  - web_graph: power-law out-degree link structure with a hot-PLD skew knob
+               and spam clusters (huge intra-links, no external in-links)
+  - robots:    per-host disallow lists + crawl delays
+
+These drive the pytest goldens and the benchmark frontier. The driver's
+/root/testdata tables are used for the DuckDB oracle instead (read-only).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from jirlbot_spark.functions.images import (
+    LOSSLESS_FMTS,
+    encode_image,
+    phash64,
+)
+
+_WORDS = (
+    "amber basalt cedar delta ember fjord garnet harbor iris juniper "
+    "krill lumen marble nectar onyx prism quartz reed slate tundra"
+).split()
+
+
+def gen_pixels(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
+    """Seeded gradient + noise — structured enough for meaningful phash."""
+    gx = np.linspace(0, 255, w)[None, :]
+    gy = np.linspace(0, 255, h)[:, None]
+    base = np.stack(
+        [
+            (gx + gy) / 2,
+            np.abs(gx - gy),
+            np.full((h, w), rng.integers(0, 256)),
+        ],
+        axis=-1,
+    )
+    noise = rng.integers(0, 32, size=(h, w, 3))
+    return np.clip(base + noise, 0, 255).astype(np.uint8)
+
+
+def gen_pages(seed: int, n: int) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    recs = []
+    for idx in range(n):
+        w = int(rng.choice([16, 32, 64]))
+        h = int(rng.choice([16, 32, 64]))
+        fmt = str(rng.choice(LOSSLESS_FMTS))
+        px = gen_pixels(rng, w, h)
+        words = " ".join(rng.choice(_WORDS, size=5))
+        image_id = f"img{idx:010d}"
+        recs.append(
+            {
+                "image_id": image_id,
+                "bytes": encode_image(px, fmt),
+                "w": w,
+                "h": h,
+                "fmt": fmt,
+                "caption": f"caption of {image_id}: {words}",
+                "phash": phash64(px),
+            }
+        )
+    return pd.DataFrame.from_records(recs)
+
+
+def gen_seed_urls(seed: int, n_sites: int) -> pd.DataFrame:
+    rng = np.random.default_rng(seed + 1)
+    rows = []
+    for k in range(n_sites):
+        url = f"http://site{k}.tld{k % 7}.com/"
+        rows.append({"url": url, "depth": 0})
+        dirty = rng.integers(0, 4)
+        if dirty == 1:
+            rows.append(
+                {"url": f"HTTP://SITE{k}.tld{k % 7}.COM:80/#top", "depth": 0}
+            )
+        elif dirty == 2:
+            rows.append(
+                {"url": f"http://site{k}.tld{k % 7}.com/a/../", "depth": 0}
+            )
+    return pd.DataFrame(rows)
+
+
+def gen_web_graph(
+    seed: int,
+    n_sites: int,
+    pages_per_site: int = 10,
+    hot_fraction: float = 0.2,
+    n_spam: int = 3,
+    scale: int = 1000,
+) -> pd.DataFrame:
+    """Edges src_url -> dst_url; Zipf out-degree; `hot_fraction` of edges
+    target site0 (the hot PLD); spam sites only link within themselves."""
+    rng = np.random.default_rng(seed + 2)
+    hosts = [f"site{k}.tld{k % 7}.com" for k in range(n_sites)]
+    spam_hosts = [f"spam{j}.junk.com" for j in range(n_spam)]
+    edges = []
+    for k, host in enumerate(hosts):
+        for p in range(pages_per_site):
+            src = f"http://{host}/p{p}"
+            deg = min(int(rng.zipf(1.5)), 30)
+            for _ in range(deg):
+                if rng.random() < hot_fraction:
+                    dst_host = hosts[0]
+                else:
+                    dst_host = hosts[int(rng.integers(0, n_sites))]
+                dst = f"http://{dst_host}/p{int(rng.integers(0, pages_per_site))}"
+                edges.append({"src_url": src, "dst_url": dst, "anchor": "x"})
+    for sh in spam_hosts:
+        for p in range(pages_per_site):
+            src = f"http://{sh}/p{p}"
+            for q in range(20):  # heavy intra-PLD linking, no external
+                edges.append(
+                    {
+                        "src_url": src,
+                        "dst_url": f"http://{sh}/p{(p + q) % pages_per_site}",
+                        "anchor": "spam",
+                    }
+                )
+    df = pd.DataFrame(edges)
+    # deterministic url -> image_id payload mapping (FIXTURES.md A3);
+    # crc32, not Python hash() (which is salted per process)
+    import zlib
+
+    df["image_id"] = df["src_url"].map(
+        lambda u: f"img{zlib.crc32(u.encode()) % scale:010d}"
+    )
+    return df
+
+
+def gen_robots(seed: int, hosts: list[str]) -> pd.DataFrame:
+    rng = np.random.default_rng(seed + 3)
+    rules_pool = ["/private", "/tmp", "/x"]
+    rows = []
+    for h in hosts:
+        r = rng.random()
+        if r < 0.1:
+            dis = ["/"]  # disallow-all
+        elif r < 0.5:
+            dis = list(
+                rng.choice(rules_pool, size=int(rng.integers(1, 3)), replace=False)
+            )
+        else:
+            dis = []
+        rows.append(
+            {
+                "host": h,
+                "disallow": dis,
+                "crawl_delay": float(rng.choice([0.0, 1.0, 5.0])),
+            }
+        )
+    return pd.DataFrame(rows)

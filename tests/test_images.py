@@ -1,0 +1,104 @@
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from jirlbot_spark.functions.images import (
+    decode_image,
+    encode_image,
+    hamming64,
+    phash64,
+    psnr,
+)
+from jirlbot_spark.sources.fixtures import gen_pages, gen_pixels
+
+
+@pytest.mark.parametrize("fmt", ["png", "bmp", "raw"])
+@pytest.mark.parametrize("w,h", [(16, 16), (32, 16), (17, 23)])
+def test_lossless_roundtrip_exact(fmt, w, h):
+    rng = np.random.default_rng(1)
+    px = gen_pixels(rng, w, h)
+    blob = encode_image(px, fmt)
+    out = decode_image(blob, fmt, w, h)
+    assert np.array_equal(px, out), f"{fmt} {w}x{h} not bit-exact"
+
+
+def test_psnr_properties():
+    rng = np.random.default_rng(2)
+    px = gen_pixels(rng, 32, 32)
+    assert psnr(px, px) == float("inf")
+    noisy = np.clip(
+        px.astype(int) + rng.integers(-2, 3, px.shape), 0, 255
+    ).astype(np.uint8)
+    assert psnr(px, noisy) >= 40.0  # tiny noise stays above the lossy gate
+    garbage = rng.integers(0, 256, px.shape).astype(np.uint8)
+    assert psnr(px, garbage) < 20.0
+
+
+def test_phash_invariance_and_sensitivity():
+    rng = np.random.default_rng(3)
+    px = gen_pixels(rng, 64, 64)
+    h0 = phash64(px)
+    # slight noise -> small hamming distance
+    noisy = np.clip(px.astype(int) + rng.integers(-4, 5, px.shape), 0, 255).astype(
+        np.uint8
+    )
+    assert hamming64(h0, phash64(noisy)) <= 10
+    # different image -> large distance
+    other = gen_pixels(np.random.default_rng(99), 64, 64)
+    assert hamming64(h0, phash64(other)) >= 16
+    # resize the same image -> same-ish hash (scale invariance of DCT hash)
+    half = px[::2, ::2]
+    assert hamming64(h0, phash64(half)) <= 12
+
+
+def test_gen_pages_deterministic_and_verified():
+    p1 = gen_pages(42, 20)
+    p2 = gen_pages(42, 20)
+    assert p1["phash"].tolist() == p2["phash"].tolist()
+    assert p1["caption"].tolist() == p2["caption"].tolist()
+    for _, row in p1.iterrows():
+        px = decode_image(row["bytes"], row["fmt"], row["w"], row["h"])
+        assert phash64(px) == row["phash"]
+        assert row["caption"].startswith(f"caption of {row['image_id']}:")
+
+
+def test_jpeg_gated():
+    rng = np.random.default_rng(5)
+    px = gen_pixels(rng, 16, 16)
+    try:
+        import PIL  # noqa: F401
+
+        blob = encode_image(px, "jpeg")
+        out = decode_image(blob, "jpeg", 16, 16)
+        assert psnr(px, out) >= 40.0
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            encode_image(px, "jpeg")
+
+
+def test_verify_payload_spark(spark):
+    from jirlbot_spark.operators.fetch import verify_payload
+
+    pages = gen_pages(7, 12)
+    df = spark.createDataFrame(pages)
+    out = verify_payload(df).toPandas().set_index("image_id")
+    assert out["decode_ok"].all()
+    assert out["pixels_ok"].all()
+    assert out["caption_ok"].all()
+    assert out["phash_ok"].all()
+
+    # corrupt one caption and one phash -> exactly those rows flagged
+    bad = pages.copy()
+    bad.loc[0, "caption"] = "not a caption"
+    bad.loc[1, "phash"] = bad.loc[1, "phash"] ^ 0xFF
+    out2 = (
+        verify_payload(spark.createDataFrame(bad))
+        .toPandas()
+        .set_index("image_id")
+    )
+    assert not out2.loc[bad.loc[0, "image_id"], "caption_ok"]
+    assert not out2.loc[bad.loc[1, "image_id"], "phash_ok"]
+    assert int((~out2["caption_ok"]).sum()) == 1
+    assert int((~out2["phash_ok"]).sum()) == 1
