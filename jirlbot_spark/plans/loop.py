@@ -1,0 +1,352 @@
+"""The crawl loop — one driver-orchestrated microbatch per pass.
+
+Replaces the reference's callback soup (crawl threads + DRUM
+writer/merger threads + listener dispatch) with a deterministic dataflow;
+see SURVEY.md §3.1. Per batch j:
+
+    frontier_j --BEAST admit (STAR budgets from pld_graph_{j-1})-->
+      robots gate (PASS / FAIL-drop / UNKNOWN-defer + robots fetch) -->
+      politeness schedule --> fetch (injected backend) --> payload verify -->
+      link extraction --> canonicalize+dedup (DRUM) --> frontier_{j+1}
+
+All per-batch outputs (frontier, url_seen, pld_graph, robots,
+robots_requested, fetch_log, metrics) commit ATOMICALLY via one manifest
+rename (TableStore.commit_batch) — crash anywhere re-runs batch j from
+identical inputs (exact resume, north rule).
+
+Determinism contract (crawl-order equivalence vs tests/oracle_sim.py):
+ordering is always (priority asc, url_hash asc); priority = discovery
+depth. No wall clock feeds any decision.
+
+Scale posture: the frontier rewrite per pass mirrors BEAST's queue-file
+rewrite; at 10^10 URLs the frontier is partitioned by enqueue_batch so a
+pass reads only due partitions, and url_seen grows append-only in
+bucket-partitioned sorted runs with periodic compaction.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from jirlbot_spark.functions.hashing import murmur3_64_udf
+from jirlbot_spark.functions.urls import canonicalize_udf, host_udf, pld_udf
+from jirlbot_spark.operators import robots as robots_ops
+from jirlbot_spark.operators.beast import beast_enforce, split_admitted
+from jirlbot_spark.operators.dedup import check_update
+from jirlbot_spark.operators.fetch import extract_links, table_fetch
+from jirlbot_spark.operators.politeness import politeness_schedule
+from jirlbot_spark.operators.star import (
+    distinct_new_edges,
+    pld_indegree,
+    star_budgets,
+)
+from jirlbot_spark.sources.storage import TableStore, TableWrite
+
+FRONTIER_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("url_hash", LongType()),
+        StructField("host", StringType()),
+        StructField("host_hash", LongType()),
+        StructField("pld", StringType()),
+        StructField("pld_hash", LongType()),
+        StructField("depth", IntegerType()),
+        StructField("priority", DoubleType()),
+        StructField("enqueue_batch", IntegerType()),
+    ]
+)
+
+
+@dataclass
+class CrawlConfig:
+    top_k: int = 100
+    b_hi: int = 50
+    b_lo: int = 5
+    default_budget: int = 5
+    salt_buckets: int = 8
+    min_delay_s: float = 1.0
+    num_buckets: int = 32
+    image_scale: int = 1000
+
+
+class CrawlLoop:
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: TableStore,
+        pages: DataFrame | None,
+        link_table: DataFrame | None,
+        robots_source: DataFrame | None,
+        config: CrawlConfig | None = None,
+    ):
+        self.spark = spark
+        self.store = store
+        self.pages = pages
+        self.link_table = link_table
+        self.robots_source = robots_source  # host -> (disallow, crawl_delay)
+        self.cfg = config or CrawlConfig()
+
+    # ---- URL ingestion (seeds and extracted links share this path) ----
+    def _prepare_urls(
+        self,
+        urls: DataFrame,
+        url_col: str,
+        base_col: str | None,
+        depth,
+        keep: tuple[str, ...] = (),
+    ) -> DataFrame:
+        base = F.col(base_col) if base_col else F.lit("")
+        df = urls.withColumn("__canon", canonicalize_udf(F.col(url_col), base))
+        df = df.filter(F.col("__canon").isNotNull())
+        depth_col = (
+            F.col(depth).cast("int") if isinstance(depth, str) else F.lit(depth)
+        )
+        df = df.select(
+            F.col("__canon").alias("url"),
+            murmur3_64_udf(F.col("__canon")).alias("url_hash"),
+            host_udf(F.col("__canon")).alias("host"),
+            depth_col.alias("depth"),
+            *[F.col(c) for c in keep],
+        )
+        df = df.withColumn("host_hash", murmur3_64_udf("host"))
+        df = df.withColumn("pld", pld_udf("host"))
+        df = df.withColumn("pld_hash", murmur3_64_udf("pld"))
+        df = df.withColumn("priority", F.col("depth").cast("double"))
+        return df
+
+    def _dedup_new(self, prepared: DataFrame, batch_id: int) -> tuple[DataFrame, DataFrame]:
+        """DRUM check_update: returns (new frontier rows, new url_seen keys)."""
+        seen = self.store.read("url_seen")
+        classified, uniques = check_update(
+            prepared,
+            seen,
+            key_col="url_hash",
+            order_col="depth",
+            num_buckets=self.cfg.num_buckets,
+        )
+        fresh = (
+            classified.filter(F.col("drum_result") == "UNIQUE_KEY")
+            .drop("drum_result", "__seq")
+            .withColumn("enqueue_batch", F.lit(batch_id).cast("int"))
+        )
+        return fresh.select(*[f.name for f in FRONTIER_SCHEMA.fields]), uniques
+
+    def ingest_seeds(self, seeds: DataFrame, url_col: str = "url") -> int:
+        """Batch 0: canonicalize + dedup seeds into the frontier."""
+        prepared = self._prepare_urls(seeds, url_col, None, 0)
+        fresh, uniques = self._dedup_new(prepared, 1)
+        self.store.commit_batch(
+            0,
+            {
+                "frontier": TableWrite(fresh, mode="overwrite"),
+                "url_seen": TableWrite(uniques, partition_by=("bucket",)),
+            },
+        )
+        return fresh.count()
+
+    # ---- one crawl pass ----
+    def run_batch(self, j: int) -> dict:
+        assert j >= 1, "batch 0 is seed ingest"
+        cfg = self.cfg
+        frontier = self.store.read("frontier")
+        if frontier is None or not frontier.head(1):
+            return {"batch": j, "rows_in": 0, "fetched": 0, "done": True}
+        frontier = frontier.cache()
+        rows_in = frontier.count()
+
+        # STAR budgets from the pld graph as of the last commit
+        pld_graph = self.store.read("pld_graph")
+        budgets = (
+            star_budgets(
+                pld_indegree(pld_graph),
+                top_k=cfg.top_k,
+                b_hi=cfg.b_hi,
+                b_lo=cfg.b_lo,
+            ).select("pld_hash", "budget")
+            if pld_graph is not None
+            else None
+        )
+
+        # BEAST admission
+        enforced = beast_enforce(
+            frontier,
+            budgets,
+            default_budget=cfg.default_budget,
+            salt_buckets=cfg.salt_buckets,
+        )
+        admitted, deferred_budget = split_admitted(enforced)
+
+        # robots gate
+        robots = self.store.read("robots")
+        path = F.regexp_extract("url", r"^[a-z]+://[^/]+(/.*)$", 1)
+        admitted = admitted.withColumn(
+            "path", F.when(path == "", "/").otherwise(path)
+        )
+        checked = robots_ops.robots_check(admitted, robots).cache()
+        passed = checked.filter(F.col("robots_status") == "PASS").drop(
+            "robots_status", "path"
+        )
+        deferred_robots = checked.filter(
+            F.col("robots_status") == "UNKNOWN"
+        ).drop("robots_status", "path")
+        blocked = checked.filter(F.col("robots_status") == "FAIL")
+
+        # fetch robots for hosts seen but unknown (once per host ever)
+        requested = self.store.read("robots_requested")
+        hosts_to_fetch = robots_ops.robots_requested_new(
+            checked.select("host_hash", "host"), requested
+        ).join(checked.select("host_hash", "host").distinct(), "host_hash")
+        if self.robots_source is not None:
+            new_robots = (
+                hosts_to_fetch.join(self.robots_source, "host", "inner")
+                .select("host_hash", "host", "disallow", "crawl_delay")
+            )
+            # hosts absent from the source get allow-all
+            missing = hosts_to_fetch.join(
+                self.robots_source.select("host"), "host", "left_anti"
+            ).select(
+                "host_hash",
+                "host",
+                F.array().cast("array<string>").alias("disallow"),
+                F.lit(0.0).alias("crawl_delay"),
+            )
+            new_robots = new_robots.unionByName(missing)
+        else:
+            new_robots = hosts_to_fetch.select(
+                "host_hash",
+                "host",
+                F.array().cast("array<string>").alias("disallow"),
+                F.lit(0.0).alias("crawl_delay"),
+            )
+
+        # politeness schedule + fetch
+        delays = (
+            robots.select("host_hash", "crawl_delay")
+            if robots is not None
+            else None
+        )
+        to_fetch = (
+            passed.join(delays, "host_hash", "left")
+            if delays is not None
+            else passed.withColumn("crawl_delay", F.lit(0.0))
+        )
+        scheduled = politeness_schedule(
+            to_fetch, min_delay_s=cfg.min_delay_s
+        )
+        scheduled = scheduled.withColumn(
+            "image_id",
+            F.format_string(
+                "img%010d", F.crc32(F.col("url")) % cfg.image_scale
+            ),
+        )
+        fetched = (
+            table_fetch(scheduled, self.pages, "image_id")
+            if self.pages is not None
+            else scheduled
+        )
+        fetched = fetched.withColumn("batch", F.lit(j)).cache()
+
+        # link extraction + PLD graph update
+        if self.link_table is not None:
+            links = extract_links(fetched, self.link_table, src_col="url")
+            src_info = fetched.select(
+                F.col("url").alias("src_url"),
+                F.col("depth").alias("src_depth"),
+                F.col("pld_hash").alias("src_pld"),
+            ).distinct()
+            links = links.join(src_info, "src_url").withColumn(
+                "new_depth", (F.col("src_depth") + 1).cast("int")
+            )
+            # per-link depth = src depth + 1; a URL reached from several
+            # sources gets its MIN depth (check_update keeps the first
+            # arrival under order_col=depth). src_pld rides through
+            # canonicalization so edges pair canonical dst with its source.
+            prepared = self._prepare_urls(
+                links, "out_url", None, "new_depth", keep=("src_pld",)
+            )
+            edges = prepared.select(
+                "src_pld", F.col("pld_hash").alias("dst_pld")
+            )
+            new_edges = distinct_new_edges(edges, pld_graph)
+            fresh, uniques = self._dedup_new(
+                prepared.drop("src_pld"), j + 1
+            )
+        else:
+            new_edges = None
+            fresh, uniques = None, None
+
+        # assemble frontier_{j+1}: budget-deferred ∪ robots-deferred ∪ new
+        cols = [f.name for f in FRONTIER_SCHEMA.fields]
+        next_frontier = deferred_budget.select(*cols).unionByName(
+            deferred_robots.withColumn(
+                "enqueue_batch", F.col("enqueue_batch") + 1
+            ).select(*cols)
+        )
+        if fresh is not None:
+            next_frontier = next_frontier.unionByName(fresh.select(*cols))
+
+        fetch_log = fetched.select(
+            "url_hash",
+            "url",
+            "host",
+            "batch",
+            "seq_in_host",
+            "planned_at_s",
+            "priority",
+            F.col("image_id"),
+        )
+        n_fetched = fetched.count()
+        metrics = fetched.groupBy(
+            F.lit(j).alias("batch"), F.spark_partition_id().alias("partition_id")
+        ).agg(
+            F.count("*").alias("rows_fetched"),
+            F.count("image_id").alias("payload_rows"),
+        )
+
+        writes = {
+            "frontier": TableWrite(next_frontier, mode="overwrite"),
+            "fetch_log": TableWrite(fetch_log),
+            "metrics": TableWrite(metrics),
+            "robots": TableWrite(new_robots),
+            "robots_requested": TableWrite(
+                new_robots.select("host_hash")
+            ),
+        }
+        if uniques is not None:
+            writes["url_seen"] = TableWrite(uniques, partition_by=("bucket",))
+        if new_edges is not None:
+            writes["pld_graph"] = TableWrite(new_edges)
+        self.store.commit_batch(j, writes)
+
+        stats = {
+            "batch": j,
+            "rows_in": rows_in,
+            "fetched": n_fetched,
+            "blocked": blocked.count(),
+            "done": False,
+        }
+        frontier.unpersist()
+        checked.unpersist()
+        fetched.unpersist()
+        return stats
+
+    def run(self, n_batches: int, start: int | None = None) -> list[dict]:
+        first = (start if start is not None else self.store.last_batch() + 1)
+        out = []
+        for j in range(first, first + n_batches):
+            s = self.run_batch(j)
+            out.append(s)
+            if s.get("done"):
+                break
+        return out

@@ -92,9 +92,16 @@ class TableStore:
             )
         tables = dict(m["tables"])
         for name, w in writes.items():
+            df = w.df
+            if df.isEmpty():
+                if w.mode == "append":
+                    continue  # appending nothing: keep the old dirs
+                # empty overwrite must still carry schema: one empty file
+                df = df.repartition(1)
+                w = TableWrite(df, mode=w.mode)  # partition dirs would vanish
             run = f"b{batch_id:08d}_{uuid.uuid4().hex[:8]}"
             out = os.path.join(self.root, name, run)
-            writer = w.df.write.mode("overwrite")
+            writer = df.write.mode("overwrite")
             if w.partition_by:
                 writer = writer.partitionBy(*w.partition_by)
             writer.parquet(out)
