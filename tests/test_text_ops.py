@@ -1,0 +1,149 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from jirlbot_spark.functions.text import (
+    lang_id,
+    quality_score,
+    token_count,
+    token_fingerprint,
+)
+from jirlbot_spark.operators.similarity import brute_topk, lsh_topk
+from jirlbot_spark.operators.text_dedup import (
+    exact_dedup,
+    exact_jaccard,
+    minhash_dedup,
+    shingle_hashes,
+    simhash_candidates,
+    simhash64_udf,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog in a field"),
+        (1, "the quick brown fox jumps over the lazy dog in a field"),  # exact dup
+        (2, "the quick brown fox jumps over the lazy dog in a meadow"),  # near dup
+        (3, "der hund ist nicht ein fuchs und das ist gut"),
+        (4, "completely different words about spark engines and shuffles"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_token_count_and_lang(spark, docs):
+    got = {
+        r.doc_id: (r.n, r.lang)
+        for r in docs.select(
+            "doc_id",
+            token_count("text").alias("n"),
+            lang_id("text").alias("lang"),
+        ).collect()
+    }
+    assert got[0] == (12, "en")
+    assert got[3][1] == "de"
+    assert got[4][1] == "en"  # 'and' hits the en stopword list
+    assert got[5] == (0, "und")
+
+
+def test_quality_and_fingerprint(spark, docs):
+    rows = docs.select(
+        "doc_id",
+        quality_score("text").alias("q"),
+        token_fingerprint("text").alias("fp"),
+    ).collect()
+    by_id = {r.doc_id: r for r in rows}
+    assert 0.0 <= by_id[5].q <= 1.0
+    assert by_id[0].q > by_id[5].q
+    assert by_id[0].fp == by_id[1].fp  # identical text -> identical fp
+    assert by_id[0].fp != by_id[2].fp
+    # order sensitivity: permuted tokens change the fingerprint
+    perm = spark.createDataFrame(
+        [(0, "quick the brown fox jumps over the lazy dog in a field")],
+        ["doc_id", "text"],
+    )
+    fp_perm = perm.select(token_fingerprint("text").alias("fp")).first().fp
+    assert fp_perm != by_id[0].fp
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs).collect()
+    dups = [r for r in out if r.dup_count > 1]
+    assert len(dups) == 1 and dups[0].keeper_id == 0 and dups[0].dup_count == 2
+    assert len(out) == 5  # 6 docs, one pair merged
+
+
+def test_minhash_finds_near_dups(spark, docs):
+    pairs = minhash_dedup(docs, threshold=0.5).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in got  # exact dup -> jaccard 1.0
+    assert (0, 2) in got or (1, 2) in got  # near dup above 0.5
+    assert all({a, b} & {3, 4} == set() for a, b in got)
+
+
+def test_exact_jaccard_values(spark, docs):
+    sh = shingle_hashes(docs, k=3)
+    pairs = spark.createDataFrame([(0, 1), (0, 4)], ["id_a", "id_b"])
+    out = {(r.id_a, r.id_b): r.jaccard for r in exact_jaccard(sh, pairs).collect()}
+    assert out[(0, 1)] == 1.0
+    assert (0, 4) not in out  # zero intersection -> no row (inter join)
+
+
+def test_simhash_properties(spark, docs):
+    sh = {
+        r.doc_id: r.h
+        for r in docs.select(
+            "doc_id", simhash64_udf(F.col("text")).alias("h")
+        ).collect()
+    }
+    assert sh[0] == sh[1]
+    assert bin(sh[0] ^ sh[2]).count("1") <= 12  # near dup -> small hamming
+    assert bin(sh[0] ^ sh[4]).count("1") >= 14  # unrelated -> large
+    assert sh[5] == 0
+    cands = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_candidates(docs).collect()
+    }
+    assert cands[(0, 1)] == 0
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((30, 64)).astype(np.float32)
+    base[7] = base[3] + rng.standard_normal(64).astype(np.float32) * 0.01
+    return spark.createDataFrame(
+        [(i, base[i].tolist()) for i in range(30)], ["vec_id", "embedding"]
+    )
+
+
+def test_brute_topk_exact(spark, vectors):
+    queries = vectors.filter(F.col("vec_id") < 3)
+    out = brute_topk(queries, vectors, k=5)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert len(rs) == 5
+        assert rs[0].vec_id == q and abs(rs[0].cosine - 1.0) < 1e-6
+        sims = [r.cosine for r in rs]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_recall_vs_brute(spark, vectors):
+    queries = vectors.filter(F.col("vec_id") == 3)
+    brute = {r.vec_id for r in brute_topk(queries, vectors, k=3).collect()}
+    approx = {
+        r.vec_id
+        for r in lsh_topk(
+            queries, vectors, k=3, n_planes=6, n_tables=8
+        ).collect()
+    }
+    # the engineered near-dup (7) must be found, self always found
+    assert 3 in approx and 7 in approx
+    assert len(brute & approx) >= 2
