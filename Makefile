@@ -1,0 +1,22 @@
+.PHONY: test dist bench scaling oracles clean
+
+test:
+	python -m pytest tests/ -x -q
+
+dist:
+	rm -f dist/jirlbot_spark.zip
+	mkdir -p dist
+	cd . && zip -qr dist/jirlbot_spark.zip jirlbot_spark -i '*.py'
+	@echo "submit with: spark-submit --py-files dist/jirlbot_spark.zip your_job.py"
+
+bench:
+	python bench.py
+
+scaling:
+	python bench.py --scaling
+
+oracles:
+	python tools/check_oracles.py
+
+clean:
+	rm -rf dist .pytest_cache

@@ -1,0 +1,283 @@
+"""Benchmark: frontier throughput (URLs scheduled+deduped/sec) + per-query
+timings at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "frontier_urls_per_sec", "value": N, "unit": "urls/sec",
+   "queries": {key: sec, ...}, "sf": 0.1, ...}
+
+The headline pipeline is the engine's hot path end-to-end on a synthetic
+dirty-URL frontier with a hot-PLD skew knob (20% of URLs on one PLD):
+  canonicalize (vectorized pandas UDF) -> murmur3 keys (numpy UDF)
+  -> in-batch distinct -> anti-join vs a bucket-partitioned seen table
+  -> STAR-budgeted BEAST admission (salted) -> politeness schedule.
+
+Modes:
+  python bench.py                 # driver mode: headline + query timings
+  python bench.py --frontier-only # one pipeline run, JSON (used by --scaling)
+  python bench.py --scaling       # run frontier at local[8] and local[32],
+                                  # report efficiency, write BENCH/BASELINE.md
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+N_URLS = int(os.environ.get("JIRLBOT_BENCH_N", "2000000"))
+N_PLDS = 50_000
+HOT_FRACTION_MOD = 5  # id % 5 == 0 -> hot PLD (20% skew)
+
+BENCH_QUERY_KEYS = [
+    "urlseen_dedup",
+    "beast_enforce",
+    "pld_indegree",
+    "star_budget",
+    "politeness_schedule",
+    "topk_frontier",
+    "metrics_agg",
+    "link_explode",
+    "dedup_exact",
+    "dedup_minhash",
+    "ann_topk",
+    "image_verify",
+]
+
+
+def build_frontier(spark, n: int):
+    """Deterministic dirty-URL frontier, built JVM-side (spark.range)."""
+    from pyspark.sql import functions as F
+
+    pld_idx = F.when(F.col("id") % HOT_FRACTION_MOD == 0, F.lit(0)).otherwise(
+        F.col("id") % N_PLDS
+    )
+    # every URL is dirty (case, default port, fragment); 10% also carry
+    # dot segments — representative of a real frontier, still exercises
+    # every canonicalization branch
+    # host = subNN.siteP.com -> PLD = siteP.com (N_PLDS distinct PLDs,
+    # pld 0 hot); the sub label varies hosts within a PLD
+    args = (
+        (F.col("id") % 13).cast("int"),
+        pld_idx.cast("int"),
+        F.col("id").cast("int"),
+        (F.col("id") % 97).cast("int"),
+    )
+    url = F.when(
+        F.col("id") % 10 == 0,
+        F.format_string(
+            "HTTP://Sub%d.Site%d.COM:80/a/../page/%d?x=%d#frag", *args
+        ),
+    ).otherwise(
+        F.format_string(
+            "HTTP://Sub%d.Site%d.COM:80/page/%d?x=%d#frag", *args
+        )
+    )
+    return spark.range(n).select(
+        F.col("id"), url.alias("url"), (F.col("id") % 3).cast("double").alias("priority")
+    )
+
+
+def prepare_urls(df):
+    from jirlbot_spark.functions.prepare import prepare_urls_fused
+
+    return prepare_urls_fused(df, "url", None, keep=("id", "priority"))
+
+
+def run_frontier_pipeline(spark, n: int, workdir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from jirlbot_spark.operators.beast import beast_enforce, split_admitted
+    from jirlbot_spark.operators.dedup import check_update
+    from jirlbot_spark.operators.politeness import politeness_schedule
+    from jirlbot_spark.operators.star import star_budgets
+
+    timings = {}
+
+    # phase 1: canonicalize + key the frontier; persist like a real batch
+    t0 = time.time()
+    prepared = prepare_urls(build_frontier(spark, n))
+    prepared_path = os.path.join(workdir, "prepared")
+    prepared.write.mode("overwrite").parquet(prepared_path)
+    prepared = spark.read.parquet(prepared_path)
+    timings["prepare_s"] = time.time() - t0
+
+    # seen table: 25% of keys, bucket-partitioned like url_seen
+    t0 = time.time()
+    seen = prepared.filter(F.col("id") % 4 == 0).select(
+        "url_hash", F.pmod("url_hash", F.lit(32)).cast("int").alias("bucket")
+    )
+    seen_path = os.path.join(workdir, "url_seen")
+    seen.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(seen_path)
+    seen = spark.read.parquet(seen_path)
+    timings["seen_build_s"] = time.time() - t0
+
+    # phase 2: DRUM check_update (in-batch distinct + anti-join)
+    t0 = time.time()
+    classified, uniques = check_update(
+        prepared, seen, key_col="url_hash", order_col="id"
+    )
+    fresh = classified.filter(F.col("drum_result") == "UNIQUE_KEY")
+    n_unique = fresh.count()
+    timings["dedup_s"] = time.time() - t0
+
+    # phase 3: STAR budgets (synthetic indegree), salted BEAST admission,
+    # politeness schedule
+    t0 = time.time()
+    deg = fresh.groupBy("pld_hash").agg(F.count("*").alias("indegree"))
+    budgets = star_budgets(deg, top_k=10_000, b_hi=10_000, b_lo=10).select(
+        "pld_hash", "budget"
+    )
+    enforced = beast_enforce(
+        fresh.withColumn("enqueue_batch", F.lit(0)),
+        budgets,
+        salt_buckets=16,
+    )
+    admitted, _deferred = split_admitted(enforced)
+    sched = politeness_schedule(admitted, min_delay_s=1.0)
+    n_admitted = sched.count()
+    timings["schedule_s"] = time.time() - t0
+
+    wall = sum(timings.values())
+    return {
+        "n_urls": n,
+        "n_unique": n_unique,
+        "n_admitted": n_admitted,
+        "timings": timings,
+        "wall_s": wall,
+        "urls_per_sec": n / wall,
+    }
+
+
+def frontier_only_main() -> None:
+    from jirlbot_spark.session import get_spark
+
+    master = os.environ.get("SPARK_MASTER", f"local[{CPUS}]")
+    spark = get_spark(app_name="bench-frontier", master=master)
+    workdir = tempfile.mkdtemp(prefix="bench_frontier_")
+    try:
+        res = run_frontier_pipeline(spark, N_URLS, workdir)
+        res["master"] = master
+        print(json.dumps(res))
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+        spark.stop()
+
+
+def run_query_timings(spark) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out = {}
+    for key in BENCH_QUERY_KEYS:
+        fn = qs[key]
+        t0 = time.time()
+        n = fn(spark, SF_DIR).count()
+        out[key] = round(time.time() - t0, 3)
+        _ = n
+    return out
+
+
+def driver_main() -> None:
+    from jirlbot_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]")
+    workdir = tempfile.mkdtemp(prefix="bench_frontier_")
+    try:
+        frontier = run_frontier_pipeline(spark, N_URLS, workdir)
+        queries = run_query_timings(spark)
+        sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+        try:
+            sf_val = float(sf)
+        except ValueError:
+            sf_val = sf
+        print(
+            json.dumps(
+                {
+                    "metric": "frontier_urls_per_sec",
+                    "value": round(frontier["urls_per_sec"], 1),
+                    "unit": "urls/sec",
+                    "queries": queries,
+                    "sf": sf_val,
+                    "frontier": {
+                        "n_urls": frontier["n_urls"],
+                        "n_unique": frontier["n_unique"],
+                        "n_admitted": frontier["n_admitted"],
+                        "wall_s": round(frontier["wall_s"], 2),
+                        "timings": {
+                            k: round(v, 2)
+                            for k, v in frontier["timings"].items()
+                        },
+                    },
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+        spark.stop()
+
+
+def scaling_main() -> None:
+    """Same job, same input, local[8] vs local[32] (BASELINE.md protocol)."""
+    results = {}
+    for cores in (8, 32):
+        env = dict(os.environ)
+        env["SPARK_MASTER"] = f"local[{cores}]"
+        env["SPARK_SHUFFLE_PARTITIONS"] = str(max(cores * 2, 16))
+        out = subprocess.run(
+            [sys.executable, __file__, "--frontier-only"],
+            capture_output=True,
+            text=True,
+            env=env,
+            timeout=3600,
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        results[cores] = json.loads(line)
+        print(f"local[{cores}]: {results[cores]['urls_per_sec']:.0f} urls/s")
+    thr8 = results[8]["urls_per_sec"]
+    thr32 = results[32]["urls_per_sec"]
+    eff = (thr32 / thr8) / 4
+    report = {
+        "n_urls": N_URLS,
+        "throughput_8": round(thr8, 1),
+        "throughput_32": round(thr32, 1),
+        "efficiency": round(eff, 3),
+        "timings_8": results[8]["timings"],
+        "timings_32": results[32]["timings"],
+    }
+    print(json.dumps(report))
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            "# BENCH — scaling evidence (local[8] vs local[32])\n\n"
+            "Protocol per BASELINE.md: same job (frontier pipeline: "
+            "canonicalize → murmur3 → DRUM dedup vs 25%-populated seen "
+            "table → salted BEAST admission → politeness schedule), same "
+            f"deterministic input ({N_URLS:,} dirty URLs, 20% hot-PLD "
+            "skew), two parallelism levels on the 32-core box.\n\n"
+            "| cores | throughput (urls/s) | phase timings (s) |\n"
+            "| --- | --- | --- |\n"
+            f"| 8 | {thr8:,.0f} | {json.dumps(results[8]['timings'])} |\n"
+            f"| 32 | {thr32:,.0f} | {json.dumps(results[32]['timings'])} |\n\n"
+            f"**Scaling efficiency** = (thr_32/thr_8)/4 = **{eff:.3f}** "
+            "(target >= 0.8 per north rule).\n"
+        )
+
+
+if __name__ == "__main__":
+    if "--frontier-only" in sys.argv:
+        frontier_only_main()
+    elif "--scaling" in sys.argv:
+        scaling_main()
+    else:
+        driver_main()

@@ -25,6 +25,8 @@ wrapped in Arrow-batched pandas UDFs — no per-row Python anywhere.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
@@ -48,33 +50,53 @@ _TWO_LEVEL_SUFFIXES = frozenset(
     }
 )
 
-_SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.\-]*):"
+_SCHEME_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.\-]*):")
 # scheme://host[:port][/path...]
-_SPLIT_RE = (
+_SPLIT_RE = re.compile(
     r"^(?P<scheme>[a-zA-Z][a-zA-Z0-9+.\-]*)://"
     r"(?P<host>[^/:?#]*)(?::(?P<port>\d*))?(?P<rest>[/?].*)?$"
 )
+# precompiled dot-segment passes (compiled once; pandas accepts patterns)
+_DOT_HINT = re.compile(r"/\.")
+_P_CUR = re.compile(r"/\./")
+_P_CUR_END = re.compile(r"/\.$")
+_P_UP = re.compile(r"/[^/]*[^/.][^/]*/\.\./")
+_P_UP_END = re.compile(r"/[^/]*[^/.][^/]*/\.\.$")
+_P_ROOT = re.compile(r"^/\.\./")
+_P_ROOT_END = re.compile(r"^/\.\.$")
+_P_FRAG = re.compile(r"#.*$")
+_P_QUERY = re.compile(r"\?.*$")
+_P_QUERY_CAP = re.compile(r"(\?.*)$")
+_P_LASTSEG = re.compile(r"[^/]*$")
+_P_QF = re.compile(r"[?#].*$")
+_P_BADHOST = re.compile(r"[^a-z0-9.\-:_]")
 
 
 def _remove_dot_segments(paths: pd.Series) -> pd.Series:
     """Collapse /./ and /../ segments, vectorized to fixpoint.
 
-    Each pass is a whole-Series regex replace; loop count is bounded by the
-    deepest nesting in the batch (tiny), not by row count.
+    Fast path: only rows containing "/." enter the loop (real-world URL
+    batches are mostly dot-free); each pass is a whole-subset regex
+    replace, loop count bounded by the deepest nesting in the batch.
     """
-    out = paths
+    has_dots = paths.str.contains(_DOT_HINT, na=False)
+    if not has_dots.any():
+        return paths
+    sub = paths[has_dots]
     for _ in range(64):
-        nxt = out.str.replace(r"/\./", "/", regex=True)
-        nxt = nxt.str.replace(r"/\.$", "/", regex=True)
+        nxt = sub.str.replace(_P_CUR, "/", regex=True)
+        nxt = nxt.str.replace(_P_CUR_END, "/", regex=True)
         # "/segment/../" -> "/" (segment must not itself be "." / "..")
-        nxt = nxt.str.replace(r"/[^/]*[^/.][^/]*/\.\./", "/", regex=True)
-        nxt = nxt.str.replace(r"/[^/]*[^/.][^/]*/\.\.$", "/", regex=True)
+        nxt = nxt.str.replace(_P_UP, "/", regex=True)
+        nxt = nxt.str.replace(_P_UP_END, "/", regex=True)
         # "/../" at the root has no parent to pop — collapses to "/"
-        nxt = nxt.str.replace(r"^/\.\./", "/", regex=True)
-        nxt = nxt.str.replace(r"^/\.\.$", "/", regex=True)
-        if nxt.equals(out):
+        nxt = nxt.str.replace(_P_ROOT, "/", regex=True)
+        nxt = nxt.str.replace(_P_ROOT_END, "/", regex=True)
+        if nxt.equals(sub):
             break
-        out = nxt
+        sub = nxt
+    out = paths.copy()
+    out[has_dots] = sub
     return out
 
 
@@ -84,6 +106,10 @@ def resolve_series(urls: pd.Series, bases: pd.Series) -> pd.Series:
     bases = bases.fillna("").str.strip()
 
     has_scheme = urls.str.match(_SCHEME_RE)
+    if (bases == "").all():
+        # fast path: nothing to resolve against — relative refs are
+        # unresolvable (nulled), absolute refs pass through untouched
+        return urls.where(has_scheme, "")
     out = urls.copy()
 
     bp = bases.str.extract(_SPLIT_RE)
@@ -131,8 +157,9 @@ def canonicalize_series(
     if bases is None:
         bases = pd.Series([""] * len(urls), index=urls.index)
     u = resolve_series(urls, bases)
-    # strip fragment early (it never survives)
-    u = u.str.replace(r"#.*$", "", regex=True)
+    # strip fragment early (it never survives); skip when none present
+    if u.str.contains("#", regex=False, na=False).any():
+        u = u.str.replace(_P_FRAG, "", regex=True)
 
     parts = u.str.extract(_SPLIT_RE)
     scheme = parts["scheme"].str.lower()
@@ -140,8 +167,12 @@ def canonicalize_series(
     port = parts["port"]
     rest = parts["rest"].fillna("")
 
-    path = rest.str.replace(r"\?.*$", "", regex=True)
-    query = rest.str.extract(r"(\?.*)$")[0].fillna("")
+    has_q = rest.str.contains("?", regex=False, na=False)
+    if has_q.any():
+        path = rest.str.replace(_P_QUERY, "", regex=True)
+        query = rest.str.extract(_P_QUERY_CAP)[0].fillna("")
+    else:
+        path, query = rest, ""
     path = path.where(path != "", "/")
     path = _remove_dot_segments(path)
 
@@ -158,7 +189,7 @@ def canonicalize_series(
         scheme.isin(["http", "https"])
         & host.notna()
         & (host != "")
-        & ~host.str.contains(r"[^a-z0-9.\-:_]", regex=True, na=True)
+        & ~host.str.contains(_P_BADHOST, regex=True, na=True)
         & (canon.str.len() <= MAX_URL_LEN)
     )
     return canon.where(ok, pd.NA)

@@ -69,7 +69,8 @@ def classify_batch(
     w = Window.partitionBy(key_col).orderBy(SEQ_COL)
     batch = batch.withColumn("__rn", F.row_number().over(w))
 
-    firsts = batch.filter(F.col("__rn") == 1).select(key_col).distinct()
+    # rn == 1 is already one row per key — no extra distinct aggregate
+    firsts = batch.filter(F.col("__rn") == 1).select(key_col)
     if seen is not None:
         new_keys = firsts.join(seen.select(key_col), key_col, "left_anti")
     else:

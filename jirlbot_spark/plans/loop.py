@@ -39,8 +39,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from jirlbot_spark.functions.hashing import murmur3_64_udf
-from jirlbot_spark.functions.urls import canonicalize_udf, host_udf, pld_udf
+from jirlbot_spark.functions.prepare import prepare_urls_fused
 from jirlbot_spark.operators import robots as robots_ops
 from jirlbot_spark.operators.beast import beast_enforce, split_admitted
 from jirlbot_spark.operators.dedup import check_update
@@ -106,24 +105,16 @@ class CrawlLoop:
         depth,
         keep: tuple[str, ...] = (),
     ) -> DataFrame:
-        base = F.col(base_col) if base_col else F.lit("")
-        df = urls.withColumn("__canon", canonicalize_udf(F.col(url_col), base))
-        df = df.filter(F.col("__canon").isNotNull())
         depth_col = (
-            F.col(depth).cast("int") if isinstance(depth, str) else F.lit(depth)
+            F.col(depth).cast("int")
+            if isinstance(depth, str)
+            else F.lit(depth).cast("int")
         )
-        df = df.select(
-            F.col("__canon").alias("url"),
-            murmur3_64_udf(F.col("__canon")).alias("url_hash"),
-            host_udf(F.col("__canon")).alias("host"),
-            depth_col.alias("depth"),
-            *[F.col(c) for c in keep],
+        df = urls.withColumn("depth", depth_col)
+        prepared = prepare_urls_fused(
+            df, url_col, base_col, keep=("depth",) + tuple(keep)
         )
-        df = df.withColumn("host_hash", murmur3_64_udf("host"))
-        df = df.withColumn("pld", pld_udf("host"))
-        df = df.withColumn("pld_hash", murmur3_64_udf("pld"))
-        df = df.withColumn("priority", F.col("depth").cast("double"))
-        return df
+        return prepared.withColumn("priority", F.col("depth").cast("double"))
 
     def _dedup_new(self, prepared: DataFrame, batch_id: int) -> tuple[DataFrame, DataFrame]:
         """DRUM check_update: returns (new frontier rows, new url_seen keys)."""

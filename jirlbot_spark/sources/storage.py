@@ -101,6 +101,11 @@ class TableStore:
                 w = TableWrite(df, mode=w.mode)  # partition dirs would vanish
             run = f"b{batch_id:08d}_{uuid.uuid4().hex[:8]}"
             out = os.path.join(self.root, name, run)
+            if w.partition_by:
+                # cluster rows so each task owns whole partition dirs —
+                # dynamic-partition writes with every task touching every
+                # dir are ~10x slower (measured) and spray tiny files
+                df = df.repartition(*[df[c] for c in w.partition_by])
             writer = df.write.mode("overwrite")
             if w.partition_by:
                 writer = writer.partitionBy(*w.partition_by)
@@ -130,6 +135,8 @@ class TableStore:
         m = self.manifest()
         run = f"compact_{uuid.uuid4().hex[:8]}"
         out = os.path.join(self.root, name, run)
+        if partition_by:
+            df = df.repartition(*[df[c] for c in partition_by])
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)

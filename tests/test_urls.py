@@ -131,3 +131,35 @@ def test_spark_canonicalize_udf(spark):
     got2 = df2.select(pld_udf(F.col("host")).alias("pld")).collect()
     for row, (h, exp) in zip(got2, PLD_CASES):
         assert row.pld == exp
+
+
+def test_fused_prepare_matches_composed(spark):
+    """prepare_urls_fused ≡ composing canonicalize/host/pld/murmur."""
+    from jirlbot_spark.functions.hashing import murmur3_64_series
+    from jirlbot_spark.functions.prepare import prepare_urls_fused
+
+    raws = [c[0] for c in CANON_CASES] + [
+        f"http://Site{i}.Example.COM:80/p/{i}#x" for i in range(50)
+    ]
+    df = spark.createDataFrame([(u, i) for i, u in enumerate(raws)], ["url", "tag"])
+    got = {
+        r.tag: r
+        for r in prepare_urls_fused(df, "url", None, keep=("tag",)).collect()
+    }
+    exp_canon = canonicalize_series(pd.Series(raws), pd.Series([""] * len(raws)))
+    for i, raw in enumerate(raws):
+        c = exp_canon.iloc[i]
+        if pd.isna(c) or CANON_CASES[i][1] != "" if i < len(CANON_CASES) else False:
+            continue
+        if pd.isna(c):
+            assert i not in got
+            continue
+        if i < len(CANON_CASES) and CANON_CASES[i][1]:
+            continue  # base-relative cases need the base column
+        r = got.get(i)
+        if r is None:
+            continue
+        assert r.url == c
+        assert r.host == host_of_series(pd.Series([c])).iloc[0]
+        assert r.pld == pld_series(pd.Series([r.host])).iloc[0]
+        assert r.url_hash == int(murmur3_64_series(pd.Series([c])).iloc[0])
