@@ -35,12 +35,15 @@ def stream_crawl(
     seeds_stream: DataFrame,
     checkpoint_dir: str,
     max_batches: int | None = None,
+    passes_per_trigger: int = 1,
 ):
     """Drive the crawl loop from a streaming seed source via foreachBatch.
 
     `seeds_stream` is any streaming DataFrame with a `url` column; each
-    trigger ingests new seeds then advances the crawl one pass. Returns the
-    StreamingQuery (caller awaits/stops it).
+    trigger ingests new seeds then advances the crawl `passes_per_trigger`
+    passes (the first pass after a cold start only requests robots — hosts
+    are fetchable from the second pass on, mirroring batch mode). Returns
+    the StreamingQuery (caller awaits/stops it).
     """
     state = {"batches": 0}
 
@@ -64,8 +67,8 @@ def stream_crawl(
                     "url_seen": TableWrite(uniques, partition_by=("bucket",)),
                 },
             )
-        loop.run(1)
-        state["batches"] += 1
+        loop.run(passes_per_trigger)
+        state["batches"] += passes_per_trigger
         if max_batches and state["batches"] >= max_batches:
             for q in spark.streams.active:
                 if q.name == "jirlbot-crawl":

@@ -82,9 +82,10 @@ def test_stream_crawl_foreachbatch(spark, tmp_path):
         .select(F.col("value").alias("url"))
     )
     q = stream_crawl(
-        spark, loop, seeds_stream, str(tmp_path / "ckpt"), max_batches=3
+        spark, loop, seeds_stream, str(tmp_path / "ckpt"), max_batches=3,
+        passes_per_trigger=3,
     )
-    q.awaitTermination(180)
+    q.awaitTermination(400)
     if q.isActive:
         q.stop()
     assert store.read("url_seen") is not None
