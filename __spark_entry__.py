@@ -105,6 +105,33 @@ def q_urlseen_dedup(spark, sf):
     )
 
 
+def q_urlseen_dedup_bloom(spark, sf):
+    """Same classification as urlseen_dedup, but through the Bloom
+    membership fast path (operators/membership.py) — identical output
+    against the identical oracle proves the filters are physical-only."""
+    import tempfile
+
+    from jirlbot_spark.operators.dedup import classify_batch
+    from jirlbot_spark.operators.membership import build_bloom_files
+
+    o = _t(spark, sf, "orders")
+    batch = o.select(
+        F.col("o_orderkey").alias("url_hash"),
+        F.col("o_orderkey").alias("arrival"),
+    )
+    seen = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("url_hash")
+    )
+    d = tempfile.mkdtemp(prefix="bloom_oracle_")
+    build_bloom_files(seen, d, num_buckets=8, log2_bits=22)
+    out = classify_batch(
+        batch, seen, order_col="arrival", num_buckets=8, bloom_dir=d
+    )
+    return out.select(
+        F.col("url_hash").alias("url_id"), F.col("drum_result")
+    )
+
+
 def q_batch_distinct(spark, sf):
     li = _t(spark, sf, "lineitem")
     return (
@@ -504,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pld_extract": q_pld_extract,
         "url_hash": q_url_hash,
         "urlseen_dedup": q_urlseen_dedup,
+        "urlseen_dedup_bloom": q_urlseen_dedup_bloom,
         "batch_distinct": q_batch_distinct,
         "robots_requested_anti": q_robots_requested_anti,
         "robots_check": q_robots_check,
@@ -561,6 +589,12 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
         """,
         "urlseen_dedup": """
+            SELECT o_orderkey AS url_id,
+                   CASE WHEN o_orderkey % 3 = 0 THEN 'DUPLICATE_KEY'
+                        ELSE 'UNIQUE_KEY' END AS drum_result
+            FROM orders
+        """,
+        "urlseen_dedup_bloom": """
             SELECT o_orderkey AS url_id,
                    CASE WHEN o_orderkey % 3 = 0 THEN 'DUPLICATE_KEY'
                         ELSE 'UNIQUE_KEY' END AS drum_result

@@ -56,6 +56,7 @@ def classify_batch(
     key_col: str = "url_hash",
     order_col: str | None = None,
     num_buckets: int = DEFAULT_NUM_BUCKETS,
+    bloom_dir: str | None = None,
 ) -> DataFrame:
     """DRUM CHECK: classify every batch row UNIQUE_KEY / DUPLICATE_KEY.
 
@@ -71,18 +72,38 @@ def classify_batch(
     `seen` is unique-by-key by store invariant (only UNIQUE_KEY rows are
     ever appended); the narrow dropDuplicates is cheap insurance so a
     duplicated store can never multiply batch rows through the left join.
+
+    `bloom_dir` activates the DRUM RAM-fast-path analog (membership.py):
+    a shuffle-free mapInPandas probe of per-bucket Bloom files marks rows
+    whose key is *certainly* absent from the store; those rows bypass the
+    membership join (the maybe-flag joins the equi-condition, so only
+    Bloom-positive rows can match). Classification is bit-identical with
+    or without it (equivalence-tested) — filters are physical only.
     """
     batch = with_seq(batch, order_col)
+    if bloom_dir is not None and seen is not None:
+        from jirlbot_spark.operators.membership import MAYBE_COL, bloom_probe
+
+        batch = bloom_probe(
+            batch, bloom_dir, key_col=key_col, num_buckets=num_buckets
+        )
     w = Window.partitionBy(key_col).orderBy(SEQ_COL)
     batch = batch.withColumn("__rn", F.row_number().over(w))
 
     if seen is not None:
         probe = (
-            seen.select(key_col)
-            .dropDuplicates([key_col])
+            seen.select(F.col(key_col).alias("__probe_key"))
+            .dropDuplicates(["__probe_key"])
             .withColumn("__in_seen", F.lit(True))
         )
-        batch = batch.join(probe, key_col, "left")
+        cond = F.col(key_col) == F.col("__probe_key")
+        if bloom_dir is not None:
+            from jirlbot_spark.operators.membership import MAYBE_COL
+
+            cond = cond & F.col(MAYBE_COL)
+        batch = batch.join(probe, cond, "left").drop("__probe_key")
+        if bloom_dir is not None:
+            batch = batch.drop(MAYBE_COL)
     else:
         batch = batch.withColumn("__in_seen", F.lit(None).cast("boolean"))
 
@@ -102,6 +123,7 @@ def check_update(
     key_col: str = "url_hash",
     order_col: str | None = None,
     num_buckets: int = DEFAULT_NUM_BUCKETS,
+    bloom_dir: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """DRUM CHECK_UPDATE: returns (classified_batch, new_unique_keys).
 
@@ -110,7 +132,9 @@ def check_update(
     the store append IS the UPDATE half, kept out of this function so one
     manifest rename commits everything (storage.TableStore.commit_batch).
     """
-    classified = classify_batch(batch, seen, key_col, order_col, num_buckets)
+    classified = classify_batch(
+        batch, seen, key_col, order_col, num_buckets, bloom_dir=bloom_dir
+    )
     uniques = (
         classified.filter(F.col(RESULT_COL) == UNIQUE_KEY)
         .select(key_col)

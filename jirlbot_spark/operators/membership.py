@@ -1,0 +1,270 @@
+"""Per-bucket Bloom-filter sidecars — the DRUM RAM-fast-path analog.
+
+The north rule pins "DRUM-style URL-seen deduplication reimplemented as a
+partitioned bloom/cuckoo membership layer (pandas/Arrow UDFs over
+canonicalized murmur3 URL hashes)". In the reference design (IRLbot paper,
+DRUM section; reference tree empty at build time, SURVEY.md §0), a RAM-held
+hot subset of the sorted cache lets most CHECK operations answer
+"definitely not seen" without touching disk. This module is the Spark-first
+incarnation:
+
+  - `url_seen` is bucket-partitioned by `bucket = pmod(url_hash, K)`.
+  - Each bucket owns ONE fixed-size Bloom bit-array FILE (numpy uint64,
+    atomically replaced on rebuild/update). Fixed sizing keeps bitwise-OR
+    union valid, so per-batch `update_bloom_files` is an O(new keys)
+    incremental OR — the analog of DRUM merging a batch into cache file Z
+    without rewriting it.
+  - Probing is a mapInPandas pass (no shuffle): each Arrow batch computes
+    its rows' buckets, loads the needed filter files once per worker
+    process (immutable → plain dict cache), and tests membership with
+    vectorized double hashing. Output is a boolean column.
+
+Correctness contract: a Bloom NEGATIVE is definitive (no false negatives
+⇒ the key is certainly absent from the store); a POSITIVE is advisory and
+falls through to the exact membership join in `dedup.classify_batch`.
+Classification is therefore bit-identical with or without filters
+(equivalence-tested in tests/test_membership.py) — the filters are purely
+a physical fast path, exactly like DRUM's RAM layer.
+
+What this buys at 10^10 keys: the exact join's probe set shrinks by the
+batch's true-negative rate (for crawl frontiers, typically 60-90% of
+extracted links are new), and Spark 4's runtime bloom filter then prunes
+the url_seen scan from the other side — the two filters compose. Sizing:
+with K=32 buckets and 2^33 bits/bucket (1 GiB), a 10^10-key store holds
+~3.1e8 keys/bucket at ~0.4% FP with 7 hashes; this sandbox defaults to
+2^27 bits (16 MiB) per bucket.
+
+Hashing: keys are already murmur3-mixed 64-bit values (functions/hashing).
+Double hashing (Kirsch-Mitzenmacher): position_i = (h1 + i*h2) mod m with
+h2 forced odd and m a power of two.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from jirlbot_spark.session import DEFAULT_NUM_BUCKETS
+
+DEFAULT_LOG2_BITS = 27  # 16 MiB per bucket in the sandbox
+DEFAULT_NUM_HASHES = 7
+MAYBE_COL = "__maybe_seen"
+
+_U64 = np.uint64
+_ERR = np.errstate(over="ignore")
+
+# worker-process cache of immutable filter files: {abs path: bit array}
+_FILTER_CACHE: dict[str, np.ndarray] = {}
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer — derives the second hash stream from the key."""
+    with _ERR:
+        x = (x + _U64(0x9E3779B97F4A7C15)).astype(_U64)
+        x = (x ^ (x >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> _U64(27))) * _U64(0x94D049BB133111EB)
+        return x ^ (x >> _U64(31))
+
+
+def _positions(keys: np.ndarray, log2_bits: int, num_hashes: int):
+    """Yield num_hashes position arrays (uint64) in [0, 2^log2_bits)."""
+    h1 = keys.astype(np.int64).view(_U64)
+    h2 = _splitmix64(h1) | _U64(1)
+    mask = _U64((1 << log2_bits) - 1)
+    with _ERR:
+        for i in range(num_hashes):
+            yield (h1 + _U64(i) * h2) & mask
+
+
+def _bucket_path(dir_path: str, bucket: int) -> str:
+    return os.path.join(dir_path, f"bucket_{bucket:05d}.npy")
+
+
+def _load_filter(path: str) -> np.ndarray | None:
+    if path not in _FILTER_CACHE:
+        if not os.path.exists(path):
+            return None
+        _FILTER_CACHE[path] = np.load(path)
+    return _FILTER_CACHE[path]
+
+
+def _atomic_save(path: str, bits: np.ndarray) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    np.save(tmp, bits)
+    os.replace(tmp + ".npy", path)
+    _FILTER_CACHE.pop(path, None)
+
+
+def _set_bits(
+    bits: np.ndarray, keys: np.ndarray, log2_bits: int, num_hashes: int
+) -> None:
+    for pos in _positions(keys, log2_bits, num_hashes):
+        np.bitwise_or.at(
+            bits, (pos >> _U64(6)).astype(np.int64), _U64(1) << (pos & _U64(63))
+        )
+
+
+def _log2_of(bits: np.ndarray) -> int:
+    """Filter files are self-describing: size is always a power of two, so
+    the address width comes from the array, never from caller config (a
+    mismatch would index out of bounds or silently probe wrong bits)."""
+    return (len(bits) * 64).bit_length() - 1
+
+
+def _test_bits(
+    bits: np.ndarray, keys: np.ndarray, num_hashes: int
+) -> np.ndarray:
+    log2_bits = _log2_of(bits)
+    hit = np.ones(len(keys), dtype=bool)
+    for pos in _positions(keys, log2_bits, num_hashes):
+        word = bits[(pos >> _U64(6)).astype(np.int64)]
+        hit &= (word >> (pos & _U64(63))) & _U64(1) != 0
+        if not hit.any():
+            break
+    return hit
+
+
+BUILD_STATS_SCHEMA = StructType(
+    [
+        StructField("bucket", IntegerType()),
+        StructField("n_keys", LongType()),
+        StructField("fill_ratio", DoubleType()),
+        StructField("path", StringType()),
+    ]
+)
+
+
+def _build_or_update(
+    dir_path: str,
+    key_col: str,
+    log2_bits: int,
+    num_hashes: int,
+    update: bool,
+):
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(pdf["bucket"].iloc[0])
+        path = _bucket_path(dir_path, bucket)
+        bits = None
+        if update and os.path.exists(path):
+            bits = np.load(path)  # fresh read — never OR into a cached copy
+        if bits is None:
+            bits = np.zeros(1 << max(log2_bits - 6, 0), dtype=_U64)
+        keys = pdf[key_col].to_numpy(dtype=np.int64)
+        _set_bits(bits, keys, _log2_of(bits), num_hashes)
+        _atomic_save(path, bits)
+        fill = float(np.unpackbits(bits.view(np.uint8)).mean())
+        return pd.DataFrame(
+            {
+                "bucket": [bucket],
+                "n_keys": [len(keys)],
+                "fill_ratio": [fill],
+                "path": [path],
+            }
+        )
+
+    return fn
+
+
+def build_bloom_files(
+    seen: DataFrame,
+    dir_path: str,
+    key_col: str = "url_hash",
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    log2_bits: int = DEFAULT_LOG2_BITS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> pd.DataFrame:
+    """(Re)build one filter file per bucket from the full store. One task
+    per bucket (groupBy shuffle on the bucket id), atomic per-file replace.
+    Returns per-bucket stats; fill_ratio > ~0.5 means undersized filters
+    (raise log2_bits and rebuild — FP rate degrades, correctness never)."""
+    os.makedirs(dir_path, exist_ok=True)
+    keyed = seen.select(
+        F.col(key_col),
+        F.pmod(F.col(key_col), F.lit(num_buckets)).cast("int").alias("bucket"),
+    )
+    stats = keyed.groupBy("bucket").applyInPandas(
+        _build_or_update(dir_path, key_col, log2_bits, num_hashes, False),
+        schema=BUILD_STATS_SCHEMA,
+    )
+    return stats.toPandas()
+
+
+def update_bloom_files(
+    new_keys: DataFrame,
+    dir_path: str,
+    key_col: str = "url_hash",
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    log2_bits: int = DEFAULT_LOG2_BITS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> pd.DataFrame:
+    """Incremental OR of a batch's newly-unique keys into the bucket files
+    — the per-batch DRUM merge analog; cost O(batch), not O(store).
+
+    Single-writer discipline (one driver loop commits batches serially, as
+    the storage manifest already requires) — concurrent updaters could
+    lose each other's bits."""
+    os.makedirs(dir_path, exist_ok=True)
+    keyed = new_keys.select(
+        F.col(key_col),
+        F.pmod(F.col(key_col), F.lit(num_buckets)).cast("int").alias("bucket"),
+    )
+    stats = keyed.groupBy("bucket").applyInPandas(
+        _build_or_update(dir_path, key_col, log2_bits, num_hashes, True),
+        schema=BUILD_STATS_SCHEMA,
+    )
+    return stats.toPandas()
+
+
+def bloom_probe(
+    batch: DataFrame,
+    dir_path: str,
+    key_col: str = "url_hash",
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    log2_bits: int = DEFAULT_LOG2_BITS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    out_col: str = MAYBE_COL,
+) -> DataFrame:
+    """Attach `out_col`: False ⇒ key certainly NOT in the store; True ⇒
+    maybe (resolve with the exact join). mapInPandas — no shuffle; filter
+    files load once per worker process (immutable, dict-cached). A missing
+    bucket file means "no information" ⇒ True for that bucket's rows.
+    Address width comes from each file (self-describing); `log2_bits` is
+    accepted for signature symmetry but never trusted for probing."""
+    from pyspark.sql.types import BooleanType
+
+    schema = StructType(
+        batch.schema.fields + [StructField(out_col, BooleanType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keys = pdf[key_col].to_numpy(dtype=np.int64)
+            buckets = keys % num_buckets  # matches F.pmod for positive K
+            maybe = np.ones(len(pdf), dtype=bool)
+            for b in np.unique(buckets):
+                bits = _load_filter(_bucket_path(dir_path, int(b)))
+                sel = buckets == b
+                if bits is None:
+                    continue  # no file -> no information -> maybe
+                maybe[sel] = _test_bits(bits, keys[sel], num_hashes)
+            out = pdf.copy()
+            out[out_col] = maybe
+            yield out
+
+    return batch.mapInPandas(run, schema=schema)

@@ -77,6 +77,9 @@ class CrawlConfig:
     min_delay_s: float = 1.0
     num_buckets: int = 32
     image_scale: int = 1000
+    # Bloom sidecar dir for the url_seen membership fast path (None = off;
+    # semantics identical either way — membership.py contract)
+    bloom_dir: str | None = None
 
 
 class CrawlLoop:
@@ -125,6 +128,7 @@ class CrawlLoop:
             key_col="url_hash",
             order_col="depth",
             num_buckets=self.cfg.num_buckets,
+            bloom_dir=self.cfg.bloom_dir,
         )
         fresh = (
             classified.filter(F.col("drum_result") == "UNIQUE_KEY")
@@ -137,14 +141,34 @@ class CrawlLoop:
         """Batch 0: canonicalize + dedup seeds into the frontier."""
         prepared = self._prepare_urls(seeds, url_col, None, 0)
         fresh, uniques = self._dedup_new(prepared, 1)
-        self.store.commit_batch(
+        runs = self.store.commit_batch(
             0,
             {
                 "frontier": TableWrite(fresh, mode="overwrite"),
                 "url_seen": TableWrite(uniques, partition_by=("bucket",)),
             },
         )
+        self._update_bloom(runs)
         return fresh.count()
+
+    def _update_bloom(self, runs: dict[str, str]) -> None:
+        """OR the just-committed url_seen run into the Bloom sidecars —
+        after the manifest swap, so a crash mid-update only under-fills
+        the filters (extra exact-join probes, never wrong answers)."""
+        if self.cfg.bloom_dir is None or "url_seen" not in runs:
+            return
+        import os
+
+        from jirlbot_spark.operators.membership import update_bloom_files
+
+        new_keys = self.spark.read.parquet(
+            os.path.join(self.store.root, "url_seen", runs["url_seen"])
+        )
+        update_bloom_files(
+            new_keys,
+            self.cfg.bloom_dir,
+            num_buckets=self.cfg.num_buckets,
+        )
 
     # ---- one crawl pass ----
     def run_batch(self, j: int) -> dict:
@@ -318,7 +342,8 @@ class CrawlLoop:
             writes["url_seen"] = TableWrite(uniques, partition_by=("bucket",))
         if new_edges is not None:
             writes["pld_graph"] = TableWrite(new_edges)
-        self.store.commit_batch(j, writes)
+        runs = self.store.commit_batch(j, writes)
+        self._update_bloom(runs)
 
         stats = {
             "batch": j,

@@ -52,6 +52,18 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Shuffle + spill to tmpfs when present: on a multi-node cluster every
+    # executor shuffles to node-local disks, so aggregate shuffle bandwidth
+    # scales with the cluster; this single-box sandbox has ONE shared disk,
+    # which would serialize shuffle-heavy stages and misrepresent the
+    # engine's scaling. /dev/shm restores the per-node-local-I/O assumption
+    # (RAM is 128 GiB here; Spark spills gracefully if it ever fills).
+    if os.path.isdir("/dev/shm") and os.environ.get(
+        "SPARK_GRAFT_SHM_SHUFFLE", "1"
+    ) != "0":
+        shm = "/dev/shm/jirlbot_spark_local"
+        os.makedirs(shm, exist_ok=True)
+        b = b.config("spark.local.dir", shm)
     # Iceberg catalog is config-only in the sandbox (no runtime jar shipped
     # with pyspark 4.1.2); on a cluster set SPARK_GRAFT_ICEBERG_CATALOG to a
     # warehouse path and the storage layer writes through the catalog.

@@ -83,14 +83,22 @@ class TableStore:
         return out
 
     # ---- atomic batch commit ----
-    def commit_batch(self, batch_id: int, writes: dict[str, TableWrite]) -> None:
-        """Write every table's new data dir, then swap the manifest once."""
+    def commit_batch(
+        self, batch_id: int, writes: dict[str, TableWrite]
+    ) -> dict[str, str]:
+        """Write every table's new data dir, then swap the manifest once.
+
+        Returns {table: run dir name} for the runs actually written (an
+        empty append writes nothing), so callers can post-process exactly
+        the new rows — e.g. OR a batch's new url_seen keys into the Bloom
+        sidecar files — without rescanning the whole table."""
         m = self.manifest()
         if batch_id <= m["batch_id"]:
             raise ValueError(
                 f"batch {batch_id} already committed (last={m['batch_id']})"
             )
         tables = dict(m["tables"])
+        runs_written: dict[str, str] = {}
         for name, w in writes.items():
             df = w.df
             if df.isEmpty():
@@ -110,6 +118,7 @@ class TableStore:
             if w.partition_by:
                 writer = writer.partitionBy(*w.partition_by)
             writer.parquet(out)
+            runs_written[name] = run
             if w.mode == "overwrite":
                 tables[name] = [run]
             else:
@@ -125,6 +134,7 @@ class TableStore:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self._manifest_path())  # the atomic commit point
+        return runs_written
 
     # ---- maintenance ----
     def compact(self, name: str, partition_by: tuple[str, ...] = ()) -> None:

@@ -139,3 +139,43 @@ def test_resume_equivalence(spark, tmp_path_factory, engine_run, sim_result):
     seen_a = {r.url_hash for r in loop_a.store.read("url_seen").collect()}
     seen_c = {r.url_hash for r in loop_c.store.read("url_seen").collect()}
     assert seen_a == seen_c
+
+
+def test_bloom_fastpath_equivalence(spark, tmp_path_factory, engine_run):
+    """Full loop with the Bloom membership fast path on ≡ loop with it off
+    (same fetch log, same url_seen set) — filters are physical only."""
+    tmp = tmp_path_factory.mktemp("crawl_bloom")
+    store = TableStore(spark, str(tmp / "store"))
+    pages = spark.createDataFrame(gen_pages(42, 60))
+    links = spark.createDataFrame(WEB_GRAPH, ["src_url", "dst_url"])
+    robots_src = spark.createDataFrame(
+        [(h, d, c) for h, (d, c) in ROBOTS.items()],
+        ["host", "disallow", "crawl_delay"],
+    )
+    cfg = CrawlConfig(
+        salt_buckets=4,
+        image_scale=60,
+        bloom_dir=str(tmp / "bloom"),
+        **CFG,
+    )
+    loop_b = CrawlLoop(spark, store, pages, links, robots_src, cfg)
+    seeds = spark.createDataFrame([(u,) for u in SEEDS], ["url"])
+    loop_b.ingest_seeds(seeds)
+    loop_b.run(N_BATCHES)
+
+    loop_a, _ = engine_run
+    assert _engine_fetch_tuples(loop_b.store) == _engine_fetch_tuples(
+        loop_a.store
+    )
+    seen_a = {r.url_hash for r in loop_a.store.read("url_seen").collect()}
+    seen_b = {r.url_hash for r in loop_b.store.read("url_seen").collect()}
+    assert seen_a == seen_b
+    # the sidecar files exist and cover every committed key (no false negs)
+    from jirlbot_spark.operators.membership import bloom_probe
+
+    probed = bloom_probe(
+        loop_b.store.read("url_seen").select("url_hash"),
+        cfg.bloom_dir,
+        num_buckets=cfg.num_buckets,
+    )
+    assert probed.filter(~F.col("__maybe_seen")).count() == 0

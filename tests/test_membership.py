@@ -1,0 +1,110 @@
+"""Bloom membership layer: no false negatives, incremental update, and
+bit-identical classification with the fast path on vs off (the membership
+contract — filters are physical only)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from jirlbot_spark.operators.dedup import (
+    DUPLICATE_KEY,
+    UNIQUE_KEY,
+    classify_batch,
+)
+from jirlbot_spark.operators.membership import (
+    bloom_probe,
+    build_bloom_files,
+    update_bloom_files,
+)
+
+LOG2 = 16  # 64 Kib filters keep the tests fast; sizing is config-only
+
+
+def _keys_df(spark, keys):
+    return spark.createDataFrame(
+        [(int(k),) for k in keys], "url_hash long"
+    )
+
+
+def test_no_false_negatives_and_low_fp(spark, tmp_path):
+    d = str(tmp_path / "bloom")
+    rng = np.random.default_rng(7)
+    stored = rng.integers(-(2**62), 2**62, size=2000, dtype=np.int64)
+    stats = build_bloom_files(
+        _keys_df(spark, stored), d, num_buckets=8, log2_bits=LOG2
+    )
+    assert set(stats["bucket"]) == set(range(8))
+    assert (stats["fill_ratio"] < 0.5).all()
+
+    # every stored key must probe maybe=True (definitive-negative contract)
+    probed = bloom_probe(
+        _keys_df(spark, stored), d, num_buckets=8, log2_bits=LOG2
+    )
+    assert probed.filter(~F.col("__maybe_seen")).count() == 0
+
+    # fresh keys should be overwhelmingly maybe=False
+    fresh = rng.integers(-(2**62), 2**62, size=2000, dtype=np.int64)
+    fresh = np.setdiff1d(fresh, stored)
+    probed = bloom_probe(
+        _keys_df(spark, fresh), d, num_buckets=8, log2_bits=LOG2
+    )
+    fp = probed.filter(F.col("__maybe_seen")).count() / len(fresh)
+    assert fp < 0.05
+
+
+def test_incremental_update_covers_new_keys(spark, tmp_path):
+    d = str(tmp_path / "bloom")
+    build_bloom_files(_keys_df(spark, range(100)), d, num_buckets=4,
+                      log2_bits=LOG2)
+    update_bloom_files(_keys_df(spark, range(1000, 1100)), d, num_buckets=4,
+                       log2_bits=LOG2)
+    both = list(range(100)) + list(range(1000, 1100))
+    probed = bloom_probe(_keys_df(spark, both), d, num_buckets=4,
+                         log2_bits=LOG2)
+    assert probed.filter(~F.col("__maybe_seen")).count() == 0
+
+
+def test_missing_bucket_file_means_maybe(spark, tmp_path):
+    d = str(tmp_path / "bloom_empty")
+    d_path = tmp_path / "bloom_empty"
+    d_path.mkdir()
+    probed = bloom_probe(_keys_df(spark, [1, 2, 3]), d, num_buckets=4,
+                         log2_bits=LOG2)
+    assert probed.filter(~F.col("__maybe_seen")).count() == 0
+
+
+@pytest.mark.parametrize("with_batch_dups", [False, True])
+def test_classification_equivalence(spark, tmp_path, with_batch_dups):
+    """classify_batch(bloom_dir=...) ≡ classify_batch() row for row."""
+    d = str(tmp_path / "bloom")
+    seen_keys = [10, 20, 30, 40]
+    seen = _keys_df(spark, seen_keys)
+    build_bloom_files(seen, d, num_buckets=4, log2_bits=LOG2)
+
+    rows = [(10, 1), (11, 2), (12, 3), (20, 4), (99, 5)]
+    if with_batch_dups:
+        rows += [(11, 6), (10, 7), (99, 8)]
+    batch = spark.createDataFrame(rows, "url_hash long, arrival long")
+
+    def result(bloom_dir):
+        out = classify_batch(
+            batch, seen, order_col="arrival", num_buckets=4,
+            bloom_dir=bloom_dir,
+        )
+        return sorted(
+            (r.url_hash, r.arrival, r.drum_result) for r in out.collect()
+        )
+
+    plain = result(None)
+    fast = result(d)
+    assert plain == fast
+    # spot-check semantics while we're here
+    by = {(k, a): r for k, a, r in plain}
+    assert by[(11, 2)] == UNIQUE_KEY
+    assert by[(10, 1)] == DUPLICATE_KEY  # in store
+    if with_batch_dups:
+        assert by[(11, 6)] == DUPLICATE_KEY  # second in-batch arrival
+        assert by[(99, 5)] == UNIQUE_KEY
+        assert by[(99, 8)] == DUPLICATE_KEY
