@@ -16,8 +16,9 @@ incarnation:
     without rewriting it.
   - Probing is a mapInPandas pass (no shuffle): each Arrow batch computes
     its rows' buckets, loads the needed filter files once per worker
-    process (immutable → plain dict cache), and tests membership with
-    vectorized double hashing. Output is a boolean column.
+    process (cached by (path, mtime) so a rewritten file is always
+    reloaded), and tests membership with vectorized double hashing.
+    Output is a boolean column.
 
 Correctness contract: a Bloom NEGATIVE is definitive (no false negatives
 ⇒ the key is certainly absent from the store); a POSITIVE is advisory and
@@ -67,8 +68,13 @@ MAYBE_COL = "__maybe_seen"
 _U64 = np.uint64
 _ERR = np.errstate(over="ignore")
 
-# worker-process cache of immutable filter files: {abs path: bit array}
-_FILTER_CACHE: dict[str, np.ndarray] = {}
+# Worker-process cache of filter files, keyed by (path, mtime_ns): the
+# path's CONTENT changes across batches (incremental OR rewrites the file),
+# and Spark reuses Python workers across jobs — a path-only cache would let
+# a long-lived worker probe with a stale filter missing the latest batch's
+# keys, i.e. Bloom false negatives. A stat() per bucket per Arrow batch
+# (~32 stats / 10k rows) buys exact freshness.
+_FILTER_CACHE: dict[tuple[str, int], np.ndarray] = {}
 
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
@@ -95,18 +101,23 @@ def _bucket_path(dir_path: str, bucket: int) -> str:
 
 
 def _load_filter(path: str) -> np.ndarray | None:
-    if path not in _FILTER_CACHE:
-        if not os.path.exists(path):
-            return None
-        _FILTER_CACHE[path] = np.load(path)
-    return _FILTER_CACHE[path]
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except FileNotFoundError:
+        return None
+    key = (path, mtime)
+    if key not in _FILTER_CACHE:
+        # drop superseded versions of this path before caching the new one
+        for k in [k for k in _FILTER_CACHE if k[0] == path]:
+            del _FILTER_CACHE[k]
+        _FILTER_CACHE[key] = np.load(path)
+    return _FILTER_CACHE[key]
 
 
 def _atomic_save(path: str, bits: np.ndarray) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
     np.save(tmp, bits)
     os.replace(tmp + ".npy", path)
-    _FILTER_CACHE.pop(path, None)
 
 
 def _set_bits(
@@ -240,7 +251,7 @@ def bloom_probe(
 ) -> DataFrame:
     """Attach `out_col`: False ⇒ key certainly NOT in the store; True ⇒
     maybe (resolve with the exact join). mapInPandas — no shuffle; filter
-    files load once per worker process (immutable, dict-cached). A missing
+    files load once per worker process, cached by (path, mtime). A missing
     bucket file means "no information" ⇒ True for that bucket's rows.
     Address width comes from each file (self-describing); `log2_bits` is
     accepted for signature symmetry but never trusted for probing."""

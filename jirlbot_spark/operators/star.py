@@ -84,3 +84,55 @@ def star_budgets(
             ).cast("long"),
         ).otherwise(F.lit(int(b_lo)).cast("long")),
     )
+
+
+def star_budgets_scalable(
+    indegree: DataFrame,
+    top_k: int = TOP_K,
+    b_hi: int = B_HI,
+    b_lo: int = B_LO,
+) -> DataFrame:
+    """star_budgets without the all-PLD global window.
+
+    `star_budgets` ranks EVERY PLD through one single-partition window —
+    fine at testdata scale, a straggler at 10^8 PLDs. Only the top_k rows
+    need exact ranks (every other PLD gets b_lo regardless), so this
+    variant does per-partition top-k pruning first (parallel windows over
+    spark_partition_id), then ranks only the ≤ k·partitions survivors
+    globally, and anti-joins the tail back with budget = b_lo, rank null.
+
+    Budgets are identical to star_budgets for every PLD (property-tested);
+    only the tail's rank column differs (null here, dense global rank
+    there) — the crawl loop consumes (pld_hash, budget) only.
+    """
+    ordering = [F.desc("indegree"), F.asc("pld_hash")]
+    part_w = Window.partitionBy(F.spark_partition_id()).orderBy(*ordering)
+    candidates = (
+        indegree.withColumn("__prn", F.row_number().over(part_w))
+        .filter(F.col("__prn") <= top_k)
+        .drop("__prn")
+    )
+    span = max(top_k - 1, 1)
+    top = (
+        candidates.withColumn(
+            "rank", F.row_number().over(Window.orderBy(*ordering))
+        )
+        .filter(F.col("rank") <= top_k)
+        .withColumn(
+            "budget",
+            (
+                F.lit(float(b_hi))
+                - (F.col("rank") - 1)
+                * F.lit(float(b_hi - b_lo))
+                / F.lit(float(span))
+            ).cast("long"),
+        )
+    )
+    tail = (
+        indegree.join(top.select("pld_hash"), "pld_hash", "left_anti")
+        .withColumn("rank", F.lit(None).cast("int"))
+        .withColumn("budget", F.lit(int(b_lo)).cast("long"))
+    )
+    return top.select(
+        "pld_hash", "indegree", "rank", "budget"
+    ).unionByName(tail.select("pld_hash", "indegree", "rank", "budget"))

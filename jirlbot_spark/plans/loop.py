@@ -48,7 +48,7 @@ from jirlbot_spark.operators.politeness import politeness_schedule
 from jirlbot_spark.operators.star import (
     distinct_new_edges,
     pld_indegree,
-    star_budgets,
+    star_budgets_scalable,
 )
 from jirlbot_spark.sources.storage import TableStore, TableWrite
 
@@ -141,20 +141,23 @@ class CrawlLoop:
         """Batch 0: canonicalize + dedup seeds into the frontier."""
         prepared = self._prepare_urls(seeds, url_col, None, 0)
         fresh, uniques = self._dedup_new(prepared, 1)
-        runs = self.store.commit_batch(
+        self.store.commit_batch(
             0,
             {
                 "frontier": TableWrite(fresh, mode="overwrite"),
                 "url_seen": TableWrite(uniques, partition_by=("bucket",)),
             },
+            pre_commit=self._update_bloom,
         )
-        self._update_bloom(runs)
         return fresh.count()
 
     def _update_bloom(self, runs: dict[str, str]) -> None:
-        """OR the just-committed url_seen run into the Bloom sidecars —
-        after the manifest swap, so a crash mid-update only under-fills
-        the filters (extra exact-join probes, never wrong answers)."""
+        """OR the batch's new url_seen run into the Bloom sidecars. Runs
+        as commit_batch's pre_commit hook — BEFORE the manifest swap —
+        so a crash can only leave filters OVER-filled relative to the
+        committed store (extra exact-join probes, never a Bloom false
+        negative; see storage.commit_batch docstring). Re-running the
+        aborted batch re-ORs the same keys, which is idempotent."""
         if self.cfg.bloom_dir is None or "url_seen" not in runs:
             return
         import os
@@ -183,7 +186,7 @@ class CrawlLoop:
         # STAR budgets from the pld graph as of the last commit
         pld_graph = self.store.read("pld_graph")
         budgets = (
-            star_budgets(
+            star_budgets_scalable(
                 pld_indegree(pld_graph),
                 top_k=cfg.top_k,
                 b_hi=cfg.b_hi,
@@ -342,8 +345,7 @@ class CrawlLoop:
             writes["url_seen"] = TableWrite(uniques, partition_by=("bucket",))
         if new_edges is not None:
             writes["pld_graph"] = TableWrite(new_edges)
-        runs = self.store.commit_batch(j, writes)
-        self._update_bloom(runs)
+        self.store.commit_batch(j, writes, pre_commit=self._update_bloom)
 
         stats = {
             "batch": j,

@@ -84,14 +84,25 @@ class TableStore:
 
     # ---- atomic batch commit ----
     def commit_batch(
-        self, batch_id: int, writes: dict[str, TableWrite]
+        self,
+        batch_id: int,
+        writes: dict[str, TableWrite],
+        pre_commit=None,
     ) -> dict[str, str]:
         """Write every table's new data dir, then swap the manifest once.
 
         Returns {table: run dir name} for the runs actually written (an
-        empty append writes nothing), so callers can post-process exactly
-        the new rows — e.g. OR a batch's new url_seen keys into the Bloom
-        sidecar files — without rescanning the whole table."""
+        empty append writes nothing).
+
+        `pre_commit(runs_written)` runs after the data dirs are written
+        but BEFORE the manifest swap. The Bloom sidecar update must live
+        here: filters OR'd before the swap can only ever be OVER-filled
+        relative to the committed store (crash ⇒ orphan dirs + extra
+        filter bits ⇒ extra exact-join probes, still correct), whereas
+        updating after the swap would leave a crash window with
+        UNDER-filled filters — Bloom false negatives ⇒ seen URLs
+        re-classified unique ⇒ wrong crawl. A pre_commit exception aborts
+        the commit (manifest untouched)."""
         m = self.manifest()
         if batch_id <= m["batch_id"]:
             raise ValueError(
@@ -123,6 +134,8 @@ class TableStore:
                 tables[name] = [run]
             else:
                 tables[name] = tables.get(name, []) + [run]
+        if pre_commit is not None:
+            pre_commit(runs_written)
         new_manifest = {
             "batch_id": batch_id,
             "tables": tables,

@@ -66,6 +66,7 @@ def stream_crawl(
                     "frontier": TableWrite(merged, mode="overwrite"),
                     "url_seen": TableWrite(uniques, partition_by=("bucket",)),
                 },
+                pre_commit=loop._update_bloom,
             )
         loop.run(passes_per_trigger)
         state["batches"] += passes_per_trigger

@@ -123,3 +123,28 @@ def test_topk_per_bucket(spark):
     # each bucket keeps its lowest-priority rows
     got = sorted(r.url_hash for r in out.filter(F.col("bucket") == 0).collect())
     assert got == [0, 4, 8, 12, 16]
+
+
+def test_star_budgets_scalable_equivalence(spark):
+    """star_budgets_scalable ≡ star_budgets on (pld_hash, budget) for
+    every PLD, and on rank for the top-k (the tail's rank is null by
+    contract)."""
+    import random
+
+    from jirlbot_spark.operators.star import star_budgets_scalable
+
+    rng = random.Random(11)
+    rows = [(i, rng.randint(1, 500)) for i in range(937)]
+    deg = spark.createDataFrame(rows, "pld_hash long, indegree long").repartition(7)
+    a = star_budgets(deg, top_k=50, b_hi=2000, b_lo=10)
+    b = star_budgets_scalable(deg, top_k=50, b_hi=2000, b_lo=10)
+    am = {r.pld_hash: (r.rank, r.budget) for r in a.collect()}
+    bm = {r.pld_hash: (r.rank, r.budget) for r in b.collect()}
+    assert set(am) == set(bm)
+    for pld, (rank_a, budget_a) in am.items():
+        rank_b, budget_b = bm[pld]
+        assert budget_a == budget_b, pld
+        if rank_a <= 50:
+            assert rank_b == rank_a, pld
+        else:
+            assert rank_b is None, pld

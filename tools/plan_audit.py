@@ -1,0 +1,174 @@
+"""Physical-plan audit: print `.explain(formatted)` for the engine's hot
+operators and grep the evidence that the scale posture holds —
+PushedFilters reaching parquet scans, WholeStageCodegen spans, broadcast
+joins for small dims, single wide exchange in the DRUM classify plan.
+
+Writes PLANS.md at the repo root. Run: python tools/plan_audit.py
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SF = "/root/testdata/sf0.01"
+
+
+def capture_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import bench
+    from jirlbot_spark.operators.beast import beast_enforce
+    from jirlbot_spark.operators.dedup import check_update
+    from jirlbot_spark.operators.membership import build_bloom_files
+    from jirlbot_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="plan-audit",
+        master="local[4]",
+        shuffle_partitions=8,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    wd = tempfile.mkdtemp(prefix="plan_audit_")
+    sections: list[tuple[str, str, str]] = []  # (title, commentary, plan)
+
+    # --- scan pruning: filter + projection must reach the parquet scan
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.filter(F.col("l_quantity") > 45).select(
+        "l_orderkey", "l_quantity"
+    )
+    sections.append(
+        (
+            "Scan pruning (filter + column pushdown)",
+            "The filter and the 2-column projection must appear in the "
+            "parquet scan node (PushedFilters / ReadSchema) — a scan "
+            "reading all 16 lineitem columns for this query would be "
+            "wrong.",
+            capture_plan(q),
+        )
+    )
+
+    # --- DRUM classify: ONE wide exchange, reused by window + join
+    prepared = bench.prepare_urls(bench.build_frontier(spark, 200_000))
+    prepared.write.mode("overwrite").parquet(wd + "/prep")
+    prepared = spark.read.parquet(wd + "/prep")
+    seen = prepared.limit(50_000).select(
+        "url_hash",
+        F.pmod("url_hash", F.lit(32)).cast("int").alias("bucket"),
+    )
+    seen.write.mode("overwrite").partitionBy("bucket").parquet(wd + "/seen")
+    seen = spark.read.parquet(wd + "/seen")
+    classified, _ = check_update(
+        prepared, seen, key_col="url_hash", order_col="id"
+    )
+    sections.append(
+        (
+            "DRUM classify (dedup.classify_batch)",
+            "The wide batch must show exactly ONE Exchange "
+            "hashpartitioning(url_hash...) feeding both the window sort "
+            "and the membership join (exchange reuse); the seen side is a "
+            "narrow key-only shuffle.",
+            capture_plan(classified),
+        )
+    )
+
+    # --- Bloom fast path: same shape plus a shuffle-free mapInPandas
+    bloom_dir = wd + "/bloom"
+    build_bloom_files(seen, bloom_dir, num_buckets=32, log2_bits=20)
+    classified_b, _ = check_update(
+        prepared,
+        seen,
+        key_col="url_hash",
+        order_col="id",
+        bloom_dir=bloom_dir,
+    )
+    sections.append(
+        (
+            "DRUM classify with Bloom sidecar probe",
+            "Identical join/window shape; the MapInPandas probe sits "
+            "BELOW the exchange (no extra shuffle) and its maybe-flag "
+            "joins the equi-condition.",
+            capture_plan(classified_b),
+        )
+    )
+
+    # --- BEAST: budgets broadcast, salted two-phase windows
+    budgets = (
+        prepared.select("pld_hash").distinct()
+        .withColumn("budget", F.lit(5).cast("long"))
+    )
+    enforced = beast_enforce(
+        prepared.withColumn("priority", F.col("id").cast("double"))
+        .withColumn("enqueue_batch", F.lit(0)),
+        budgets,
+        salt_buckets=8,
+    )
+    sections.append(
+        (
+            "BEAST admission (salted)",
+            "The budget join must be a BroadcastHashJoin (budgets are "
+            "top-k + default ⇒ broadcast-sized by construction); the "
+            "phase-1 window partitions by (pld_hash, __salt) so no task "
+            "owns a hot PLD's full row set; phase-2 runs on ≤ "
+            "salt×budget survivors.",
+            capture_plan(enforced),
+        )
+    )
+
+    checks = {
+        "PushedFilters with IsNotNull/GreaterThan on scan": "PushedFilters: ["
+        in sections[0][2]
+        and "GreaterThan" in sections[0][2],
+        "2-column ReadSchema on pruned scan": "l_orderkey" in sections[0][2]
+        and "l_comment" not in sections[0][2],
+        "WholeStageCodegen present in classify": "WholeStageCodegen"
+        in sections[1][2],
+        "single wide exchange in classify (exchange reuse)": sections[1][2].count(
+            "Exchange hashpartitioning(url_hash"
+        )
+        <= 2,  # one wide + one narrow probe-side
+        "Bloom probe is below the exchange (no extra shuffle)": sections[2][
+            2
+        ].count("Exchange")
+        <= sections[1][2].count("Exchange"),
+        "BEAST budget join broadcasts": "BroadcastHashJoin" in sections[3][2]
+        or "BroadcastExchange" in sections[3][2],
+        "salted window before global window": "__salt" in sections[3][2],
+    }
+
+    out = ["# PLANS — physical-plan audit (sf0.01, local[4])\n"]
+    out.append(
+        "Generated by tools/plan_audit.py. Checks below are asserted "
+        "from the captured plans; regenerate after touching operators.\n"
+    )
+    out.append("## Checks\n")
+    for name, ok in checks.items():
+        out.append(f"- [{'x' if ok else ' '}] {name}")
+    out.append("")
+    for title, commentary, plan in sections:
+        out.append(f"## {title}\n")
+        out.append(commentary + "\n")
+        out.append("```\n" + plan.strip() + "\n```\n")
+    Path("PLANS.md").write_text("\n".join(out))
+    print("PLANS.md written; checks:")
+    for name, ok in checks.items():
+        print(f"  {'OK  ' if ok else 'FAIL'} {name}")
+    failed = [n for n, ok in checks.items() if not ok]
+    spark.stop()
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
