@@ -53,7 +53,14 @@ def murmur3_x64_128_batch(data: list[bytes], seed: int = 0):
     buf = np.zeros((n, width), dtype=np.uint8)
     for i, b in enumerate(data):  # memcpy per row; cost is O(total bytes)
         buf[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    return _murmur3_core(buf, lens, seed)
 
+
+def _murmur3_core(buf: np.ndarray, lens: np.ndarray, seed: int = 0):
+    """Block loop over an (n, width) zero-padded uint8 matrix; width % 16 == 0
+    and width > maxlen (room for the zero tail). Shared by the bytes-list and
+    arrow entry points."""
+    n, width = buf.shape
     words = buf.view(np.uint64).reshape(n, width // 8)  # little-endian lanes
     nblocks = (lens // 16).astype(np.int64)
 
@@ -126,6 +133,32 @@ def murmur3_x64_128_batch(data: list[bytes], seed: int = 0):
         h2 = h2 + h1
     _ = has_tail
     return h1, h2
+
+
+def murmur3_64_from_arrow(arr, seed: int = 0) -> np.ndarray:
+    """First 64 bits of murmur3_x64_128 of each UTF-8 string in a pyarrow
+    string array, as int64. NO per-row Python: the padded block matrix is
+    gathered straight from the array's contiguous UTF-8 buffer with one
+    fancy-indexing pass. Null rows hash as "" — callers carry the validity
+    mask (prepare filters rejects before hashing, so nulls never reach
+    the store)."""
+    from jirlbot_spark.functions.urls_arrow import string_bytes_view
+
+    data, starts, lens = string_bytes_view(arr)
+    n = len(lens)
+    maxlen = int(lens.max()) if n else 0
+    width = ((maxlen // 16) + 1) * 16
+    # One contiguous gather: window i reads `width` bytes at starts[i],
+    # spilling into the NEXT rows' bytes — harmless, because the core
+    # masks every byte beyond lens[i] (block loop gated on nblocks, tail
+    # lanes AND-masked), so the spill bytes never reach the hash. Much
+    # cheaper than a zero-padded scatter (no per-element index arrays,
+    # one memcpy-shaped gather).
+    padded = np.concatenate([data, np.zeros(width, np.uint8)])
+    windows = np.lib.stride_tricks.sliding_window_view(padded, width)
+    buf = windows[starts]  # (n, width), C-contiguous copy
+    h1, _ = _murmur3_core(buf, lens.astype(np.int64), seed)
+    return h1.view(np.int64)
 
 
 def murmur3_64_series(s: pd.Series, seed: int = 0) -> pd.Series:

@@ -1,11 +1,24 @@
 """Fused URL-preparation kernel: canonicalize + host + PLD + murmur3 keys
-in ONE mapInPandas pass.
+in ONE Arrow pass.
 
 Chaining separate pandas UDFs costs one JVM<->Python Arrow round trip per
 UDF (Spark plans each as its own Python runner). The frontier hot path does
-five of them per URL; fusing into a single mapInPandas cut the prepare
-phase ~4x in bench.py. Semantics are identical to composing the individual
-functions (property-tested in tests/test_urls.py::test_fused_prepare)."""
+five of them per URL; fusing into a single pass cut the prepare phase ~4x
+in bench.py.
+
+Two physical paths, identical semantics (property-tested in
+tests/test_urls.py and tests/test_arrow_kernels.py):
+
+  - base_col is None (the hot path: seeds / bench frontiers arrive
+    absolute): mapInArrow over pyarrow compute kernels (urls_arrow) —
+    strings never materialize as Python objects, regex runs in re2,
+    murmur3 reads the Arrow UTF-8 buffer directly. ~5-10x less CPU and
+    DRAM traffic per URL than the pandas path, which is what keeps the
+    kernel scaling when every core is busy (north rule's efficiency
+    criterion).
+  - base_col given (link extraction resolving relative refs): the pandas
+    mapInPandas path (urls.resolve_series has the RFC 3986 mask logic).
+"""
 
 from __future__ import annotations
 
@@ -66,6 +79,37 @@ def prepare_frame(
     return pd.concat([out, keep], axis=1)
 
 
+def prepare_batch_arrow(rb, url_col: str, out_schema):
+    """Arrow-level kernel: one RecordBatch in, prepared RecordBatch out
+    (invalid URLs dropped). Keeps every out_schema column beyond the six
+    prepared fields, filtered to the surviving rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from jirlbot_spark.functions.hashing import murmur3_64_from_arrow
+    from jirlbot_spark.functions.urls_arrow import (
+        canonicalize_with_host,
+        pld_chunk,
+    )
+
+    canon, host = canonicalize_with_host(rb.column(url_col))
+    valid = pc.is_valid(canon)
+    canon = pc.filter(canon, valid)
+    host = pc.filter(host, valid)
+    pld = pld_chunk(host)
+    arrays = [
+        canon,
+        pa.array(murmur3_64_from_arrow(canon), pa.int64()),
+        host,
+        pa.array(murmur3_64_from_arrow(host), pa.int64()),
+        pld,
+        pa.array(murmur3_64_from_arrow(pld), pa.int64()),
+    ]
+    for field in list(out_schema)[6:]:
+        arrays.append(pc.filter(rb.column(field.name), valid))
+    return pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+
 def prepare_urls_fused(
     df: DataFrame,
     url_col: str = "url",
@@ -78,6 +122,35 @@ def prepare_urls_fused(
     src = df.select(*in_cols)
     keep_fields = [f for f in src.schema.fields if f.name in keep]
     schema = StructType(PREPARED_FIELDS + keep_fields)
+
+    if base_col is None:
+        import pyarrow as pa
+
+        out_schema = pa.schema(
+            [
+                pa.field(f.name, pa.from_numpy_dtype("int64"))
+                if isinstance(f.dataType, LongType)
+                else pa.field(f.name, "string")
+                for f in PREPARED_FIELDS
+            ]
+        )
+
+        def run_arrow(batches):
+            import pyarrow as pa
+
+            full_schema = None
+            for rb in batches:
+                if full_schema is None:
+                    keep_schema = pa.schema(
+                        [rb.schema.field(f.name) for f in keep_fields]
+                    )
+                    full_schema = pa.schema(
+                        list(out_schema) + list(keep_schema)
+                    )
+                if rb.num_rows:
+                    yield prepare_batch_arrow(rb, url_col, full_schema)
+
+        return src.mapInArrow(run_arrow, schema=schema)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

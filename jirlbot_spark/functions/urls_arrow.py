@@ -1,0 +1,200 @@
+"""URL canonicalization + PLD extraction on pyarrow compute kernels.
+
+Semantics are IDENTICAL to jirlbot_spark.functions.urls (the pandas
+reference implementation, whose contract is pinned by the golden table in
+tests/test_urls.py) — equivalence is fuzz-tested in
+tests/test_arrow_kernels.py. The difference is purely physical: every pass
+here runs in Arrow C++ (re2 regex, contiguous UTF-8 buffers, no Python
+string objects), which measures ~5-10x faster per core than the
+object-dtype pandas path and — more importantly for the north rule's
+scaling criterion — moves ~10x fewer bytes through DRAM, so it keeps
+scaling when all cores are busy.
+
+Only the no-base path is implemented (the frontier hot path: seeds and
+bench batches arrive absolute). Relative-reference resolution against a
+base URL stays on the pandas path (prepare.py routes on base_col).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from jirlbot_spark.functions.urls import _TWO_LEVEL_SUFFIXES, MAX_URL_LEN
+
+_SPLIT_PAT = (
+    r"^(?P<scheme>[a-zA-Z][a-zA-Z0-9+.\-]*)://"
+    r"(?P<host>[^/:?#]*)(?::(?P<port>\d*))?(?P<rest>[/?].*)?$"
+)
+_EMPTY = pa.scalar("", pa.string())
+_NULL_STR = pa.scalar(None, pa.string())
+_SUFFIX_SET = pa.array(sorted(_TWO_LEVEL_SUFFIXES), pa.string())
+
+# dot-segment passes — same patterns, same order, same fixpoint loop as
+# urls._remove_dot_segments (rows without the literal "/." can match none
+# of them, so running over the full array ≡ the pandas subset loop)
+_DOT_PASSES = [
+    (r"/\./", "/"),
+    (r"/\.$", "/"),
+    (r"/[^/]*[^/.][^/]*/\.\./", "/"),
+    (r"/[^/]*[^/.][^/]*/\.\.$", "/"),
+    (r"^/\.\./", "/"),
+    (r"^/\.\.$", "/"),
+]
+
+
+def _concat(*parts):
+    return pc.binary_join_element_wise(*parts, "")
+
+
+def _field(struct, name, fill="") -> pa.Array:
+    out = pc.struct_field(struct, name)
+    return pc.fill_null(out, fill) if fill is not None else out
+
+
+def _remove_dot_segments(path: pa.Array) -> pa.Array:
+    mask = pc.match_substring(path, "/.")
+    if not pc.any(mask).as_py():
+        return path
+    # fixpoint only over the rows that contain "/." — scatter back via
+    # replace_with_mask so clean rows never re-enter the regex engine
+    sub = pc.filter(path, mask)
+    for _ in range(64):
+        nxt = sub
+        for pat, rep in _DOT_PASSES:
+            nxt = pc.replace_substring_regex(nxt, pat, rep)
+        if pc.all(pc.equal(nxt, sub)).as_py():
+            break
+        sub = nxt
+    return pc.replace_with_mask(path, mask, sub)
+
+
+def canonicalize_with_host(urls: pa.Array) -> tuple[pa.Array, pa.Array]:
+    """(canonical_url, host) arrays; both null where the URL is rejected.
+
+    Mirrors urls.canonicalize_series with bases=None: trim, strip fragment,
+    split, lowercase scheme+host, trim host dots, drop default ports,
+    "" path -> "/", collapse dot-segments, reject non-http(s) / hostless /
+    bad-host-char / overlong.
+    """
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    u = pc.utf8_trim_whitespace(pc.fill_null(urls, ""))
+    if pc.any(pc.match_substring(u, "#")).as_py():
+        u = pc.replace_substring_regex(u, "#.*$", "")
+    parts = pc.extract_regex(u, _SPLIT_PAT)
+    matched = pc.is_valid(parts)
+    scheme = pc.utf8_lower(_field(parts, "scheme"))
+    host = pc.utf8_trim(pc.utf8_lower(_field(parts, "host")), ".")
+    port = _field(parts, "port")
+    rest = _field(parts, "rest")
+
+    if pc.any(pc.match_substring(rest, "?")).as_py():
+        path = pc.replace_substring_regex(rest, r"\?.*$", "")
+        query = _field(pc.extract_regex(rest, r"(?P<q>\?.*)$"), "q")
+    else:
+        path, query = rest, _EMPTY
+    path = pc.if_else(pc.equal(path, ""), "/", path)
+    path = _remove_dot_segments(path)
+
+    default_port = pc.or_(
+        pc.and_(pc.equal(scheme, "http"), pc.equal(port, "80")),
+        pc.and_(pc.equal(scheme, "https"), pc.equal(port, "443")),
+    )
+    port_sfx = pc.if_else(
+        pc.and_(pc.not_equal(port, ""), pc.invert(default_port)),
+        _concat(":", port),
+        "",
+    )
+    canon = _concat(scheme, "://", host, port_sfx, path, query)
+
+    ok = pc.and_(
+        pc.and_(
+            matched,
+            pc.is_in(scheme, value_set=pa.array(["http", "https"])),
+        ),
+        pc.and_(
+            pc.and_(
+                pc.not_equal(host, ""),
+                pc.invert(
+                    pc.match_substring_regex(host, r"[^a-z0-9.\-:_]")
+                ),
+            ),
+            pc.less_equal(pc.utf8_length(canon), MAX_URL_LEN),
+        ),
+    )
+    return (
+        pc.if_else(ok, canon, _NULL_STR),
+        pc.if_else(ok, host, _NULL_STR),
+    )
+
+
+def canonicalize_chunk(urls: pa.Array) -> pa.Array:
+    return canonicalize_with_host(urls)[0]
+
+
+def host_of_chunk(urls: pa.Array) -> pa.Array:
+    """Lowercased host of an (already canonical) URL; null if none."""
+    h = pc.struct_field(
+        pc.extract_regex(
+            urls, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://(?P<h>[^/:?#]+)"
+        ),
+        "h",
+    )
+    return pc.utf8_lower(h)
+
+
+def pld_chunk(hosts: pa.Array) -> pa.Array:
+    """Pay-level-domain, mirroring urls.pld_series: last two labels, or
+    three when the last two are a known two-level public suffix; IP
+    literals and single-label hosts pass through whole; ""/null -> null."""
+    if isinstance(hosts, pa.ChunkedArray):
+        hosts = hosts.combine_chunks()
+    h = pc.utf8_trim(pc.utf8_lower(pc.fill_null(hosts, "")), ".")
+    is_ip = pc.match_substring_regex(h, r"^\d{1,3}(\.\d{1,3}){3}$")
+    last2 = pc.struct_field(
+        pc.extract_regex(h, r"(?P<g>[^.]+\.[^.]+)$"), "g"
+    )
+    last3 = pc.struct_field(
+        pc.extract_regex(h, r"(?P<g>[^.]+\.[^.]+\.[^.]+)$"), "g"
+    )
+    suffix_hit = pc.is_in(last2, value_set=_SUFFIX_SET)
+    pld = pc.if_else(suffix_hit, last3, last2)
+    pld = pc.coalesce(pld, h)
+    pld = pc.if_else(is_ip, h, pld)
+    return pc.if_else(pc.equal(h, ""), _NULL_STR, pld)
+
+
+def string_bytes_view(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(data, starts, lens) numpy views of a string array's UTF-8 buffer.
+
+    Zero-copy except the offsets cast; null rows get len 0. The raw
+    ingredients for vectorized byte-level kernels (murmur3) without any
+    per-row Python.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        z = np.zeros(0, np.int64)
+        return np.zeros(0, np.uint8), z, z
+    bufs = arr.buffers()
+    if pa.types.is_large_string(arr.type):
+        odt, osz = np.int64, 8
+    else:
+        odt, osz = np.int32, 4
+    offsets = np.frombuffer(
+        bufs[1], dtype=odt, count=n + 1, offset=osz * arr.offset
+    ).astype(np.int64)
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.zeros(0, np.uint8)
+    )
+    starts = offsets[:-1]
+    lens = offsets[1:] - starts
+    if arr.null_count:
+        valid = np.asarray(pc.is_valid(arr))
+        lens = np.where(valid, lens, 0)
+    return data, starts, lens

@@ -117,6 +117,84 @@ def classify_batch(
     return out.drop("__rn", "__in_seen")
 
 
+def check_update_agg(
+    batch: DataFrame,
+    seen: DataFrame | None,
+    key_col: str = "url_hash",
+    order_col: str | None = None,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    bloom_dir: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """DRUM CHECK_UPDATE, aggregation formulation: returns
+    (fresh_first_arrival_rows, new_unique_keys).
+
+    Same result set as `check_update(...)` filtered to UNIQUE_KEY (property
+    -tested), but a fundamentally better physical plan for the 10^10-row
+    tier — `.explain` shows ZERO sorts:
+
+      - in-batch first-arrival via groupBy(key).agg(min_by(row, seq)):
+        hash aggregation with map-side partial combine, so in-batch
+        duplicates collapse BEFORE the exchange (the window formulation
+        ships every duplicate through the shuffle, then sorts the whole
+        wide batch twice — partial WindowGroupLimit + post-shuffle sort);
+      - membership via LEFT ANTI join with a shuffle_hash hint on the
+        (narrow, key-only) seen side: streams the agged rows against a
+        per-partition hash set instead of sort-merging, and reuses the
+        aggregation's hash partitioning on the streamed side (one wide
+        exchange total, AQE-skew-splittable).
+
+    Seq ties (same key, same order value) pick an arbitrary winner via
+    min_by — callers for whom ties are possible (the crawl loop, keyed by
+    depth) only ever have bit-identical tied rows, so the choice is
+    immaterial; the window formulation has the same property.
+
+    `bloom_dir` (DRUM RAM-fast-path analog): rows whose key the per-bucket
+    Bloom filters prove absent bypass the anti-join entirely — they join
+    nothing by construction, so only the maybe-seen slice probes the
+    store. Classification is bit-identical with or without.
+    """
+    batch = with_seq(batch, order_col)
+    row_cols = [c for c in batch.columns if c not in (key_col, SEQ_COL)]
+    maybe_flag = None
+    if bloom_dir is not None and seen is not None:
+        from jirlbot_spark.operators.membership import MAYBE_COL, bloom_probe
+
+        batch = bloom_probe(
+            batch, bloom_dir, key_col=key_col, num_buckets=num_buckets
+        )
+        row_cols = [c for c in row_cols if c != MAYBE_COL]
+        maybe_flag = MAYBE_COL
+
+    aggs = [
+        F.min_by(F.struct(*row_cols), F.col(SEQ_COL)).alias("__row"),
+        F.min(SEQ_COL).alias(SEQ_COL),
+    ]
+    if maybe_flag is not None:
+        # all rows of a key share the flag (it is a function of the key)
+        aggs.append(F.first(maybe_flag).alias(maybe_flag))
+    agged = batch.groupBy(key_col).agg(*aggs)
+    agged = agged.select(key_col, SEQ_COL, *(
+        [maybe_flag] if maybe_flag else []
+    ), "__row.*")
+
+    if seen is not None:
+        probe = seen.select(key_col).hint("shuffle_hash")
+        if maybe_flag is not None:
+            certain_new = agged.filter(~F.col(maybe_flag)).drop(maybe_flag)
+            maybe_seen = agged.filter(F.col(maybe_flag)).drop(maybe_flag)
+            fresh = certain_new.unionByName(
+                maybe_seen.join(probe, key_col, "left_anti")
+            )
+        else:
+            fresh = agged.join(probe, key_col, "left_anti")
+    else:
+        fresh = agged.drop(maybe_flag) if maybe_flag else agged
+    uniques = fresh.select(key_col).withColumn(
+        "bucket", F.pmod(F.col(key_col), F.lit(num_buckets)).cast("int")
+    )
+    return fresh, uniques
+
+
 def check_update(
     batch: DataFrame,
     seen: DataFrame | None,

@@ -42,7 +42,7 @@ from pyspark.sql.types import (
 from jirlbot_spark.functions.prepare import prepare_urls_fused
 from jirlbot_spark.operators import robots as robots_ops
 from jirlbot_spark.operators.beast import beast_enforce, split_admitted
-from jirlbot_spark.operators.dedup import check_update
+from jirlbot_spark.operators.dedup import check_update_agg
 from jirlbot_spark.operators.fetch import extract_links, table_fetch
 from jirlbot_spark.operators.politeness import politeness_schedule
 from jirlbot_spark.operators.star import (
@@ -122,7 +122,7 @@ class CrawlLoop:
     def _dedup_new(self, prepared: DataFrame, batch_id: int) -> tuple[DataFrame, DataFrame]:
         """DRUM check_update: returns (new frontier rows, new url_seen keys)."""
         seen = self.store.read("url_seen")
-        classified, uniques = check_update(
+        fresh, uniques = check_update_agg(
             prepared,
             seen,
             key_col="url_hash",
@@ -130,10 +130,8 @@ class CrawlLoop:
             num_buckets=self.cfg.num_buckets,
             bloom_dir=self.cfg.bloom_dir,
         )
-        fresh = (
-            classified.filter(F.col("drum_result") == "UNIQUE_KEY")
-            .drop("drum_result", "__seq")
-            .withColumn("enqueue_batch", F.lit(batch_id).cast("int"))
+        fresh = fresh.drop("__seq").withColumn(
+            "enqueue_batch", F.lit(batch_id).cast("int")
         )
         return fresh.select(*[f.name for f in FRONTIER_SCHEMA.fields]), uniques
 
