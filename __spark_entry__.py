@@ -132,6 +132,33 @@ def q_urlseen_dedup_bloom(spark, sf):
     )
 
 
+def q_urlseen_dedup_agg(spark, sf):
+    """check_update_agg (the loop/bench hot-path formulation: min_by
+    aggregation + shuffle_hash anti-join, zero sorts): returns the fresh
+    first-arrival rows. The batch carries a deliberate in-batch duplicate
+    of every key (later arrival) so the map-side combine path is
+    exercised; the oracle is the closed-form answer."""
+    from jirlbot_spark.operators.dedup import check_update_agg
+
+    o = _t(spark, sf, "orders")
+    once = o.select(
+        F.col("o_orderkey").alias("url_hash"),
+        F.col("o_orderkey").alias("arrival"),
+    )
+    again = once.withColumn(
+        "arrival", F.col("arrival") + F.lit(10_000_000_000)
+    )
+    batch = once.unionByName(again)
+    seen = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("url_hash")
+    )
+    fresh, _ = check_update_agg(batch, seen, order_col="arrival")
+    return fresh.select(
+        F.col("url_hash").alias("url_id"),
+        F.col("__seq").alias("first_arrival"),
+    )
+
+
 def q_batch_distinct(spark, sf):
     li = _t(spark, sf, "lineitem")
     return (
@@ -532,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_hash": q_url_hash,
         "urlseen_dedup": q_urlseen_dedup,
         "urlseen_dedup_bloom": q_urlseen_dedup_bloom,
+        "urlseen_dedup_agg": q_urlseen_dedup_agg,
         "batch_distinct": q_batch_distinct,
         "robots_requested_anti": q_robots_requested_anti,
         "robots_check": q_robots_check,
@@ -599,6 +627,10 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN o_orderkey % 3 = 0 THEN 'DUPLICATE_KEY'
                         ELSE 'UNIQUE_KEY' END AS drum_result
             FROM orders
+        """,
+        "urlseen_dedup_agg": """
+            SELECT o_orderkey AS url_id, o_orderkey AS first_arrival
+            FROM orders WHERE o_orderkey % 3 <> 0
         """,
         "batch_distinct": """
             SELECT l_partkey AS part_id, COUNT(*) AS n_orders

@@ -319,14 +319,16 @@ def membw_probe(nproc: int, seconds: float = 2.0, mb: int = 256) -> float:
         n = mb * 1024 * 1024 // 8
         a = np.ones(n)
         b = np.ones(n)
+        c = np.empty(n)
+        np.multiply(b, 2.0, out=c)  # touch every page before timing
         it = 0
         t0 = time.time()
         while time.time() - t0 < secs:
-            c = a + 2.0 * b  # 2 reads + 1 write per element
+            np.multiply(b, 2.0, out=c)
+            np.add(c, a, out=c)  # 2 reads + 2 r/w per element, no allocs
             it += 1
         dt = time.time() - t0
-        del c
-        q.put(3 * 8 * n * it / dt)
+        q.put(5 * 8 * n * it / dt)
 
     q = mp.Queue()
     ps = [mp.Process(target=triad, args=(q, seconds)) for _ in range(nproc)]
@@ -381,17 +383,31 @@ def scaling_main() -> None:
     print(f"membw triad: {lo} procs = {membw[lo]} GB/s, "
           f"{hi} procs = {membw[hi]} GB/s "
           f"(ratio {membw[hi] / max(membw[lo], 0.1):.2f}x for {factor:g}x procs)")
+    # Trials only start when the host looks healthy: a pre-trial probe
+    # below the floor means the box is in a contention trough where NO
+    # core count can show its real speed (observed: both 8- and 32-core
+    # runs collapse to the same throughput at probe ~45) — wait for a
+    # better window instead of recording noise.
+    probe_floor = float(os.environ.get("JIRLBOT_PROBE_FLOOR", "150"))
     trials = []
     for i in range(pairs):
         pair = {}
         for cores in (lo, hi):
-            probe = cpu_probe()
+            for _attempt in range(10):
+                pre = cpu_probe()
+                if pre >= probe_floor:
+                    break
+                print(f"probe {pre:.0f} < floor {probe_floor:.0f}; waiting")
+                time.sleep(45)
             res = _run_frontier_subprocess(cores, n_urls)
-            res["cpu_probe_mops"] = round(probe, 0)
+            post = cpu_probe()
+            res["cpu_probe_mops"] = round((pre + post) / 2, 0)
+            res["cpu_probe_pre"] = round(pre, 0)
+            res["cpu_probe_post"] = round(post, 0)
             pair[cores] = res
             print(
                 f"pair {i} local[{cores}]: {res['urls_per_sec']:.0f} urls/s "
-                f"(probe {probe:.0f} Mops/s)"
+                f"(probe {pre:.0f}->{post:.0f} Mops/s)"
             )
         pair["efficiency"] = (
             pair[hi]["urls_per_sec"] / pair[lo]["urls_per_sec"]

@@ -6,18 +6,17 @@ UDF (Spark plans each as its own Python runner). The frontier hot path does
 five of them per URL; fusing into a single pass cut the prepare phase ~4x
 in bench.py.
 
-Two physical paths, identical semantics (property-tested in
-tests/test_urls.py and tests/test_arrow_kernels.py):
+Physical path: mapInArrow over pyarrow compute kernels (urls_arrow) —
+strings never materialize as Python objects, regex runs in re2, murmur3
+reads the Arrow UTF-8 buffer directly. ~5-10x less CPU and DRAM traffic
+per URL than the object-dtype pandas path, which is what keeps the kernel
+scaling when every core is busy (north rule's efficiency criterion).
+Relative-reference resolution (base_col given — the link-extraction path)
+runs in the same Arrow pass via urls_arrow.resolve_chunk.
 
-  - base_col is None (the hot path: seeds / bench frontiers arrive
-    absolute): mapInArrow over pyarrow compute kernels (urls_arrow) —
-    strings never materialize as Python objects, regex runs in re2,
-    murmur3 reads the Arrow UTF-8 buffer directly. ~5-10x less CPU and
-    DRAM traffic per URL than the pandas path, which is what keeps the
-    kernel scaling when every core is busy (north rule's efficiency
-    criterion).
-  - base_col given (link extraction resolving relative refs): the pandas
-    mapInPandas path (urls.resolve_series has the RFC 3986 mask logic).
+The original mapInPandas implementation stays as prepare_urls_pandas —
+the semantic reference the Arrow path is equivalence-tested against
+(tests/test_urls.py, tests/test_arrow_kernels.py).
 """
 
 from __future__ import annotations
@@ -79,7 +78,7 @@ def prepare_frame(
     return pd.concat([out, keep], axis=1)
 
 
-def prepare_batch_arrow(rb, url_col: str, out_schema):
+def prepare_batch_arrow(rb, url_col: str, out_schema, base_col=None):
     """Arrow-level kernel: one RecordBatch in, prepared RecordBatch out
     (invalid URLs dropped). Keeps every out_schema column beyond the six
     prepared fields, filtered to the surviving rows."""
@@ -92,7 +91,8 @@ def prepare_batch_arrow(rb, url_col: str, out_schema):
         pld_chunk,
     )
 
-    canon, host = canonicalize_with_host(rb.column(url_col))
+    bases = rb.column(base_col) if base_col else None
+    canon, host = canonicalize_with_host(rb.column(url_col), bases)
     valid = pc.is_valid(canon)
     canon = pc.filter(canon, valid)
     host = pc.filter(host, valid)
@@ -123,34 +123,49 @@ def prepare_urls_fused(
     keep_fields = [f for f in src.schema.fields if f.name in keep]
     schema = StructType(PREPARED_FIELDS + keep_fields)
 
-    if base_col is None:
+    import pyarrow as pa
+
+    out_schema = pa.schema(
+        [
+            pa.field(f.name, pa.from_numpy_dtype("int64"))
+            if isinstance(f.dataType, LongType)
+            else pa.field(f.name, "string")
+            for f in PREPARED_FIELDS
+        ]
+    )
+
+    def run_arrow(batches):
         import pyarrow as pa
 
-        out_schema = pa.schema(
-            [
-                pa.field(f.name, pa.from_numpy_dtype("int64"))
-                if isinstance(f.dataType, LongType)
-                else pa.field(f.name, "string")
-                for f in PREPARED_FIELDS
-            ]
-        )
+        full_schema = None
+        for rb in batches:
+            if full_schema is None:
+                keep_schema = pa.schema(
+                    [rb.schema.field(f.name) for f in keep_fields]
+                )
+                full_schema = pa.schema(
+                    list(out_schema) + list(keep_schema)
+                )
+            if rb.num_rows:
+                yield prepare_batch_arrow(
+                    rb, url_col, full_schema, base_col=base_col
+                )
 
-        def run_arrow(batches):
-            import pyarrow as pa
+    return src.mapInArrow(run_arrow, schema=schema)
 
-            full_schema = None
-            for rb in batches:
-                if full_schema is None:
-                    keep_schema = pa.schema(
-                        [rb.schema.field(f.name) for f in keep_fields]
-                    )
-                    full_schema = pa.schema(
-                        list(out_schema) + list(keep_schema)
-                    )
-                if rb.num_rows:
-                    yield prepare_batch_arrow(rb, url_col, full_schema)
 
-        return src.mapInArrow(run_arrow, schema=schema)
+def prepare_urls_pandas(
+    df: DataFrame,
+    url_col: str = "url",
+    base_col: str | None = None,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """mapInPandas variant of prepare_urls_fused (the original reference
+    path; kept for equivalence testing and as a fallback surface)."""
+    in_cols = [url_col] + ([base_col] if base_col else []) + list(keep)
+    src = df.select(*in_cols)
+    keep_fields = [f for f in src.schema.fields if f.name in keep]
+    schema = StructType(PREPARED_FIELDS + keep_fields)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -70,17 +70,93 @@ def _remove_dot_segments(path: pa.Array) -> pa.Array:
     return pc.replace_with_mask(path, mask, sub)
 
 
-def canonicalize_with_host(urls: pa.Array) -> tuple[pa.Array, pa.Array]:
+def resolve_chunk(urls: pa.Array, bases: pa.Array) -> pa.Array:
+    """RFC-3986-style reference resolution, mirroring urls.resolve_series
+    mask for mask: scheme-relative (//x), absolute-path (/x), query-only
+    (?q), fragment-only (#f), relative-path, empty reference; relative
+    refs with no usable base resolve to "" (rejected downstream)."""
+    u = pc.utf8_trim_whitespace(pc.fill_null(urls, ""))
+    b = pc.utf8_trim_whitespace(pc.fill_null(bases, ""))
+    has_scheme = pc.match_substring_regex(
+        u, r"^[a-zA-Z][a-zA-Z0-9+.\-]*:"
+    )
+    if not pc.any(pc.not_equal(b, "")).as_py():
+        return pc.if_else(has_scheme, u, _EMPTY)
+
+    bp = pc.extract_regex(b, _SPLIT_PAT)
+    b_scheme = _field(bp, "scheme")
+    b_host = _field(bp, "host")
+    b_port = _field(bp, "port")
+    b_rest = _field(bp, "rest")
+    origin = _concat(b_scheme, "://", b_host)
+    origin = pc.if_else(
+        pc.equal(b_port, ""), origin, _concat(origin, ":", b_port)
+    )
+    # pandas: bp["rest"].fillna("/"). A matched rest is never "" (the
+    # pattern requires at least one char), but re2 reports absent optional
+    # groups as "" rather than null — so "" ⟺ absent ⟺ pandas NaN -> "/"
+    b_path = pc.replace_substring_regex(
+        pc.if_else(pc.equal(b_rest, ""), "/", b_rest), r"[?#].*$", ""
+    )
+    b_dir = pc.replace_substring_regex(b_path, r"[^/]*$", "")
+    b_dir = pc.if_else(pc.equal(b_dir, ""), "/", b_dir)
+    b_query = _field(
+        pc.extract_regex(b_rest, r"(?P<q>\?[^#]*)"), "q"
+    )
+
+    no_scheme = pc.invert(has_scheme)
+    empty_ref = pc.and_(no_scheme, pc.equal(u, ""))
+    starts = lambda s: pc.starts_with(u, s)  # noqa: E731
+    scheme_rel = pc.and_(
+        pc.and_(no_scheme, pc.invert(empty_ref)), starts("//")
+    )
+    abs_path = pc.and_(
+        pc.and_(no_scheme, pc.invert(empty_ref)),
+        pc.and_(pc.invert(scheme_rel), starts("/")),
+    )
+    query_only = pc.and_(no_scheme, starts("?"))
+    frag_only = pc.and_(no_scheme, starts("#"))
+    rel_path = pc.and_(
+        pc.and_(no_scheme, pc.invert(empty_ref)),
+        pc.and_(
+            pc.invert(scheme_rel),
+            pc.and_(
+                pc.invert(abs_path),
+                pc.and_(pc.invert(query_only), pc.invert(frag_only)),
+            ),
+        ),
+    )
+
+    out = u
+    out = pc.if_else(empty_ref, _concat(origin, b_path, b_query), out)
+    out = pc.if_else(scheme_rel, _concat(b_scheme, ":", u), out)
+    out = pc.if_else(abs_path, _concat(origin, u), out)
+    out = pc.if_else(
+        pc.or_(query_only, frag_only), _concat(origin, b_path, u), out
+    )
+    out = pc.if_else(rel_path, _concat(origin, b_dir, u), out)
+    no_base = pc.equal(b_host, "")
+    return pc.if_else(pc.and_(no_scheme, no_base), _EMPTY, out)
+
+
+def canonicalize_with_host(
+    urls: pa.Array, bases: pa.Array | None = None
+) -> tuple[pa.Array, pa.Array]:
     """(canonical_url, host) arrays; both null where the URL is rejected.
 
-    Mirrors urls.canonicalize_series with bases=None: trim, strip fragment,
-    split, lowercase scheme+host, trim host dots, drop default ports,
-    "" path -> "/", collapse dot-segments, reject non-http(s) / hostless /
-    bad-host-char / overlong.
+    Mirrors urls.canonicalize_series: resolve against bases (when given),
+    trim, strip fragment, split, lowercase scheme+host, trim host dots,
+    drop default ports, "" path -> "/", collapse dot-segments, reject
+    non-http(s) / hostless / bad-host-char / overlong.
     """
     if isinstance(urls, pa.ChunkedArray):
         urls = urls.combine_chunks()
-    u = pc.utf8_trim_whitespace(pc.fill_null(urls, ""))
+    if bases is not None:
+        if isinstance(bases, pa.ChunkedArray):
+            bases = bases.combine_chunks()
+        u = resolve_chunk(urls, bases)
+    else:
+        u = pc.utf8_trim_whitespace(pc.fill_null(urls, ""))
     if pc.any(pc.match_substring(u, "#")).as_py():
         u = pc.replace_substring_regex(u, "#.*$", "")
     parts = pc.extract_regex(u, _SPLIT_PAT)
@@ -130,8 +206,10 @@ def canonicalize_with_host(urls: pa.Array) -> tuple[pa.Array, pa.Array]:
     )
 
 
-def canonicalize_chunk(urls: pa.Array) -> pa.Array:
-    return canonicalize_with_host(urls)[0]
+def canonicalize_chunk(
+    urls: pa.Array, bases: pa.Array | None = None
+) -> pa.Array:
+    return canonicalize_with_host(urls, bases)[0]
 
 
 def host_of_chunk(urls: pa.Array) -> pa.Array:

@@ -129,14 +129,19 @@ def check_update_agg(
     (fresh_first_arrival_rows, new_unique_keys).
 
     Same result set as `check_update(...)` filtered to UNIQUE_KEY (property
-    -tested), but a fundamentally better physical plan for the 10^10-row
-    tier — `.explain` shows ZERO sorts:
+    -tested), but a better physical plan for the 10^10-row tier:
 
       - in-batch first-arrival via groupBy(key).agg(min_by(row, seq)):
-        hash aggregation with map-side partial combine, so in-batch
-        duplicates collapse BEFORE the exchange (the window formulation
-        ships every duplicate through the shuffle, then sorts the whole
-        wide batch twice — partial WindowGroupLimit + post-shuffle sort);
+        the partial aggregate collapses in-batch duplicates BEFORE the
+        exchange (the window formulation ships every duplicate through
+        the shuffle), and no Window operator appears. Catalyst plans
+        min_by-over-struct as SortAggregate (var-length buffers are not
+        hash-aggregable), so the wide rows are still sorted by key within
+        partitions — measured FASTER than both the window formulation
+        (which sorts just as much and then runs Window) and a "zero-sort"
+        narrow-min + join-back formulation (whose three hash-join builds
+        over every distinct key cost more than the sorts; measured 3.5x
+        slower at 32M distinct keys);
       - membership via LEFT ANTI join with a shuffle_hash hint on the
         (narrow, key-only) seen side: streams the agged rows against a
         per-partition hash set instead of sort-merging, and reuses the

@@ -151,6 +151,71 @@ def test_canonicalize_chunk_matches_with_host():
     assert a.equals(b)
 
 
+def test_canonicalize_golden_with_bases():
+    raw = pd.Series([c[0] for c in CANON_CASES])
+    base = pd.Series([c[1] for c in CANON_CASES])
+    got, _ = canonicalize_with_host(pa.array(raw), pa.array(base))
+    for i, (r, b, want) in enumerate(CANON_CASES):
+        assert _py(got, i) == want, (r, b, _py(got, i), want)
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_resolve_fuzz_equivalence(seed):
+    from jirlbot_spark.functions.urls import resolve_series
+    from jirlbot_spark.functions.urls_arrow import resolve_chunk
+
+    rng = random.Random(seed)
+    uf = ["", "/abs/x", "rel/y", "../up", "//oth.er/z", "?q=9", "#top",
+          "http://abs.example/p", "a", "./.", "x?y#z", "  /sp  ",
+          "mailto:x@y", "//", "?", "#"]
+    bf = ["", "http://base.org/dir/page?q=1#f", "https://b.io:8080/a/b/c",
+          "http://h", "notaurl", "ftp://x/y", "http://base.org",
+          "http://base.org/", "https://x.y/p/"]
+    urls = pd.Series([rng.choice(uf) for _ in range(8000)])
+    bases = pd.Series([rng.choice(bf) for _ in range(8000)])
+    exp_r = resolve_series(urls, bases)
+    got_r = resolve_chunk(pa.array(urls), pa.array(bases))
+    exp_c = canonicalize_series(urls, bases)
+    got_c, _ = canonicalize_with_host(pa.array(urls), pa.array(bases))
+    for i in range(len(urls)):
+        assert _py(got_r, i) == exp_r.iloc[i], (urls.iloc[i], bases.iloc[i])
+        e = exp_c.iloc[i]
+        e = None if pd.isna(e) else e
+        assert _py(got_c, i) == e, (urls.iloc[i], bases.iloc[i])
+
+
+def test_prepare_arrow_base_path_spark(spark):
+    """prepare_urls_fused with base_col (arrow resolve path) ≡ the pandas
+    reference path on relative links."""
+    from jirlbot_spark.functions.prepare import (
+        prepare_urls_fused,
+        prepare_urls_pandas,
+    )
+
+    rows = []
+    for i in range(300):
+        rows.append(
+            (
+                ["rel/%d" % i, "/abs/%d" % i, "?q=%d" % i, "../u%d" % i,
+                 "http://other%d.com/x" % (i % 9)][i % 5],
+                "http://Base%d.Example.COM/dir/page" % (i % 17),
+                i,
+            )
+        )
+    df = spark.createDataFrame(rows, ["url", "base", "tag"])
+    a = (
+        prepare_urls_fused(df, "url", "base", keep=("tag",))
+        .toPandas().sort_values("tag").reset_index(drop=True)
+    )
+    b = (
+        prepare_urls_pandas(df, "url", "base", keep=("tag",))
+        .toPandas().sort_values("tag").reset_index(drop=True)
+    )
+    assert len(a) == len(b) > 0
+    for col in ["url", "url_hash", "host", "host_hash", "pld", "pld_hash", "tag"]:
+        assert list(a[col]) == list(b[col]), col
+
+
 def test_prepare_arrow_path_spark(spark):
     """prepare_urls_fused (arrow mapInArrow path, base_col=None) produces
     exactly the pandas kernel's rows for a messy frontier."""

@@ -19,7 +19,16 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 SF = "/root/testdata/sf0.01"
 
 
-def capture_plan(df) -> str:
+def capture_plan(df, execute: bool = True) -> str:
+    """Formatted physical plan; by default after running the query, so
+    AdaptiveSparkPlan shows the FINAL runtime plan (isFinalPlan=true)
+    with codegen ids — the initial plan hides codegen annotation and may
+    differ from what actually executed."""
+    if execute:
+        # collect() runs the DataFrame's OWN QueryExecution (count() would
+        # build a different one), so the subsequent explain prints the
+        # final adaptive plan with codegen ids
+        df.collect()
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
@@ -104,6 +113,28 @@ def main() -> None:
         )
     )
 
+    # --- DRUM check_update_agg: hot-path formulation, zero sorts
+    from jirlbot_spark.operators.dedup import check_update_agg
+
+    fresh_agg, _ = check_update_agg(
+        prepared, seen, key_col="url_hash", order_col="id"
+    )
+    sections.append(
+        (
+            "DRUM check_update (agg formulation — loop/bench hot path)",
+            "groupBy(key).agg(min_by) + shuffle_hash left-anti join: NO "
+            "Window operator — in-batch first-arrival comes from the "
+            "aggregate, whose partial phase collapses duplicates before "
+            "the exchange; membership is a ShuffledHashJoin (no "
+            "sort-merge) reusing the aggregation's partitioning on the "
+            "streamed side. (min_by over a struct plans as SortAggregate "
+            "— var-length buffers aren't hash-aggregable — which still "
+            "measures faster than the window and the narrow-min+join-back "
+            "alternatives; see check_update_agg docstring.)",
+            capture_plan(fresh_agg),
+        )
+    )
+
     # --- BEAST: budgets broadcast, salted two-phase windows
     budgets = (
         prepared.select("pld_hash").distinct()
@@ -133,8 +164,9 @@ def main() -> None:
         and "GreaterThan" in sections[0][2],
         "2-column ReadSchema on pruned scan": "l_orderkey" in sections[0][2]
         and "l_comment" not in sections[0][2],
-        "WholeStageCodegen present in classify": "WholeStageCodegen"
-        in sections[1][2],
+        "WholeStageCodegen spans present in classify": "codegen id"
+        in sections[1][2].lower()
+        or "WholeStageCodegen" in sections[1][2],
         "single wide exchange in classify (exchange reuse)": sections[1][2].count(
             "Exchange hashpartitioning(url_hash"
         )
@@ -143,9 +175,19 @@ def main() -> None:
             2
         ].count("Exchange")
         <= sections[1][2].count("Exchange"),
-        "BEAST budget join broadcasts": "BroadcastHashJoin" in sections[3][2]
-        or "BroadcastExchange" in sections[3][2],
-        "salted window before global window": "__salt" in sections[3][2],
+        "agg-formulation dedup has no Window operator": "Window ("
+        not in sections[3][2],
+        "agg-formulation dedup collapses dups map-side (partial min_by)":
+        "partial_min_by" in sections[3][2],
+        "agg-formulation dedup anti-join is hash, not sort-merge":
+        "SortMergeJoin" not in sections[3][2]
+        and (
+            "ShuffledHashJoin" in sections[3][2]
+            or "BroadcastHashJoin" in sections[3][2]
+        ),
+        "BEAST budget join broadcasts": "BroadcastHashJoin" in sections[4][2]
+        or "BroadcastExchange" in sections[4][2],
+        "salted window before global window": "__salt" in sections[4][2],
     }
 
     out = ["# PLANS — physical-plan audit (sf0.01, local[4])\n"]
