@@ -498,6 +498,49 @@ def q_ann_lsh(spark, sf):
     return lsh_topk(queries, e, k=5, dim=64, n_planes=8, n_tables=4)
 
 
+def q_politeness_stream_state(spark, sf):
+    """Custom stateful streaming operator (streaming/stateful.py): per-host
+    politeness schedule continuing ACROSS two availableNow triggers via
+    applyInPandasWithState. Cross-trigger state is SQL-expressible as a
+    running per-host row_number over (trigger, priority, key) — so this
+    custom stateful op gets an EXACT DuckDB oracle."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.functions import col
+
+    from jirlbot_spark.streaming.stateful import politeness_stream
+
+    o = _t(spark, sf, "orders").select(
+        (F.col("o_custkey") % 50).cast("long").alias("host_hash"),
+        F.col("o_orderkey").cast("long").alias("url_hash"),
+        (F.col("o_orderkey") % 3).cast("double").alias("priority"),
+        (F.col("o_orderkey") % 2).cast("int").alias("trig"),
+    )
+    wd = tempfile.mkdtemp(prefix="pol_state_")
+    indir, outdir, ckpt = f"{wd}/in", f"{wd}/out", f"{wd}/ckpt"
+    schema = "host_hash long, url_hash long, priority double"
+    for trig in (0, 1):
+        o.filter(col("trig") == trig).select(
+            "host_hash", "url_hash", "priority"
+        ).coalesce(1).write.mode("append").parquet(indir)
+        stream = spark.readStream.schema(schema).parquet(indir)
+        q = (
+            politeness_stream(stream, min_delay_s=1.0)
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    out = spark.read.parquet(outdir).select(
+        "host_hash", "url_hash", "seq_in_host", "planned_at_s"
+    )
+    _ = shutil  # workdir intentionally left for the session lifetime
+    return out
+
+
 def q_resume_state(spark, sf):
     import tempfile
 
@@ -585,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "ann_lsh": q_ann_lsh,
+        "politeness_stream_state": q_politeness_stream_state,
         "resume_state": q_resume_state,
     }
 
@@ -631,6 +675,22 @@ def oracle_sql() -> dict[str, str]:
         "urlseen_dedup_agg": """
             SELECT o_orderkey AS url_id, o_orderkey AS first_arrival
             FROM orders WHERE o_orderkey % 3 <> 0
+        """,
+        "politeness_stream_state": """
+            SELECT host_hash, url_hash,
+                   CAST(rn AS BIGINT) AS seq_in_host,
+                   CAST((rn - 1) * 1.0 AS DOUBLE) AS planned_at_s
+            FROM (
+                SELECT o_custkey % 50 AS host_hash,
+                       o_orderkey AS url_hash,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY o_custkey % 50
+                           ORDER BY o_orderkey % 2,
+                                    CAST(o_orderkey % 3 AS DOUBLE),
+                                    o_orderkey
+                       ) AS rn
+                FROM orders
+            )
         """,
         "batch_distinct": """
             SELECT l_partkey AS part_id, COUNT(*) AS n_orders

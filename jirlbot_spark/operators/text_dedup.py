@@ -195,7 +195,16 @@ def minhash_dedup(
     threshold: float = 0.8,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle -> minhash -> band -> bucket join ->
-    exact-Jaccard verify >= threshold. Returns (id_a, id_b, jaccard)."""
+    exact-Jaccard verify >= threshold. Returns (id_a, id_b, jaccard).
+
+    The exploded shingle frame feeds four downstream branches (signatures,
+    both jaccard sides, sizes). Deliberately NOT persisted: an A/B at
+    sf0.1 measured .persist() 2x SLOWER — caching materializes the full
+    exploded frame (blocking column pruning and the semi-join pushdown
+    each branch gets when recomputing) while Spark's shuffle-stage reuse
+    already dedupes the heavy lifting across branches. At the 100 TB tier
+    the same logic favors a bucketed intermediate TABLE over executor
+    cache."""
     sh = shingle_hashes(docs, text_col, id_col, k_shingle)
     sig = minhash_signatures(sh, id_col, num_hashes)
     cand = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
