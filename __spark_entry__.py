@@ -498,6 +498,52 @@ def q_ann_lsh(spark, sf):
     return lsh_topk(queries, e, k=5, dim=64, n_planes=8, n_tables=4)
 
 
+def q_ann_ivf(spark, sf):
+    """IVF-indexed ANN (operators/similarity.ivf_topk) — the bucketed
+    scale path; approximate, so rows-only (recall vs brute_topk is
+    pytest-gated in tests/test_text_ops.py)."""
+    from jirlbot_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return ivf_topk(queries, e, k=5, n_centroids=16, nprobe=6)
+
+
+def q_image_resize(spark, sf):
+    """Real decode -> nearest-neighbor resize -> re-encode over the image
+    payload fixtures (functions/media.resize_images)."""
+    from jirlbot_spark.functions.media import resize_images
+    from jirlbot_spark.sources.fixtures import gen_pages
+
+    pages = spark.createDataFrame(gen_pages(42, 64))
+    return resize_images(pages, 16, 16).select("image_id", "w", "h", "fmt")
+
+
+def q_audio_features(spark, sf):
+    """Audio multimodal plumbing (typed binary column -> mapInPandas
+    features); sample decode is the deterministic fake backend in this
+    sandbox (media.py module docstring) — rows-only check."""
+    from jirlbot_spark.functions.media import AUDIO_SCHEMA, audio_features
+    from jirlbot_spark.sources.fixtures import gen_audio
+
+    audio = spark.createDataFrame(gen_audio(7, 64), schema=AUDIO_SCHEMA)
+    return audio_features(audio)
+
+
+def q_frame_sample(spark, sf):
+    """Video 1->N frame sampling (mapInPandas explode of raw RGB24
+    frames); deterministic fake decoder — rows-only check."""
+    from pyspark.sql import functions as F2
+
+    from jirlbot_spark.functions.media import VIDEO_SCHEMA, frame_sample
+    from jirlbot_spark.sources.fixtures import gen_video
+
+    video = spark.createDataFrame(gen_video(9, 32), schema=VIDEO_SCHEMA)
+    return frame_sample(video, every_n=10).select(
+        "video_id", "frame_idx", "w", "h", F2.length("pixels").alias("n_bytes")
+    )
+
+
 def q_politeness_stream_state(spark, sf):
     """Custom stateful streaming operator (streaming/stateful.py): per-host
     politeness schedule continuing ACROSS two availableNow triggers via
@@ -628,6 +674,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "image_resize": q_image_resize,
+        "audio_features": q_audio_features,
+        "frame_sample": q_frame_sample,
         "politeness_stream_state": q_politeness_stream_state,
         "resume_state": q_resume_state,
     }

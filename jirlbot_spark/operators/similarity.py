@@ -244,3 +244,109 @@ def embedding_neardup(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---- IVF (inverted-file) ANN ----
+
+def _kmeans_numpy(
+    mat: np.ndarray, n_centroids: int, seed: int, iters: int = 10
+) -> np.ndarray:
+    """Small deterministic Lloyd's k-means on L2-normalized vectors (so
+    nearest-centroid-by-dot ≈ cosine cell). Runs on the DRIVER over a
+    bounded sample — the centroid table is the only global state IVF
+    needs, and it is tiny (n_centroids × dim floats)."""
+    rng = np.random.default_rng(seed)
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    cent = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
+    for _ in range(iters):
+        sims = mat @ cent.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(len(cent)):
+            members = mat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    sample_mod: int = 7,
+    seed: int = 31,
+) -> DataFrame:
+    """Approximate cosine top-k via an IVF index — the scale path beside
+    brute_topk (exact baseline) and lsh_topk.
+
+    Train: k-means centroids on a deterministic corpus sample
+    (id % sample_mod == 0; no order-dependent limit()) on the driver.
+    Search: each corpus Arrow block assigns its rows to cells with one
+    argmax (numpy); each query probes its `nprobe` nearest cells; a block
+    scores only (query, row) pairs whose cell is probed — that filter is
+    the IVF saving (≈ nprobe/n_centroids of the brute work). The shuffle
+    carries only candidate top-k rows, never vectors — same scale posture
+    as brute_topk, minus most of the matmul.
+
+    Approximate: a true neighbor in an unprobed cell is missed (recall
+    is tested against brute_topk on the fixture embeddings).
+    """
+    qid = query_id_col or id_col
+    sample = (
+        corpus.filter(F.col(id_col) % sample_mod == 0)
+        .select(F.col(vec_col))
+        .toPandas()
+    )
+    cent = _kmeans_numpy(
+        np.vstack(sample[vec_col].to_numpy()), n_centroids, seed
+    )
+
+    qpdf = queries.select(
+        F.col(qid).cast("long").alias("qid"), F.col(vec_col).alias("qv")
+    ).toPandas()
+    qids = qpdf["qid"].to_numpy()
+    qmat = np.vstack(qpdf["qv"].to_numpy())
+    qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    nprobe_eff = min(nprobe, len(cent))
+    qcells = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe_eff]
+    # cell -> indices of queries probing it
+    probes: dict[int, np.ndarray] = {
+        c: np.nonzero((qcells == c).any(axis=1))[0]
+        for c in range(len(cent))
+    }
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cids = pdf["__cid"].to_numpy()
+            cmat = np.vstack(pdf["__cv"].to_numpy())
+            cn = cmat / np.maximum(
+                np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12
+            )
+            cells = np.argmax(cn @ cent.T, axis=1)
+            for c in np.unique(cells):
+                qsel = probes.get(int(c))
+                if qsel is None or len(qsel) == 0:
+                    continue
+                rows = cells == c
+                yield _topk_pairs_numpy(
+                    qids[qsel], qmat[qsel], cids[rows], cmat[rows], k
+                )
+
+    partials = corpus.select(
+        F.col(id_col).cast("long").alias("__cid"),
+        F.col(vec_col).alias("__cv"),
+    ).mapInPandas(run, schema=_PAIR_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

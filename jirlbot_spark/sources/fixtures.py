@@ -159,3 +159,49 @@ def gen_robots(seed: int, hosts: list[str]) -> pd.DataFrame:
             }
         )
     return pd.DataFrame(rows)
+
+
+def gen_audio(seed: int, n: int) -> pd.DataFrame:
+    """Deterministic audio payload rows (media.AUDIO_SCHEMA shape). Bytes
+    are opaque seeded blobs — the fake decoder derives waveforms from
+    them deterministically, so tests of the Spark-side plumbing replay
+    exactly."""
+    rng = np.random.default_rng(seed)
+    recs = []
+    for idx in range(n):
+        sr = int(rng.choice([8000, 16000, 44100]))
+        n_samples = int(rng.integers(sr // 2, sr * 3))
+        blob = rng.bytes(int(rng.integers(200, 2000)))
+        recs.append(
+            {
+                "audio_id": f"aud{idx:08d}",
+                "bytes": blob,
+                "fmt": str(rng.choice(["wav", "flac"])),
+                "sample_rate": sr,
+                "n_samples": n_samples,
+                "caption": f"audio clip {idx}",
+            }
+        )
+    return pd.DataFrame.from_records(recs)
+
+
+def gen_video(seed: int, n: int) -> pd.DataFrame:
+    """Deterministic video payload rows (media.VIDEO_SCHEMA shape)."""
+    rng = np.random.default_rng(seed)
+    recs = []
+    for idx in range(n):
+        w = int(rng.choice([16, 32]))
+        h = int(rng.choice([16, 32]))
+        recs.append(
+            {
+                "video_id": f"vid{idx:08d}",
+                "bytes": rng.bytes(int(rng.integers(500, 5000))),
+                "fmt": str(rng.choice(["mp4", "webm"])),
+                "w": w,
+                "h": h,
+                "n_frames": int(rng.integers(5, 60)),
+                "fps": float(rng.choice([24.0, 30.0])),
+                "caption": f"video clip {idx}",
+            }
+        )
+    return pd.DataFrame.from_records(recs)

@@ -147,3 +147,39 @@ def test_lsh_recall_vs_brute(spark, vectors):
     # the engineered near-dup (7) must be found, self always found
     assert 3 in approx and 7 in approx
     assert len(brute & approx) >= 2
+
+
+def test_ivf_recall_vs_brute(spark, vectors):
+    """IVF finds self + the engineered near-dup and overlaps brute top-k
+    well at nprobe/n_centroids = 1/2; exact when probing every cell."""
+    from jirlbot_spark.operators.similarity import ivf_topk
+
+    queries = vectors.filter(F.col("vec_id") < 3)
+    brute = {
+        (r.query_id, r.vec_id)
+        for r in brute_topk(queries, vectors, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(
+            queries, vectors, k=3, n_centroids=8, nprobe=4, sample_mod=1
+        ).collect()
+    }
+    for q in (0, 1, 2):
+        assert (q, q) in approx  # self always found
+    assert len(brute & approx) >= 6  # >= 2/3 recall on this fixture
+
+    # probing EVERY cell ≡ brute (same candidates, same rerank)
+    full = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(
+            queries, vectors, k=3, n_centroids=8, nprobe=8, sample_mod=1
+        ).collect()
+    }
+    assert full == brute
+
+    near = ivf_topk(
+        vectors.filter(F.col("vec_id") == 3), vectors, k=2,
+        n_centroids=4, nprobe=2, sample_mod=1,
+    ).collect()
+    assert {r.vec_id for r in near} == {3, 7}  # engineered near-dup found
