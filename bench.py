@@ -183,6 +183,96 @@ def run_frontier_pipeline(spark, n: int, workdir: str) -> dict:
     }
 
 
+def run_loop_bench(spark, n_sites: int = 2000, n_batches: int = 4) -> dict:
+    """Full crawl-loop throughput (pages fetched/sec through EVERY stage:
+    BEAST admit -> robots gate -> politeness -> fetch -> payload verify ->
+    link extract -> DRUM dedup -> atomic commit -> STAR refresh).
+
+    Directly comparable to the reference baseline's crawl rate
+    (BASELINE.md: IRLbot averaged ~1,789 pages/s on one 2007-era server,
+    network-bound; this engine's fetch is table-backed, so the number
+    isolates the scheduling/dedup machinery's ceiling).
+
+    Synthetic web: n_sites hosts, ~8 outlinks per fetched page (JVM-
+    generated), permissive robots + budgets so the frontier grows
+    geometrically across n_batches.
+    """
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from jirlbot_spark.plans.loop import CrawlConfig, CrawlLoop
+    from jirlbot_spark.sources.fixtures import gen_pages
+    from jirlbot_spark.sources.storage import TableStore
+
+    wd = _mkworkdir("bench_loop_")
+    store = TableStore(spark, os.path.join(wd, "store"))
+    sites = spark.range(n_sites).select(
+        F.format_string("site%d.com", F.col("id").cast("int")).alias("host")
+    )
+    seeds = sites.select(
+        F.format_string("http://%s/", "host").alias("url")
+    )
+    # URL space: n_sites roots + n_sites*n_paths pages; every page links
+    # to 8 pseudo-random pages of other sites, so the reachable set grows
+    # geometrically from the roots until it saturates the space
+    n_paths = 50
+    pg = spark.range(n_sites * n_paths).select(
+        (F.col("id") % n_sites).alias("s"),
+        (F.col("id") / n_sites).cast("long").alias("p"),
+    )
+    links = None
+    for j in range(8):
+        root_e = spark.range(n_sites).select(
+            F.format_string(
+                "http://site%d.com/", F.col("id").cast("int")
+            ).alias("src_url"),
+            F.format_string(
+                "http://site%d.com/p%d",
+                ((F.col("id") * 2654435761 + j * 40503) % n_sites).cast("int"),
+                ((F.col("id") + j * 7) % n_paths).cast("int"),
+            ).alias("dst_url"),
+        )
+        page_e = pg.select(
+            F.format_string(
+                "http://site%d.com/p%d",
+                F.col("s").cast("int"),
+                F.col("p").cast("int"),
+            ).alias("src_url"),
+            F.format_string(
+                "http://site%d.com/p%d",
+                ((F.col("s") * 97 + F.col("p") * 131 + j * 31) % n_sites).cast("int"),
+                ((F.col("s") + F.col("p") * 17 + j * 5) % n_paths).cast("int"),
+            ).alias("dst_url"),
+        )
+        both = root_e.unionByName(page_e)
+        links = both if links is None else links.unionByName(both)
+    robots = sites.select(
+        "host",
+        F.array().cast("array<string>").alias("disallow"),
+        F.lit(0.0).alias("crawl_delay"),
+    )
+    pages = spark.createDataFrame(gen_pages(42, 500))
+    cfg = CrawlConfig(
+        top_k=1000, b_hi=5000, b_lo=50, default_budget=5000,
+        salt_buckets=8, image_scale=500,
+    )
+    loop = CrawlLoop(spark, store, pages, links, robots, cfg)
+    t0 = time.time()
+    loop.ingest_seeds(seeds)
+    stats = loop.run(n_batches)
+    wall = time.time() - t0
+    fetched = sum(st.get("fetched", 0) for st in stats)
+    shutil.rmtree(wd, ignore_errors=True)
+    return {
+        "pages_fetched": fetched,
+        "batches": len(stats),
+        "wall_s": round(wall, 2),
+        "pages_per_sec": round(fetched / wall, 1),
+        "per_batch_fetched": [st.get("fetched", 0) for st in stats],
+    }
+
+
 def warmup_pipeline(spark) -> None:
     """One throwaway pass so timed runs measure steady-state throughput.
 
@@ -514,10 +604,30 @@ def scaling_main() -> None:
             f.write(header + section)
 
 
+def loop_main() -> None:
+    """Full crawl-loop pages/s (one JSON line). Separate from driver mode
+    because the geometric frontier growth takes minutes at the scale
+    where per-batch orchestration overhead (~10 Spark actions/batch for
+    robots gating, metrics, atomic commit) amortizes."""
+    from jirlbot_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench-loop", master=f"local[{CPUS}]"
+    )
+    n_sites = int(os.environ.get("JIRLBOT_LOOP_SITES", "20000"))
+    n_batches = int(os.environ.get("JIRLBOT_LOOP_BATCHES", "5"))
+    res = run_loop_bench(spark, n_sites=n_sites, n_batches=n_batches)
+    res["metric"] = "loop_pages_per_sec"
+    print(json.dumps(res))
+    spark.stop()
+
+
 if __name__ == "__main__":
     if "--frontier-only" in sys.argv:
         frontier_only_main()
     elif "--scaling" in sys.argv:
         scaling_main()
+    elif "--loop" in sys.argv:
+        loop_main()
     else:
         driver_main()
