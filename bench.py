@@ -233,6 +233,7 @@ def run_loop_bench(spark, n_sites: int = 2000, n_batches: int = 4) -> dict:
                 ((F.col("id") + j * 7) % n_paths).cast("int"),
             ).alias("dst_url"),
         )
+        mix = F.xxhash64(F.col("s"), F.col("p"), F.lit(j))
         page_e = pg.select(
             F.format_string(
                 "http://site%d.com/p%d",
@@ -241,8 +242,8 @@ def run_loop_bench(spark, n_sites: int = 2000, n_batches: int = 4) -> dict:
             ).alias("src_url"),
             F.format_string(
                 "http://site%d.com/p%d",
-                ((F.col("s") * 97 + F.col("p") * 131 + j * 31) % n_sites).cast("int"),
-                ((F.col("s") + F.col("p") * 17 + j * 5) % n_paths).cast("int"),
+                F.pmod(mix, F.lit(n_sites)).cast("int"),
+                F.pmod(F.shiftright(mix, 20), F.lit(n_paths)).cast("int"),
             ).alias("dst_url"),
         )
         both = root_e.unionByName(page_e)
