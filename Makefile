@@ -1,4 +1,4 @@
-.PHONY: test dist bench scaling oracles clean
+.PHONY: test dist bench scaling loop plans oracles clean
 
 test:
 	python -m pytest tests/ -x -q
@@ -14,6 +14,12 @@ bench:
 
 scaling:
 	python bench.py --scaling
+
+loop:
+	python bench.py --loop
+
+plans:
+	python tools/plan_audit.py
 
 oracles:
 	python tools/check_oracles.py

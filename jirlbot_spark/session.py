@@ -48,7 +48,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM IS the executor — size its heap for
+        # the box (8g thrashed GCLocker and died at 128M-row benches on
+        # this 128 GiB machine; 32g leaves room for tmpfs shuffle data)
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g")
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
