@@ -108,3 +108,58 @@ def test_gc_orphans_and_compact(spark, tmp_path):
     store.compact("url_seen", partition_by=("bucket",))
     assert store.read("url_seen").count() == 6
     assert len(store.manifest()["tables"]["url_seen"]) == 1
+
+
+def test_check_update_agg_equiv_window(spark, tmp_path):
+    """check_update_agg's fresh set ≡ check_update filtered to UNIQUE_KEY,
+    on a batch with in-batch duplicates and a half-populated store —
+    with AND without the Bloom sidecar fast path (which must be
+    physical-only)."""
+    from jirlbot_spark.operators.dedup import check_update, check_update_agg
+    from jirlbot_spark.operators.membership import build_bloom_files
+
+    n = 500
+    base = spark.range(n).select(
+        (F.col("id") * 7919 % 1000).alias("url_hash"),  # forced collisions
+        F.col("id").alias("arrival"),
+        F.format_string("http://u%d.com/", F.col("id")).alias("url"),
+    )
+    dup = base.unionByName(
+        base.withColumn("arrival", F.col("arrival") + n)
+    )
+    seen = spark.range(0, 1000, 2).select(F.col("id").alias("url_hash"))
+
+    cls, _ = check_update(dup, seen, key_col="url_hash", order_col="arrival")
+    want = {
+        (r.url_hash, r.arrival)
+        for r in cls.filter(F.col("drum_result") == "UNIQUE_KEY")
+        .select("url_hash", "arrival")
+        .collect()
+    }
+    assert 0 < len(want) < n  # both classes populated
+
+    fresh, uniq = check_update_agg(
+        dup, seen, key_col="url_hash", order_col="arrival"
+    )
+    got = {(r.url_hash, r.arrival) for r in fresh.select("url_hash", "arrival").collect()}
+    assert got == want
+    assert {r.url_hash for r in uniq.collect()} == {k for k, _ in want}
+
+    bloom_dir = str(tmp_path / "bloom")
+    build_bloom_files(
+        seen.withColumn(
+            "bucket", F.pmod("url_hash", F.lit(8)).cast("int")
+        ),
+        bloom_dir,
+        num_buckets=8,
+        log2_bits=18,
+    )
+    fresh_b, _ = check_update_agg(
+        dup, seen, key_col="url_hash", order_col="arrival",
+        num_buckets=8, bloom_dir=bloom_dir,
+    )
+    got_b = {
+        (r.url_hash, r.arrival)
+        for r in fresh_b.select("url_hash", "arrival").collect()
+    }
+    assert got_b == want
