@@ -38,6 +38,17 @@ with K=32 buckets and 2^33 bits/bucket (1 GiB), a 10^10-key store holds
 Hashing: keys are already murmur3-mixed 64-bit values (functions/hashing).
 Double hashing (Kirsch-Mitzenmacher): position_i = (h1 + i*h2) mod m with
 h2 forced odd and m a power of two.
+
+Bloom vs cuckoo (the north rule allows either): a cuckoo filter's two
+advantages are deletion support and better bits/key below ~3% FP. The
+url_seen set is APPEND-ONLY by construction (a crawled URL never becomes
+un-seen), so deletion buys nothing, while Bloom's bitwise-OR union is
+what makes the incremental per-batch file update and the crash-safety
+argument (pre-commit OR can only over-fill — storage.commit_batch) both
+trivially correct; a cuckoo filter's displacement inserts have no
+monotone union, so a crashed half-update could silently drop entries
+(false negatives = wrong crawl). Bloom is therefore the right variant
+for this store, not just the simpler one.
 """
 
 from __future__ import annotations

@@ -238,3 +238,66 @@ def test_prepare_arrow_path_spark(spark):
     assert len(got) == len(exp)
     for col in ["url", "url_hash", "host", "host_hash", "pld", "pld_hash", "tag"]:
         assert list(got[col]) == list(exp[col]), col
+
+
+# ---- hypothesis fuzz: arbitrary unicode text through both kernels ----
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+if _HAVE_HYP:
+
+    url_text = st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs",),  # no lone surrogates
+        ),
+        max_size=80,
+    )
+    urlish = st.one_of(
+        url_text,
+        st.builds(
+            lambda scheme, host, rest: f"{scheme}://{host}{rest}",
+            st.sampled_from(["http", "https", "HTTP", "ftp", "a+b-c."]),
+            url_text,
+            url_text,
+        ),
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(urlish, min_size=1, max_size=40))
+    def test_hypothesis_canonicalize_equivalence(urls):
+        s = pd.Series(urls, dtype="object")
+        exp = canonicalize_series(s)
+        got, got_host = canonicalize_with_host(pa.array(s, pa.string()))
+        exp_host = host_of_series(exp)
+        for i in range(len(s)):
+            e = exp.iloc[i]
+            e = None if pd.isna(e) else e
+            assert got[i].as_py() == e, (urls[i], got[i].as_py(), e)
+            eh = exp_host.iloc[i]
+            eh = None if pd.isna(eh) else eh
+            assert got_host[i].as_py() == eh
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(url_text, min_size=1, max_size=40))
+    def test_hypothesis_murmur3_equivalence(strs):
+        s = pd.Series(strs, dtype="object")
+        got = murmur3_64_from_arrow(pa.array(s, pa.string()))
+        exp = murmur3_64_series(s).astype("int64").to_numpy()
+        assert np.array_equal(got, exp)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(url_text, min_size=1, max_size=30))
+    def test_hypothesis_pld_equivalence(hosts):
+        s = pd.Series(hosts, dtype="object")
+        exp = pld_series(s)
+        got = pld_chunk(pa.array(s, pa.string()))
+        for i in range(len(s)):
+            e = exp.iloc[i]
+            e = None if pd.isna(e) else e
+            assert got[i].as_py() == e, (hosts[i], got[i].as_py(), e)
