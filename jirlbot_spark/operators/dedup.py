@@ -224,3 +224,51 @@ def check_update(
         .withColumn("bucket", F.pmod(F.col(key_col), F.lit(num_buckets)).cast("int"))
     )
     return classified, uniques
+
+
+def update(
+    batch: DataFrame,
+    seen: DataFrame | None,
+    key_col: str = "url_hash",
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+) -> DataFrame:
+    """DRUM UPDATE: merge keys into the store WITHOUT classification
+    (the reference's blind-update op; DrumOperation.UPDATE).
+
+    Returns the new-keys frame (bucket attached) for the caller to append
+    via TableStore.commit_batch — only keys not already present are
+    returned, so the store keeps its unique-by-key invariant. No
+    dispatch/result column: UPDATE has no answer by contract.
+    """
+    keys = batch.select(key_col).dropDuplicates([key_col])
+    if seen is not None:
+        keys = keys.join(
+            seen.select(key_col).hint("shuffle_hash"), key_col, "left_anti"
+        )
+    return keys.withColumn(
+        "bucket", F.pmod(F.col(key_col), F.lit(num_buckets)).cast("int")
+    )
+
+
+def append_update(
+    batch: DataFrame,
+    existing: DataFrame | None,
+    key_col: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """DRUM APPEND_UPDATE: append values under a key, merging with the
+    store (DrumOperation.APPEND_UPDATE — STAR uses it to accumulate the
+    per-PLD source sets feeding the in-degree count).
+
+    Spark-first realization: the "append" is a distinct-union delta —
+    returns only the (key, values) tuples NOT already in the store, so a
+    partitioned append keeps the store a set. The STAR pipeline composes
+    this with pld_indegree's incremental aggregation
+    (operators/star.distinct_new_edges is this function specialized to
+    the edge schema).
+    """
+    cols = [key_col, *value_cols]
+    delta = batch.select(*cols).dropDuplicates(cols)
+    if existing is not None:
+        delta = delta.join(existing.select(*cols), cols, "left_anti")
+    return delta

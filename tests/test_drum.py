@@ -163,3 +163,28 @@ def test_check_update_agg_equiv_window(spark, tmp_path):
         for r in fresh_b.select("url_hash", "arrival").collect()
     }
     assert got_b == want
+
+
+def test_update_and_append_update_ops(spark):
+    """The DRUM op surface beyond CHECK/CHECK_UPDATE: UPDATE merges keys
+    blindly (no classification), APPEND_UPDATE accumulates value sets
+    under keys — both return store-consistent deltas."""
+    from jirlbot_spark.operators.dedup import append_update, update
+
+    batch = spark.createDataFrame(
+        [(1,), (2,), (2,), (3,)], ["url_hash"]
+    )
+    seen = spark.createDataFrame([(2,), (9,)], ["url_hash"])
+    got = {r.url_hash for r in update(batch, seen).collect()}
+    assert got == {1, 3}
+    assert {r.url_hash for r in update(batch, None).collect()} == {1, 2, 3}
+
+    edges = spark.createDataFrame(
+        [(10, 20), (10, 20), (10, 30), (40, 50)], ["dst_pld", "src_pld"]
+    )
+    store = spark.createDataFrame([(10, 20)], ["dst_pld", "src_pld"])
+    delta = {
+        (r.dst_pld, r.src_pld)
+        for r in append_update(edges, store, "dst_pld", ["src_pld"]).collect()
+    }
+    assert delta == {(10, 30), (40, 50)}
