@@ -49,7 +49,9 @@ def _mkworkdir(prefix: str) -> str:
 
 
 N_PLDS = 50_000
-HOT_FRACTION_MOD = 5  # id % 5 == 0 -> hot PLD (20% skew)
+# id % HOT_FRACTION_MOD == 0 -> hot PLD. 5 = 20% of all URLs on ONE pld
+# (the default skew); 0 disables the hot PLD; 2 = 50% (stress).
+HOT_FRACTION_MOD = int(os.environ.get("JIRLBOT_BENCH_HOT_MOD", "5"))
 
 BENCH_QUERY_KEYS = [
     "urlseen_dedup",
@@ -71,8 +73,13 @@ def build_frontier(spark, n: int):
     """Deterministic dirty-URL frontier, built JVM-side (spark.range)."""
     from pyspark.sql import functions as F
 
-    pld_idx = F.when(F.col("id") % HOT_FRACTION_MOD == 0, F.lit(0)).otherwise(
-        F.col("id") % N_PLDS
+    uniform = F.col("id") % N_PLDS
+    pld_idx = (
+        uniform
+        if HOT_FRACTION_MOD <= 0
+        else F.when(F.col("id") % HOT_FRACTION_MOD == 0, F.lit(0)).otherwise(
+            uniform
+        )
     )
     # every URL is dirty (case, default port, fragment); 10% also carry
     # dot segments — representative of a real frontier, still exercises
@@ -165,7 +172,7 @@ def run_frontier_pipeline(spark, n: int, workdir: str) -> dict:
     enforced = beast_enforce(
         fresh.withColumn("enqueue_batch", F.lit(0)),
         budgets,
-        salt_buckets=16,
+        salt_buckets=int(os.environ.get("JIRLBOT_BENCH_SALT", "16")),
     )
     admitted, _deferred = split_admitted(enforced)
     sched = politeness_schedule(admitted, host_col="host_hash", min_delay_s=1.0)
