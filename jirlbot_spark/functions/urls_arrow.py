@@ -158,7 +158,9 @@ def canonicalize_with_host(
     else:
         u = pc.utf8_trim_whitespace(pc.fill_null(urls, ""))
     if pc.any(pc.match_substring(u, "#")).as_py():
-        u = pc.replace_substring_regex(u, "#.*$", "")
+        # literal split beats a ".*$"-style regex replace ~2x: the
+        # fragment is everything after the FIRST '#', discarded
+        u = pc.list_element(pc.split_pattern(u, "#", max_splits=1), 0)
     parts = pc.extract_regex(u, _SPLIT_PAT)
     matched = pc.is_valid(parts)
     scheme = pc.utf8_lower(_field(parts, "scheme"))
@@ -167,8 +169,17 @@ def canonicalize_with_host(
     rest = _field(parts, "rest")
 
     if pc.any(pc.match_substring(rest, "?")).as_py():
-        path = pc.replace_substring_regex(rest, r"\?.*$", "")
-        query = _field(pc.extract_regex(rest, r"(?P<q>\?.*)$"), "q")
+        # path/query split on the FIRST '?', also literal: a row with a
+        # '?' keeps it in the query even when the body is empty (same as
+        # the pandas reference's "(\?.*)$" extract)
+        ls = pc.split_pattern(rest, "?", max_splits=1)
+        path = pc.list_element(ls, 0)
+        qbody = pc.binary_join(pc.list_slice(ls, 1, 2), "")
+        query = pc.if_else(
+            pc.equal(pc.list_value_length(ls), 2),
+            _concat("?", qbody),
+            "",
+        )
     else:
         path, query = rest, _EMPTY
     path = pc.if_else(pc.equal(path, ""), "/", path)
