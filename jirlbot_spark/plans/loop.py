@@ -80,6 +80,13 @@ class CrawlConfig:
     # Bloom sidecar dir for the url_seen membership fast path (None = off;
     # semantics identical either way — membership.py contract)
     bloom_dir: str | None = None
+    # Fold url_seen's per-batch runs into one every N batches (None = never).
+    # Append-only runs keep commits cheap, but the membership anti-join
+    # reads every run of a bucket — at 10^10 keys unbounded run counts
+    # become the scan bottleneck, so periodic compaction (the DRUM cache-
+    # file rewrite analog; Iceberg rewrite_data_files on a cluster) caps
+    # them. Between-batch, so crash-safe by the same manifest argument.
+    compact_every: int | None = None
 
 
 class CrawlLoop:
@@ -360,9 +367,12 @@ class CrawlLoop:
     def run(self, n_batches: int, start: int | None = None) -> list[dict]:
         first = (start if start is not None else self.store.last_batch() + 1)
         out = []
+        every = self.cfg.compact_every
         for j in range(first, first + n_batches):
             s = self.run_batch(j)
             out.append(s)
             if s.get("done"):
                 break
+            if every and j % every == 0:
+                self.store.compact("url_seen", partition_by=("bucket",))
         return out

@@ -37,6 +37,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--salt-buckets", type=int, default=16)
     p.add_argument("--min-delay-s", type=float, default=1.0)
     p.add_argument("--num-buckets", type=int, default=32)
+    p.add_argument("--compact-every", type=int, default=None)
     args = p.parse_args(argv)
 
     from jirlbot_spark.plans.loop import CrawlConfig, CrawlLoop
@@ -54,6 +55,7 @@ def main(argv: list[str] | None = None) -> int:
         min_delay_s=args.min_delay_s,
         num_buckets=args.num_buckets,
         bloom_dir=args.bloom_dir,
+        compact_every=args.compact_every,
     )
     pages = spark.read.parquet(args.pages) if args.pages else None
     links = spark.read.parquet(args.links) if args.links else None

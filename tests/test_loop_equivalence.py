@@ -179,3 +179,19 @@ def test_bloom_fastpath_equivalence(spark, tmp_path_factory, engine_run):
         num_buckets=cfg.num_buckets,
     )
     assert probed.filter(~F.col("__maybe_seen")).count() == 0
+
+
+def test_compaction_preserves_crawl(spark, tmp_path, sim_result):
+    """compact_every folds url_seen runs between batches without changing
+    any crawl output (fetch log ≡ simulator, run count capped)."""
+    import os
+
+    loop = _build_loop(spark, tmp_path / "compact_store")
+    loop.cfg.compact_every = 1
+    seeds = spark.createDataFrame([(u,) for u in SEEDS], ["url"])
+    loop.ingest_seeds(seeds)
+    loop.run(N_BATCHES)
+    assert _engine_fetch_tuples(loop.store) == _sim_fetch_tuples(sim_result)
+    runs = loop.store.manifest()["tables"]["url_seen"]
+    assert len(runs) <= 2  # one compacted run + at most the latest append
+    assert any(r.startswith("compact_") for r in runs)
