@@ -19,9 +19,14 @@ ordering is always (priority asc, url_hash asc); priority = discovery
 depth. No wall clock feeds any decision.
 
 Scale posture: the frontier rewrite per pass mirrors BEAST's queue-file
-rewrite; at 10^10 URLs the frontier is partitioned by enqueue_batch so a
-pass reads only due partitions, and url_seen grows append-only in
-bucket-partitioned sorted runs with periodic compaction.
+rewrite. Under the current deferral policy every frontier row is due
+every pass (deferral increments enqueue_batch by exactly 1), so the
+whole-table read is not a compromise; a policy that defers rows multiple
+passes ahead (BEAST pass-skipping) would partition the frontier write by
+enqueue_batch and prune the read to due partitions — the storage layer
+already supports partition_by for exactly that. url_seen grows
+append-only in bucket-partitioned runs with periodic compaction
+(CrawlConfig.compact_every).
 """
 
 from __future__ import annotations
