@@ -1,4 +1,4 @@
-.PHONY: test dist bench scaling loop plans oracles clean
+.PHONY: test dist bench scaling loop plans oracles verify clean
 
 test:
 	python -m pytest tests/ -x -q
@@ -23,6 +23,9 @@ plans:
 
 oracles:
 	python tools/check_oracles.py
+
+verify: test oracles plans
+	@echo 'verify: tests + oracle parity + plan audit all green'
 
 clean:
 	rm -rf dist .pytest_cache
