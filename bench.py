@@ -6,16 +6,21 @@ Prints ONE JSON line:
    "queries": {key: sec, ...}, "sf": 0.1, ...}
 
 The headline pipeline is the engine's hot path end-to-end on a synthetic
-dirty-URL frontier with a hot-PLD skew knob (20% of URLs on one PLD):
-  canonicalize (vectorized pandas UDF) -> murmur3 keys (numpy UDF)
-  -> in-batch distinct -> anti-join vs a bucket-partitioned seen table
-  -> STAR-budgeted BEAST admission (salted) -> politeness schedule.
+dirty-URL frontier with a hot-PLD skew knob (JIRLBOT_BENCH_HOT_MOD;
+default 20% of URLs on one PLD):
+  canonicalize+murmur3 (fused Arrow kernel, mapInArrow)
+  -> DRUM check_update_agg (in-batch first-arrival + shuffled-hash
+     anti-join vs a bucket-partitioned seen table)
+  -> STAR-budgeted BEAST admission (salted; JIRLBOT_BENCH_SALT)
+  -> politeness schedule.
 
 Modes:
   python bench.py                 # driver mode: headline + query timings
   python bench.py --frontier-only # one pipeline run, JSON (used by --scaling)
-  python bench.py --scaling       # run frontier at local[8] and local[32],
-                                  # report efficiency, write BENCH/BASELINE.md
+  python bench.py --scaling       # N vs 4N cores (JIRLBOT_SCALING_CORES,
+                                  # default 8,32), probe-balanced verdict
+                                  # -> BENCH/BASELINE.md
+  python bench.py --loop          # full crawl loop pages/s
 """
 
 from __future__ import annotations
@@ -149,7 +154,7 @@ def run_frontier_pipeline(spark, n: int, workdir: str) -> dict:
     timings["seen_build_s"] = time.time() - t0
 
     # phase 2: DRUM check_update (in-batch first-arrival agg + shuffled-
-    # hash anti-join — zero sorts, see check_update_agg); the unique set
+    # hash anti-join, no Window — see check_update_agg); the unique set
     # is committed to the table store like the real loop's atomic batch
     # commit, so phase 3 reads it instead of recomputing the join chain
     t0 = time.time()
