@@ -221,15 +221,24 @@ def q_pld_indegree(spark, sf):
 
 
 def q_star_budget(spark, sf):
+    """Registered on star_budgets_scalable (the per-partition-top-k
+    pruned two-phase ranking the crawl loop itself uses) — the all-PLD
+    single-partition-window variant exists only as the property-test
+    reference. Tail PLDs get budget=b_lo and no exact rank by design;
+    rank is presented as 0 for the tail so the driver compare sees no
+    NULLs."""
     from jirlbot_spark.operators.star import (
         distinct_new_edges,
         pld_indegree,
-        star_budgets,
+        star_budgets_scalable,
     )
 
     deg = pld_indegree(distinct_new_edges(_edges(spark, sf), None))
-    return star_budgets(deg, top_k=20, b_hi=1000, b_lo=10).select(
-        "pld_hash", "indegree", "rank", "budget"
+    return star_budgets_scalable(deg, top_k=20, b_hi=1000, b_lo=10).select(
+        "pld_hash",
+        "indegree",
+        F.coalesce(F.col("rank"), F.lit(0)).cast("int").alias("rank"),
+        "budget",
     )
 
 
@@ -394,56 +403,37 @@ def _quantized(col):
     )
 
 
-def _int_dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-
-
 def q_ann_topk(spark, sf):
-    from pyspark.sql import Window
+    """Exact cosine top-k THROUGH the engine's brute_topk operator
+    (block-matmul mapInPandas; shuffle carries only |Q|·k·P candidate
+    rows, never vectors — no crossJoin). Vectors are integer-quantized
+    first so the numpy int64 kernel (_cosine_matrix) produces doubles
+    bit-identical to the SQL twin's CAST(dot)/SQRT(CAST(na*nb))."""
+    from jirlbot_spark.operators.similarity import brute_topk
 
     e = _t(spark, sf, "embeddings").select(
         "vec_id", _quantized(F.col("embedding")).alias("q")
     )
-    queries = e.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
-    )
-    pairs = queries.crossJoin(
-        e.select(F.col("vec_id"), F.col("q").alias("cv"))
-    )
-    dot = _int_dot(F.col("qv"), F.col("cv")).cast("double")
-    na = _int_dot(F.col("qv"), F.col("qv"))
-    nb = _int_dot(F.col("cv"), F.col("cv"))
-    cos = dot / F.sqrt((na * nb).cast("double"))
-    scored = pairs.select(
-        "query_id", "vec_id", cos.alias("cosine")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("vec_id")
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 5)
-        .select("query_id", "vec_id", "cosine", "rnk")
+    queries = e.filter(F.col("vec_id") < 20)
+    return brute_topk(queries, e, k=5, vec_col="q").select(
+        "query_id", "vec_id", "cosine", F.col("rank").alias("rnk")
     )
 
 
 def q_dedup_embed(spark, sf):
+    """Embedding near-dup THROUGH blocked_neardup_exact — exact all-pairs
+    cosine>=0.4 with a block-nested applyInPandas self-join (n·B shuffle
+    rows, no CartesianProduct). LSH (embedding_neardup) cannot carry this
+    key: at threshold 0.4 the fixture's 60 qualifying pairs all sit at
+    cosine 0.40–0.51 where hyperplane-sketch recall=1 is unreachable, so
+    the exact blocked operator is the honest scale path here."""
+    from jirlbot_spark.operators.similarity import blocked_neardup_exact
+
     e = _t(spark, sf, "embeddings").select(
         "vec_id", _quantized(F.col("embedding")).alias("q")
     )
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("q").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("q").alias("vb"))
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    dot = _int_dot(F.col("va"), F.col("vb")).cast("double")
-    na = _int_dot(F.col("va"), F.col("va"))
-    nb = _int_dot(F.col("vb"), F.col("vb"))
-    cos = dot / F.sqrt((na * nb).cast("double"))
-    return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
-        F.col("cosine") >= 0.4
+    return blocked_neardup_exact(
+        e, threshold=0.4, id_col="vec_id", vec_col="q", n_blocks=8
     )
 
 
@@ -472,6 +462,13 @@ def q_phash(spark, sf):
 
 
 def q_dedup_minhash(spark, sf):
+    """MinHash+LSH near-dup with an EXACT oracle: the SQL twin computes
+    the full exact-Jaccard>=0.8 pair set; the Spark side only emits pairs
+    that land in >=1 common LSH band bucket first. Equality therefore
+    also asserts LSH recall = 1 on this (deterministic) fixture — with
+    16 bands of 2 rows over 32 xxhash64 permutations, the analytic miss
+    probability at j=0.8 is (1-0.64)^16 ≈ 8e-8 per pair, and the seeds
+    and data are fixed, so the check is stable, not flaky."""
     from jirlbot_spark.operators.text_dedup import minhash_dedup
 
     d = _t(spark, sf, "documents").select("doc_id", "text")
@@ -480,7 +477,9 @@ def q_dedup_minhash(spark, sf):
             (F.col("doc_id") + 100000).alias("doc_id"), "text"
         )
     )
-    return minhash_dedup(doubled, threshold=0.8)
+    return minhash_dedup(doubled, threshold=0.8, bands=16).select(
+        "id_a", "id_b", "jaccard"
+    )
 
 
 def q_dedup_simhash(spark, sf):
@@ -782,7 +781,9 @@ def oracle_sql() -> dict[str, str]:
                        AS rank
               FROM deg
             )
-            SELECT pld_hash, indegree, CAST(rank AS INT) AS rank,
+            SELECT pld_hash, indegree,
+                   CAST(CASE WHEN rank <= 20 THEN rank ELSE 0 END AS INT)
+                     AS rank,
                    CASE WHEN rank <= 20
                         THEN CAST(FLOOR(1000.0 - ((rank - 1) * 990.0) / 19.0)
                                   AS BIGINT)
@@ -857,6 +858,38 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, text FROM documents
               UNION ALL SELECT doc_id + 100000, text FROM documents
             ) GROUP BY text
+        """,
+        "dedup_minhash": """
+            WITH docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20
+            ), toks AS (
+              SELECT doc_id, string_split(trim(text), ' ') AS t FROM docs
+            ), sh0 AS (
+              SELECT doc_id, unnest(
+                list_filter(
+                  list_transform(t, (x, i) ->
+                    CASE WHEN i + 2 <= len(t)
+                         THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2] END),
+                  s -> s IS NOT NULL)) AS s
+              FROM toks
+            ), sh AS (
+              SELECT DISTINCT doc_id, s FROM sh0
+            ), sizes AS (
+              SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     COUNT(*) AS inter
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id_a, id_b,
+                   CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8
         """,
         "dedup_ngram": """
             WITH docs AS (

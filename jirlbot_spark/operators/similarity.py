@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
+    IntegerType,
     LongType,
     StructField,
     StructType,
@@ -42,6 +43,30 @@ _PAIR_SCHEMA = StructType(
 )
 
 
+def _cosine_matrix(qmat: np.ndarray, cmat: np.ndarray) -> np.ndarray:
+    """Cosine as dot / sqrt(|a|²·|b|²) — the exact formulation an ANSI-SQL
+    twin computes. For INTEGER inputs (quantized vectors) every
+    intermediate is exact: int64 matmul, int64 norm products < 2^53, one
+    IEEE divide + sqrt — so the doubles are bit-identical to
+    `CAST(dot AS DOUBLE)/SQRT(CAST(na*nb AS DOUBLE))` in any engine.
+    Float inputs use the same formula in float64."""
+    if np.issubdtype(qmat.dtype, np.integer):
+        qmat = qmat.astype(np.int64)
+        cmat = cmat.astype(np.int64)
+        dots = (qmat @ cmat.T).astype(np.float64)
+        na = np.einsum("ij,ij->i", qmat, qmat)
+        nb = np.einsum("ij,ij->i", cmat, cmat)
+        denom = np.sqrt((na[:, None] * nb[None, :]).astype(np.float64))
+    else:
+        qmat = qmat.astype(np.float64)
+        cmat = cmat.astype(np.float64)
+        dots = qmat @ cmat.T
+        na = np.einsum("ij,ij->i", qmat, qmat)
+        nb = np.einsum("ij,ij->i", cmat, cmat)
+        denom = np.sqrt(na[:, None] * nb[None, :])
+    return dots / np.maximum(denom, 1e-300)
+
+
 def _topk_pairs_numpy(
     qids: np.ndarray,
     qmat: np.ndarray,
@@ -49,11 +74,16 @@ def _topk_pairs_numpy(
     cmat: np.ndarray,
     k: int,
 ) -> pd.DataFrame:
-    qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
-    cn = cmat / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
-    sims = qn @ cn.T
+    # pre-sort the corpus block by id so the stable argsort below breaks
+    # cosine ties by ascending vec_id — the same total order the global
+    # top-k window uses, so a boundary tie can never evict the row the
+    # final ranking (and the SQL twin) would keep
+    order = np.argsort(cids, kind="mergesort")
+    cids = cids[order]
+    cmat = cmat[order]
+    sims = _cosine_matrix(qmat, cmat)
     kk = min(k, sims.shape[1])
-    idx = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
+    idx = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
     rows = np.repeat(qids, kk)
     cols = cids[idx.ravel()]
     vals = np.take_along_axis(sims, idx, axis=1).ravel()
@@ -246,6 +276,90 @@ def embedding_neardup(
     )
 
 
+def blocked_neardup_exact(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """EXACT all-pairs cosine near-duplicates (cosine >= threshold) via a
+    block-nested self-join — the scalable replacement for a raw
+    crossJoin at low thresholds where LSH recall cannot reach 1.
+
+    Why not embedding_neardup (LSH) for exactness: random-hyperplane
+    collision probability at cosine t is (1 - acos(t)/pi)^planes per
+    table — at t≈0.4 that is ~0.01/table for 10 planes, so guaranteed
+    recall requires hundreds of tables. LSH stays the high-threshold /
+    approximate path; THIS operator is the exact one.
+
+    Plan shape: rows get a stable block id hash(id) % B; every unordered
+    block pair (ga<=gb) becomes one applyInPandas group; each row is
+    replicated to its B groups (JVM explode of a sequence — no
+    crossJoin, no CartesianProduct in the plan). Shuffle volume is n·B
+    rows — versus n²/2 rows for the crossJoin — and each task computes
+    its block-pair scores as ONE numpy matmul. Exact-parity math: see
+    _cosine_matrix (bit-identical to the SQL twin for integer-quantized
+    vectors). At 100 TB, B is sized so two blocks fit an executor
+    (B ≈ n·d·4 / mem), and the intrinsic O(n²) compute is the price of
+    EXACT low-threshold all-pairs — fully parallel across B(B+1)/2
+    tasks.
+    """
+    B = int(n_blocks)
+    v = vectors.select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(vec_col).alias("__v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).alias("__blk"),
+    )
+    partner_groups = F.transform(
+        F.sequence(F.lit(0), F.lit(B - 1)),
+        lambda o: F.least(F.col("__blk"), o) * B
+        + F.greatest(F.col("__blk"), o),
+    )
+    rep = v.withColumn("__grp", F.explode(partner_groups))
+
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        grp = int(pdf["__grp"].iloc[0])
+        ga, gb = divmod(grp, B)
+        ids = pdf["__id"].to_numpy()
+        blks = pdf["__blk"].to_numpy()
+        mat = np.vstack(pdf["__v"].to_numpy())
+        if ga == gb:
+            sims = _cosine_matrix(mat, mat)
+            mask = np.triu(sims >= threshold, k=1)
+            ia, ib = np.nonzero(mask)
+            id_a, id_b = ids[ia], ids[ib]
+        else:
+            a_sel = blks == ga
+            b_sel = blks == gb
+            if not a_sel.any() or not b_sel.any():
+                return pd.DataFrame(
+                    {
+                        "id_a": np.array([], np.int64),
+                        "id_b": np.array([], np.int64),
+                        "cosine": np.array([], np.float64),
+                    }
+                )
+            sims = _cosine_matrix(mat[a_sel], mat[b_sel])
+            ia, ib = np.nonzero(sims >= threshold)
+            id_a = ids[a_sel][ia]
+            id_b = ids[b_sel][ib]
+        cos = sims[ia, ib]
+        lo = np.minimum(id_a, id_b)
+        hi = np.maximum(id_a, id_b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cos})
+
+    return rep.groupBy("__grp").applyInPandas(score, schema=out_schema)
+
+
 # ---- IVF (inverted-file) ANN ----
 
 def _kmeans_numpy(
@@ -278,14 +392,19 @@ def ivf_topk(
     query_id_col: str | None = None,
     n_centroids: int = 16,
     nprobe: int = 4,
-    sample_mod: int = 7,
+    train_rows_per_centroid: int = 256,
     seed: int = 31,
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF index — the scale path beside
     brute_topk (exact baseline) and lsh_topk.
 
-    Train: k-means centroids on a deterministic corpus sample
-    (id % sample_mod == 0; no order-dependent limit()) on the driver.
+    Train: k-means centroids on a BOUNDED deterministic corpus sample on
+    the driver: the hash-sample modulus is derived from the corpus count
+    so the expected sample is ~train_rows_per_centroid * n_centroids rows
+    REGARDLESS of corpus size (driver memory is O(n_centroids), never
+    O(|corpus|)); xxhash64(id) keeps it deterministic and order-free (no
+    limit()). Small/sparse corpora where the modular sample would come
+    back empty fall back to the full (tiny) corpus.
     Search: each corpus Arrow block assigns its rows to cells with one
     argmax (numpy); each query probes its `nprobe` nearest cells; a block
     scores only (query, row) pairs whose cell is probed — that filter is
@@ -297,11 +416,21 @@ def ivf_topk(
     is tested against brute_topk on the fixture embeddings).
     """
     qid = query_id_col or id_col
+    train_budget = max(train_rows_per_centroid * n_centroids, n_centroids)
+    n_corpus = corpus.count()
+    if n_corpus == 0:
+        empty = StructType(
+            list(_PAIR_SCHEMA.fields) + [StructField("rank", IntegerType())]
+        )
+        return corpus.sparkSession.createDataFrame([], schema=empty)
+    sample_mod = max(1, n_corpus // train_budget)
     sample = (
-        corpus.filter(F.col(id_col) % sample_mod == 0)
+        corpus.filter(F.pmod(F.xxhash64(F.col(id_col)), sample_mod) == 0)
         .select(F.col(vec_col))
         .toPandas()
     )
+    if len(sample) == 0:  # degenerate hash-sample on tiny/sparse corpora
+        sample = corpus.select(F.col(vec_col)).toPandas()
     cent = _kmeans_numpy(
         np.vstack(sample[vec_col].to_numpy()), n_centroids, seed
     )

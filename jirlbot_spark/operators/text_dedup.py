@@ -88,15 +88,14 @@ def minhash_signatures(
     seed: int = 7,
 ) -> DataFrame:
     """k-permutation MinHash over shingle hashes, one groupBy.agg with k
-    JVM min() expressions over the affine family (a_i*h + b_i) (odd a_i,
-    wraparound multiply — a standard universal-ish family)."""
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, 2**61, size=num_hashes, dtype=np.int64) | 1
-    b = rng.integers(0, 2**61, size=num_hashes, dtype=np.int64)
+    JVM min() expressions. Permutation i re-hashes the shingle with a
+    per-permutation salt: xxhash64(sh, seed, i) — an independent-enough
+    family for MinHash, fully JVM-side, and (unlike the affine
+    a_i*h + b_i wraparound family this replaces) safe under ANSI mode:
+    no overflow semantics involved, so the operator behaves identically
+    whether the session runs with spark.sql.ansi.enabled on or off."""
     aggs = [
-        F.min(F.col("sh") * F.lit(int(a[i])) + F.lit(int(b[i]))).alias(
-            f"mh{i}"
-        )
+        F.min(F.xxhash64(F.col("sh"), F.lit(seed), F.lit(i))).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)

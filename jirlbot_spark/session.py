@@ -46,7 +46,14 @@ def get_spark(
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.sql.ansi.enabled", "false")
+        # ANSI off by default (classic cast semantics match the DuckDB
+        # oracle's truncating casts), but every operator must ALSO be
+        # correct under ANSI on — the driver's own harness runs with the
+        # Spark 4 ANSI default. SPARK_GRAFT_ANSI=true replicates that.
+        .config(
+            "spark.sql.ansi.enabled",
+            os.environ.get("SPARK_GRAFT_ANSI", "false"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         # local mode: the driver JVM IS the executor — size its heap for
         # the box (8g thrashed GCLocker and died at 128M-row benches on

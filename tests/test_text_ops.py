@@ -162,7 +162,7 @@ def test_ivf_recall_vs_brute(spark, vectors):
     approx = {
         (r.query_id, r.vec_id)
         for r in ivf_topk(
-            queries, vectors, k=3, n_centroids=8, nprobe=4, sample_mod=1
+            queries, vectors, k=3, n_centroids=8, nprobe=4
         ).collect()
     }
     for q in (0, 1, 2):
@@ -173,13 +173,13 @@ def test_ivf_recall_vs_brute(spark, vectors):
     full = {
         (r.query_id, r.vec_id)
         for r in ivf_topk(
-            queries, vectors, k=3, n_centroids=8, nprobe=8, sample_mod=1
+            queries, vectors, k=3, n_centroids=8, nprobe=8
         ).collect()
     }
     assert full == brute
 
     near = ivf_topk(
         vectors.filter(F.col("vec_id") == 3), vectors, k=2,
-        n_centroids=4, nprobe=2, sample_mod=1,
+        n_centroids=4, nprobe=2,
     ).collect()
     assert {r.vec_id for r in near} == {3, 7}  # engineered near-dup found
