@@ -161,6 +161,46 @@ def gen_robots(seed: int, hosts: list[str]) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def resume_scenario():
+    """Shared fixture for the resume_state driver key: a small-but-nontrivial
+    crawl world (8 sites, ring + cross links, one disallowed host, varied
+    crawl delays, BEAST-deferral-inducing budgets). Defined ONCE here so the
+    Spark crawl loop (q_resume_state) and the pure-Python simulator golden
+    (tools/gen_goldens.py via tests/oracle_sim.py) consume identical inputs.
+
+    Returns (seeds, web_graph, robots, cfg_kwargs, n_batches)."""
+    seeds = [
+        "http://site0.com/",
+        "HTTP://SITE1.com:80/#top",      # dirty: canonicalizes to site1.com
+        "http://site2.com/a/../",        # dot segments
+        "http://site3.com/",
+        "http://site4.com/",
+        "http://site5.com/",
+        "http://site1.com/",             # duplicate after canonicalization
+        "ftp://nope.com/",               # rejected scheme
+    ]
+    graph = []
+    for i in range(8):
+        root = f"http://site{i}.com/"
+        graph.append((root, f"http://site{(i + 1) % 8}.com/"))
+        for p in range(3):
+            graph.append((root, f"http://site{i}.com/p{p}"))
+        graph.append(
+            (f"http://site{i}.com/p0", f"http://site{(i + 2) % 8}.com/p1")
+        )
+        graph.append(
+            (f"http://site{i}.com/p1", f"http://site{(i + 3) % 8}.com/")
+        )
+    graph.append(("http://site1.com/", "http://priv.site9.com/secret/x"))
+    graph.append(("http://site2.com/", "http://site9.com/ok"))
+    graph.append(("http://spam.junk.com/a", "http://spam.junk.com/b"))
+    robots = {f"site{i}.com": ([], float(i % 3)) for i in range(8)}
+    robots["priv.site9.com"] = (["/secret"], 0.0)
+    robots["site9.com"] = ([], 1.0)
+    cfg = dict(top_k=4, b_hi=6, b_lo=2, default_budget=3, min_delay_s=1.0)
+    return seeds, graph, robots, cfg, 4
+
+
 def gen_audio(seed: int, n: int) -> pd.DataFrame:
     """Deterministic audio payload rows (media.AUDIO_SCHEMA shape). Bytes
     are opaque seeded blobs — the fake decoder derives waveforms from

@@ -1,0 +1,214 @@
+"""Generate jirlbot_spark/goldens_sql.py — exact DuckDB VALUES oracles for
+the deterministic-fixture driver keys.
+
+Principle: these keys run over generator-seeded fixtures (sources/
+fixtures.py), not the sf parquet tables, so no table-derived SQL can
+express them. But the fixtures are pure functions of a pinned seed, so the
+EXPECTED output is computable here by direct function application
+(generator + codecs + numpy feature math — no Spark, no mapInPandas): the
+oracle then asserts the Spark-side plumbing (Arrow batching, mapInPandas
+schemas, explode cardinality) reproduces the direct computation
+bit-for-bit. Rerun this script whenever the fixture generators or codec
+functions change:
+
+    python tools/gen_goldens.py
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from jirlbot_spark.functions.images import decode_image, phash64  # noqa: E402
+from jirlbot_spark.functions.media import (  # noqa: E402
+    fake_decode_audio,
+    resize_pixels,
+)
+from jirlbot_spark.sources.fixtures import (  # noqa: E402
+    gen_audio,
+    gen_pages,
+    gen_video,
+)
+
+
+def lit(v) -> str:
+    if isinstance(v, bool) or isinstance(v, np.bool_):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, (int, np.integer)):
+        return f"CAST({int(v)} AS BIGINT)"
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if np.isinf(f):
+            return "CAST('infinity' AS DOUBLE)" if f > 0 else "CAST('-infinity' AS DOUBLE)"
+        if np.isnan(f):
+            return "CAST('nan' AS DOUBLE)"
+        # via string: a bare decimal literal parses as DECIMAL first and
+        # can lose the final bit on the way to DOUBLE
+        return f"CAST('{f!r}' AS DOUBLE)"
+    raise TypeError(f"unsupported literal {type(v)}")
+
+
+def values_sql(cols: list[str], rows: list[tuple], int_cols: tuple[str, ...] = ()) -> str:
+    """SELECT over VALUES; int_cols are presented as INT (not BIGINT) to
+    match Spark integer columns."""
+    body = ",\n              ".join(
+        "(" + ", ".join(lit(v) for v in r) + ")" for r in rows
+    )
+    sel = ", ".join(
+        f"CAST({c} AS INT) AS {c}" if c in int_cols else c for c in cols
+    )
+    return (
+        f"\n            SELECT {sel} FROM (VALUES\n              {body}\n"
+        f"            ) AS t({', '.join(cols)})\n        "
+    )
+
+
+def golden_image_verify() -> str:
+    pages = gen_pages(42, 128)
+    rows = []
+    for r in pages.itertuples():
+        px = decode_image(bytes(r.bytes), r.fmt, r.w, r.h)
+        ph = phash64(px)
+        rows.append(
+            (
+                r.image_id,
+                True,                      # decode_ok
+                True,                      # pixels_ok (lossless round-trip)
+                float("inf"),              # psnr_db
+                True,                      # caption_ok
+                ph,                        # phash_computed
+                ph == r.phash,             # phash_ok
+            )
+        )
+    return values_sql(
+        [
+            "image_id",
+            "decode_ok",
+            "pixels_ok",
+            "psnr_db",
+            "caption_ok",
+            "phash_computed",
+            "phash_ok",
+        ],
+        rows,
+    )
+
+
+def golden_phash() -> str:
+    pages = gen_pages(42, 128)
+    rows = []
+    for r in pages.itertuples():
+        px = decode_image(bytes(r.bytes), r.fmt, r.w, r.h)
+        rows.append((r.image_id, int(r.phash), phash64(px)))
+    return values_sql(["image_id", "phash", "phash_computed"], rows)
+
+
+def golden_image_resize() -> str:
+    pages = gen_pages(42, 64)
+    rows = []
+    for r in pages.itertuples():
+        px = decode_image(bytes(r.bytes), r.fmt, r.w, r.h)
+        rz = resize_pixels(px, 16, 16)
+        assert rz.shape == (16, 16, 3)
+        rows.append((r.image_id, 16, 16, r.fmt))
+    return values_sql(
+        ["image_id", "w", "h", "fmt"], rows, int_cols=("w", "h")
+    )
+
+
+def golden_audio_features() -> str:
+    audio = gen_audio(7, 64)
+    rows = []
+    for r in audio.itertuples():
+        wave = fake_decode_audio(bytes(r.bytes), r.n_samples)
+        sr = max(int(r.sample_rate), 1)
+        rows.append(
+            (
+                r.audio_id,
+                len(wave) / sr,
+                float(np.sqrt(np.mean(wave**2))) if len(wave) else 0.0,
+                int(np.count_nonzero(np.diff(np.signbit(wave)))),
+            )
+        )
+    return values_sql(
+        ["audio_id", "duration_s", "rms", "zero_crossings"], rows
+    )
+
+
+def golden_frame_sample() -> str:
+    video = gen_video(9, 32)
+    rows = []
+    for r in video.itertuples():
+        for idx in range(0, int(r.n_frames), 10):
+            rows.append((r.video_id, idx, int(r.w), int(r.h), r.w * r.h * 3))
+    return values_sql(
+        ["video_id", "frame_idx", "w", "h", "n_bytes"],
+        rows,
+        int_cols=("frame_idx", "w", "h", "n_bytes"),
+    )
+
+
+def golden_resume_state() -> str:
+    """Expected 3-batch fetch_log from the pure-Python crawl SIMULATOR
+    (tests/oracle_sim.py — an implementation independent of the engine),
+    over resume_scenario() — the same inputs q_resume_state feeds the
+    Spark crawl loop, including a checkpoint-resume split before the
+    final batch."""
+    from jirlbot_spark.sources.fixtures import resume_scenario
+    from tests.oracle_sim import SimConfig, simulate
+
+    seeds, graph, robots, cfg_kwargs, n_batches = resume_scenario()
+    sim = simulate(seeds, graph, robots, n_batches, SimConfig(**cfg_kwargs))
+    rows = [
+        (
+            e["batch"],
+            e["url"],
+            e["host"],
+            e["seq_in_host"],
+            float(e["planned_at_s"]),
+        )
+        for e in sim.fetch_log
+    ]
+    assert len(rows) >= 25, f"scenario too small: {len(rows)} fetches"
+    return values_sql(
+        ["batch", "url", "host", "seq_in_host", "planned_at_s"],
+        rows,
+        int_cols=("batch", "seq_in_host"),
+    )
+
+
+def main() -> None:
+    goldens = {
+        "image_verify": golden_image_verify(),
+        "phash": golden_phash(),
+        "image_resize": golden_image_resize(),
+        "audio_features": golden_audio_features(),
+        "frame_sample": golden_frame_sample(),
+        "resume_state": golden_resume_state(),
+    }
+    out = Path(__file__).resolve().parent.parent / "jirlbot_spark" / "goldens_sql.py"
+    with out.open("w") as f:
+        f.write(
+            '"""GENERATED by tools/gen_goldens.py — do not edit by hand.\n\n'
+            "Exact DuckDB oracles (VALUES goldens) for driver keys whose\n"
+            "inputs are seeded fixtures rather than the sf parquet tables.\n"
+            "Each expected row was computed by DIRECT function application\n"
+            "(fixture generator + codecs + numpy feature math), so the\n"
+            "driver's side-by-side compare asserts the Spark mapInPandas\n"
+            "plumbing reproduces the direct computation exactly.\n"
+            '"""\n\nGOLDEN_ORACLES = {\n'
+        )
+        for k, sql in goldens.items():
+            f.write(f'    "{k}": """{sql}""",\n')
+        f.write("}\n")
+    print(f"wrote {out} ({out.stat().st_size} bytes)")
+
+
+if __name__ == "__main__":
+    main()
