@@ -380,7 +380,8 @@ def cpu_probe(seconds: float = 2.0) -> float:
     M ops/s an hour apart, with vmstat showing 99% user / ~1% steal both
     times). Any 8-core vs 32-core comparison taken at different moments is
     meaningless without calibration, so every scaling trial records this
-    probe and the efficiency verdict uses the best *interleaved* pair."""
+    probe and the efficiency verdict uses the median probe-balanced
+    lo/hi combination (max kept as supplementary data)."""
     import multiprocessing as mp
 
     def burn(q, secs):
@@ -521,7 +522,9 @@ def scaling_main() -> None:
     # so an efficiency computed from a slow-moment lo-run and a fast-moment
     # hi-run is fiction (it can exceed 1.0). Cross-match every lo-run with
     # every hi-run, keep only probe-BALANCED combinations (speeds within
-    # 20% of each other), and report the best efficiency among those.
+    # 20% of each other), and report the MEDIAN efficiency among those as
+    # the verdict (the max would still favor a lucky-but-within-20% hi
+    # run; it is reported as supplementary data only).
     lo_runs = [t[lo] for t in trials]
     hi_runs = [t[hi] for t in trials]
     candidates = []
@@ -536,7 +539,9 @@ def scaling_main() -> None:
     balanced = [c for c in candidates if 1 / 1.2 <= c["probe_ratio"] <= 1.2]
     if not balanced:  # fall back to the most probe-balanced combination
         balanced = [min(candidates, key=lambda c: abs(c["probe_ratio"] - 1))]
-    bestc = max(balanced, key=lambda c: c["eff"])
+    by_eff = sorted(balanced, key=lambda c: c["eff"])
+    bestc = by_eff[len(by_eff) // 2]  # median balanced pair = the verdict
+    max_eff = by_eff[-1]["eff"]
     effs = [round(t["efficiency"], 3) for t in trials]
     balanced_effs = sorted(round(c["eff"], 3) for c in balanced)
     report = {
@@ -545,6 +550,7 @@ def scaling_main() -> None:
         f"throughput_{lo}": round(bestc["lo"]["urls_per_sec"], 1),
         f"throughput_{hi}": round(bestc["hi"]["urls_per_sec"], 1),
         "efficiency": round(bestc["eff"], 3),
+        "max_balanced_efficiency": round(max_eff, 3),
         "balanced_efficiencies": balanced_effs,
         "interleaved_pair_efficiencies": effs,
         "membw_gbps": membw,
@@ -572,10 +578,11 @@ def scaling_main() -> None:
         f"probe@{hi} | efficiency |\n"
         "| --- | --- | --- | --- | --- | --- |\n"
         f"{rows}\n\n"
-        f"**Scaling efficiency** (best probe-balanced lo/hi combination; "
+        f"**Scaling efficiency** (MEDIAN probe-balanced lo/hi combination; "
         f"probes within 20%) = (thr_{hi}/thr_{lo})/{factor:g} "
         f"= **{bestc['eff']:.3f}** (target >= 0.8 per north rule). "
-        f"Balanced combinations: {balanced_effs}; "
+        f"All balanced combinations: {balanced_effs} "
+        f"(max {max_eff:.3f}, supplementary); "
         f"raw interleaved pairs (incl. contaminated): {effs}.\n\n"
         f"Verdict-pair phase timings (s):\n\n"
         f"- local[{lo}]: {json.dumps({k: round(v, 2) for k, v in bestc['lo']['timings'].items()})}\n"
@@ -595,8 +602,9 @@ def scaling_main() -> None:
         "all-core M int-ops/s measured immediately before each trial; "
         "the same busy loop measured 248 vs 53 M ops/s an hour apart at "
         "99% user CPU). Trials are therefore interleaved (lo,hi) runs, "
-        "and the verdict uses the best PROBE-BALANCED lo/hi combination "
-        "(probe speeds within 20% of each other) — an efficiency computed "
+        "and the verdict uses the MEDIAN PROBE-BALANCED lo/hi combination "
+        "(probe speeds within 20% of each other; the max is supplementary "
+        "data only) — an efficiency computed "
         "from a slow-moment lo-run and a fast-moment hi-run is fiction "
         "(it can exceed 1.0; such contaminated pairs are shown but never "
         "used for the verdict). All trials are shown.\n\n"

@@ -6,10 +6,19 @@ time — SURVEY.md §0 — so the contract is pinned by the IRLbot paper and the
 golden table in tests/test_urls.py):
 
   canonicalize(url, base):
+    - strip ASCII tab/newline/CR anywhere in url and base first (the
+      WHATWG URL rule; also the ONLY char where Python-re '$'/'.' and
+      re2 semantics diverge, so stripping keeps the pandas and Arrow
+      kernels bit-equivalent on dirty link data)
     - resolve relative references against base (scheme-relative, absolute
       path, relative path, query-only)
     - strip the fragment
+    - percent-encoding normalization (RFC 3986 §6.2.2): uppercase %XX
+      hex, decode unreserved escapes (ALPHA / DIGIT / - . _ ~) — done
+      BEFORE dot-segment removal so a decoded %2E participates in it
     - lowercase scheme and host; path/query case preserved
+    - IDN: non-ASCII hosts encode to punycode (xn--) labels; hosts the
+      idna codec rejects are REJECTED rows
     - drop default ports (http:80, https:443)
     - collapse dot-segments ("/./", "/../") in the path
     - empty path -> "/"
@@ -70,6 +79,56 @@ _P_QUERY_CAP = re.compile(r"(\?.*)$")
 _P_LASTSEG = re.compile(r"[^/]*$")
 _P_QF = re.compile(r"[?#].*$")
 _P_BADHOST = re.compile(r"[^a-z0-9.\-:_]")
+_P_CTRL = re.compile(r"[\t\n\r]")
+_P_NONASCII = re.compile(r"[^\x00-\x7f]")
+
+# Percent-encoding normalization tables (shared verbatim with the Arrow
+# kernel — both engines run the SAME pass sequence, so results match even
+# on degenerate inputs like stray '%'s). First 12 passes uppercase the hex
+# digits of every valid %xx escape (6 per digit position; no lookarounds,
+# so re2-compatible), then 66 LITERAL passes decode the unreserved set.
+PCT_UPPER_PASSES: list[tuple[str, str]] = [
+    (f"%{c}([0-9a-fA-F])", f"%{c.upper()}\\1") for c in "abcdef"
+] + [(f"%([0-9A-F]){c}", f"%\\1{c.upper()}") for c in "abcdef"]
+_UNRESERVED = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+PCT_DECODE_LITERALS: list[tuple[str, str]] = [
+    (f"%{ord(ch):02X}", ch) for ch in _UNRESERVED
+]
+_PCT_UPPER_COMPILED = [(re.compile(p), r) for p, r in PCT_UPPER_PASSES]
+
+
+def _strip_ctrl(s: pd.Series) -> pd.Series:
+    if s.str.contains(_P_CTRL, na=False).any():
+        s = s.str.replace(_P_CTRL, "", regex=True)
+    return s
+
+
+def _pct_normalize(s: pd.Series) -> pd.Series:
+    """Uppercase %XX hex + decode unreserved escapes, only over the rows
+    that contain '%' (subset-scatter like _remove_dot_segments)."""
+    m = s.str.contains("%", regex=False, na=False)
+    if not m.any():
+        return s
+    sub = s[m]
+    for pat, rep in _PCT_UPPER_COMPILED:
+        sub = sub.str.replace(pat, rep, regex=True)
+    for lit, rep in PCT_DECODE_LITERALS:
+        sub = sub.str.replace(lit, rep, regex=False)
+    out = s.copy()
+    out[m] = sub
+    return out
+
+
+def idna_encode(host: str) -> str | None:
+    """Punycode-encode one non-ASCII hostname (None = reject). Scalar —
+    called only on the (rare) non-ASCII-host rows via an explicit mask in
+    both kernels; ASCII hosts never reach it."""
+    try:
+        return host.encode("idna").decode("ascii")
+    except Exception:
+        return None
 
 
 def _remove_dot_segments(paths: pd.Series) -> pd.Series:
@@ -102,8 +161,8 @@ def _remove_dot_segments(paths: pd.Series) -> pd.Series:
 
 def resolve_series(urls: pd.Series, bases: pd.Series) -> pd.Series:
     """RFC-3986-style reference resolution, vectorized with masks."""
-    urls = urls.fillna("").str.strip()
-    bases = bases.fillna("").str.strip()
+    urls = _strip_ctrl(urls.fillna("")).str.strip()
+    bases = _strip_ctrl(bases.fillna("")).str.strip()
 
     has_scheme = urls.str.match(_SCHEME_RE)
     if (bases == "").all():
@@ -160,10 +219,15 @@ def canonicalize_series(
     # strip fragment early (it never survives); skip when none present
     if u.str.contains("#", regex=False, na=False).any():
         u = u.str.replace(_P_FRAG, "", regex=True)
+    u = _pct_normalize(u)
 
     parts = u.str.extract(_SPLIT_RE)
     scheme = parts["scheme"].str.lower()
     host = parts["host"].str.lower().str.strip(".")
+    nonascii = host.str.contains(_P_NONASCII, regex=True, na=False)
+    if nonascii.any():
+        host = host.copy()
+        host[nonascii] = [idna_encode(h) for h in host[nonascii]]
     port = parts["port"]
     rest = parts["rest"].fillna("")
 

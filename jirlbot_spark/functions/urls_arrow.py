@@ -10,9 +10,11 @@ object-dtype pandas path and — more importantly for the north rule's
 scaling criterion — moves ~10x fewer bytes through DRAM, so it keeps
 scaling when all cores are busy.
 
-Only the no-base path is implemented (the frontier hot path: seeds and
-bench batches arrive absolute). Relative-reference resolution against a
-base URL stays on the pandas path (prepare.py routes on base_col).
+Both the no-base fast path and full relative-reference resolution run in
+Arrow (resolve_chunk below; prepare.py routes base_col through it). The
+only per-row Python is the idna fallback for the rare non-ASCII hosts.
+Any behavioral divergence from the pandas reference implementation is a
+correctness bug (fuzz-tested, incl. control chars / %-escapes / IDN).
 """
 
 from __future__ import annotations
@@ -21,7 +23,13 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from jirlbot_spark.functions.urls import _TWO_LEVEL_SUFFIXES, MAX_URL_LEN
+from jirlbot_spark.functions.urls import (
+    _TWO_LEVEL_SUFFIXES,
+    MAX_URL_LEN,
+    PCT_DECODE_LITERALS,
+    PCT_UPPER_PASSES,
+    idna_encode,
+)
 
 _SPLIT_PAT = (
     r"^(?P<scheme>[a-zA-Z][a-zA-Z0-9+.\-]*)://"
@@ -46,6 +54,45 @@ _DOT_PASSES = [
 
 def _concat(*parts):
     return pc.binary_join_element_wise(*parts, "")
+
+
+def _strip_ctrl(u: pa.Array) -> pa.Array:
+    """WHATWG control strip (\\t \\n \\r anywhere) — run FIRST in both
+    kernels; '\\n' is also the one character where re2's '$'/'.' semantics
+    diverge from Python re, so stripping it keeps the two implementations
+    bit-equivalent on dirty link data."""
+    if pc.any(pc.match_substring_regex(u, r"[\t\n\r]")).as_py():
+        u = pc.replace_substring_regex(u, r"[\t\n\r]", "")
+    return u
+
+
+def _pct_normalize(u: pa.Array) -> pa.Array:
+    """Same pass sequence as urls._pct_normalize (tables imported from
+    there): 12 re2 uppercase passes, 66 literal unreserved decodes, only
+    over rows containing '%'."""
+    mask = pc.match_substring(u, "%")
+    if not pc.any(mask).as_py():
+        return u
+    sub = pc.filter(u, mask)
+    for pat, rep in PCT_UPPER_PASSES:
+        sub = pc.replace_substring_regex(sub, pat, rep)
+    for lit, rep in PCT_DECODE_LITERALS:
+        sub = pc.replace_substring(sub, lit, rep)
+    return pc.replace_with_mask(u, mask, sub)
+
+
+def _idna_hosts(host: pa.Array) -> pa.Array:
+    """Punycode-encode the (rare) non-ASCII hosts via the shared scalar
+    helper; failures become null (rejected downstream). ASCII rows never
+    leave Arrow."""
+    nonascii = pc.invert(pc.string_is_ascii(host))
+    if not pc.any(nonascii).as_py():
+        return host
+    vals = pc.filter(host, nonascii).to_pylist()
+    enc = pa.array(
+        [None if h is None else idna_encode(h) for h in vals], pa.string()
+    )
+    return pc.replace_with_mask(host, nonascii, enc)
 
 
 def _field(struct, name, fill="") -> pa.Array:
@@ -75,8 +122,8 @@ def resolve_chunk(urls: pa.Array, bases: pa.Array) -> pa.Array:
     mask for mask: scheme-relative (//x), absolute-path (/x), query-only
     (?q), fragment-only (#f), relative-path, empty reference; relative
     refs with no usable base resolve to "" (rejected downstream)."""
-    u = pc.utf8_trim_whitespace(pc.fill_null(urls, ""))
-    b = pc.utf8_trim_whitespace(pc.fill_null(bases, ""))
+    u = pc.utf8_trim_whitespace(_strip_ctrl(pc.fill_null(urls, "")))
+    b = pc.utf8_trim_whitespace(_strip_ctrl(pc.fill_null(bases, "")))
     has_scheme = pc.match_substring_regex(
         u, r"^[a-zA-Z][a-zA-Z0-9+.\-]*:"
     )
@@ -156,15 +203,17 @@ def canonicalize_with_host(
             bases = bases.combine_chunks()
         u = resolve_chunk(urls, bases)
     else:
-        u = pc.utf8_trim_whitespace(pc.fill_null(urls, ""))
+        u = pc.utf8_trim_whitespace(_strip_ctrl(pc.fill_null(urls, "")))
     if pc.any(pc.match_substring(u, "#")).as_py():
         # literal split beats a ".*$"-style regex replace ~2x: the
         # fragment is everything after the FIRST '#', discarded
         u = pc.list_element(pc.split_pattern(u, "#", max_splits=1), 0)
+    u = _pct_normalize(u)
     parts = pc.extract_regex(u, _SPLIT_PAT)
     matched = pc.is_valid(parts)
     scheme = pc.utf8_lower(_field(parts, "scheme"))
     host = pc.utf8_trim(pc.utf8_lower(_field(parts, "host")), ".")
+    host = _idna_hosts(host)
     port = _field(parts, "port")
     rest = _field(parts, "rest")
 

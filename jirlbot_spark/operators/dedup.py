@@ -57,6 +57,7 @@ def classify_batch(
     order_col: str | None = None,
     num_buckets: int = DEFAULT_NUM_BUCKETS,
     bloom_dir: str | None = None,
+    bloom_min_epoch: int | None = None,
 ) -> DataFrame:
     """DRUM CHECK: classify every batch row UNIQUE_KEY / DUPLICATE_KEY.
 
@@ -85,7 +86,8 @@ def classify_batch(
         from jirlbot_spark.operators.membership import MAYBE_COL, bloom_probe
 
         batch = bloom_probe(
-            batch, bloom_dir, key_col=key_col, num_buckets=num_buckets
+            batch, bloom_dir, key_col=key_col, num_buckets=num_buckets,
+            min_epoch=bloom_min_epoch,
         )
     w = Window.partitionBy(key_col).orderBy(SEQ_COL)
     batch = batch.withColumn("__rn", F.row_number().over(w))
@@ -124,6 +126,7 @@ def check_update_agg(
     order_col: str | None = None,
     num_buckets: int = DEFAULT_NUM_BUCKETS,
     bloom_dir: str | None = None,
+    bloom_min_epoch: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """DRUM CHECK_UPDATE, aggregation formulation: returns
     (fresh_first_arrival_rows, new_unique_keys).
@@ -165,7 +168,8 @@ def check_update_agg(
         from jirlbot_spark.operators.membership import MAYBE_COL, bloom_probe
 
         batch = bloom_probe(
-            batch, bloom_dir, key_col=key_col, num_buckets=num_buckets
+            batch, bloom_dir, key_col=key_col, num_buckets=num_buckets,
+            min_epoch=bloom_min_epoch,
         )
         row_cols = [c for c in row_cols if c != MAYBE_COL]
         maybe_flag = MAYBE_COL

@@ -62,6 +62,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -85,7 +86,22 @@ _ERR = np.errstate(over="ignore")
 # a long-lived worker probe with a stale filter missing the latest batch's
 # keys, i.e. Bloom false negatives. A stat() per bucket per Arrow batch
 # (~32 stats / 10k rows) buys exact freshness.
-_FILTER_CACHE: dict[tuple[str, int], np.ndarray] = {}
+_FILTER_CACHE: dict[tuple[str, int], tuple[np.ndarray, int]] = {}
+
+# File format: np.save of uint64 [MAGIC, epoch, bits...]. The embedded
+# epoch is the last-applied committed batch id, which makes every filter
+# file SELF-VALIDATING against the store: on a multi-node cluster with a
+# node-local --bloom-dir, a node that missed earlier batches would
+# otherwise hold a file containing only the batches it saw — and a
+# present-but-incomplete file is precisely the case that produces Bloom
+# FALSE NEGATIVES (re-crawls). With the epoch, a lagging file is detected
+# and treated exactly like an absent one (no information ⇒ maybe ⇒ exact
+# join), the same safe degradation as a missing file. Files AHEAD of the
+# expected epoch (crash after the pre-commit OR) are safe by the standing
+# over-fill argument and are accepted. Headerless/legacy files are
+# treated as absent.
+_MAGIC = np.uint64(0x4A4C424C4F4F4D31)  # "JLBLOOM1"
+_HDR = 2
 
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
@@ -111,7 +127,8 @@ def _bucket_path(dir_path: str, bucket: int) -> str:
     return os.path.join(dir_path, f"bucket_{bucket:05d}.npy")
 
 
-def _load_filter(path: str) -> np.ndarray | None:
+def _load_filter(path: str) -> tuple[np.ndarray, int] | None:
+    """(bits, epoch) of a filter file, or None if absent/unrecognized."""
     try:
         mtime = os.stat(path).st_mtime_ns
     except FileNotFoundError:
@@ -121,13 +138,17 @@ def _load_filter(path: str) -> np.ndarray | None:
         # drop superseded versions of this path before caching the new one
         for k in [k for k in _FILTER_CACHE if k[0] == path]:
             del _FILTER_CACHE[k]
-        _FILTER_CACHE[key] = np.load(path)
+        arr = np.load(path)
+        if len(arr) < _HDR or arr[0] != _MAGIC:
+            return None  # legacy/foreign file: no epoch ⇒ no information
+        _FILTER_CACHE[key] = (arr[_HDR:], int(arr[1]))
     return _FILTER_CACHE[key]
 
 
-def _atomic_save(path: str, bits: np.ndarray) -> None:
+def _atomic_save(path: str, bits: np.ndarray, epoch: int) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
-    np.save(tmp, bits)
+    arr = np.concatenate([np.array([_MAGIC, np.uint64(epoch)]), bits])
+    np.save(tmp, arr)
     os.replace(tmp + ".npy", path)
 
 
@@ -166,6 +187,8 @@ BUILD_STATS_SCHEMA = StructType(
         StructField("n_keys", LongType()),
         StructField("fill_ratio", DoubleType()),
         StructField("path", StringType()),
+        StructField("epoch", LongType()),
+        StructField("stale", BooleanType()),
     ]
 )
 
@@ -176,18 +199,59 @@ def _build_or_update(
     log2_bits: int,
     num_hashes: int,
     update: bool,
+    epoch: int,
+    expected_prev: int | None,
 ):
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         bucket = int(pdf["bucket"].iloc[0])
         path = _bucket_path(dir_path, bucket)
         bits = None
-        if update and os.path.exists(path):
-            bits = np.load(path)  # fresh read — never OR into a cached copy
+        file_epoch = None
+        file_exists = update and os.path.exists(path)
+        if file_exists:
+            # fresh read — never OR into a cached copy
+            arr = np.load(path)
+            if len(arr) >= _HDR and arr[0] == _MAGIC:
+                bits, file_epoch = arr[_HDR:].copy(), int(arr[1])
+        if update:
+            # a present file we cannot vouch for (headerless/legacy, or —
+            # under the epoch contract — outside [expected_prev, epoch])
+            # must become ABSENT, never fresh-overwritten from one batch
+            lagging = (file_exists and bits is None) or (
+                expected_prev is not None
+                and (
+                    (bits is None and expected_prev >= 0)
+                    or (
+                        file_epoch is not None
+                        and not (expected_prev <= file_epoch <= epoch)
+                    )
+                )
+            )
+            if lagging:
+                # this node's file missed committed batches (or is from
+                # another lineage): an incremental OR would leave a
+                # present-but-incomplete filter = Bloom false negatives.
+                # Make it ABSENT instead (missing file ⇒ "maybe" ⇒ exact
+                # join — safe); build_bloom_files re-bootstraps it.
+                try:
+                    os.remove(path)
+                except FileNotFoundError:
+                    pass
+                return pd.DataFrame(
+                    {
+                        "bucket": [bucket],
+                        "n_keys": [0],
+                        "fill_ratio": [0.0],
+                        "path": [path],
+                        "epoch": [-1],
+                        "stale": [True],
+                    }
+                )
         if bits is None:
             bits = np.zeros(1 << max(log2_bits - 6, 0), dtype=_U64)
         keys = pdf[key_col].to_numpy(dtype=np.int64)
         _set_bits(bits, keys, _log2_of(bits), num_hashes)
-        _atomic_save(path, bits)
+        _atomic_save(path, bits, epoch)
         fill = float(np.unpackbits(bits.view(np.uint8)).mean())
         return pd.DataFrame(
             {
@@ -195,6 +259,8 @@ def _build_or_update(
                 "n_keys": [len(keys)],
                 "fill_ratio": [fill],
                 "path": [path],
+                "epoch": [epoch],
+                "stale": [False],
             }
         )
 
@@ -208,8 +274,10 @@ def build_bloom_files(
     num_buckets: int = DEFAULT_NUM_BUCKETS,
     log2_bits: int = DEFAULT_LOG2_BITS,
     num_hashes: int = DEFAULT_NUM_HASHES,
+    epoch: int = 0,
 ) -> pd.DataFrame:
-    """(Re)build one filter file per bucket from the full store. One task
+    """(Re)build one filter file per bucket from the full store, stamped
+    with `epoch` (the batch id the store is committed through). One task
     per bucket (groupBy shuffle on the bucket id), atomic per-file replace.
     Returns per-bucket stats; fill_ratio > ~0.5 means undersized filters
     (raise log2_bits and rebuild — FP rate degrades, correctness never)."""
@@ -219,7 +287,9 @@ def build_bloom_files(
         F.pmod(F.col(key_col), F.lit(num_buckets)).cast("int").alias("bucket"),
     )
     stats = keyed.groupBy("bucket").applyInPandas(
-        _build_or_update(dir_path, key_col, log2_bits, num_hashes, False),
+        _build_or_update(
+            dir_path, key_col, log2_bits, num_hashes, False, epoch, None
+        ),
         schema=BUILD_STATS_SCHEMA,
     )
     return stats.toPandas()
@@ -232,9 +302,22 @@ def update_bloom_files(
     num_buckets: int = DEFAULT_NUM_BUCKETS,
     log2_bits: int = DEFAULT_LOG2_BITS,
     num_hashes: int = DEFAULT_NUM_HASHES,
+    epoch: int = 0,
+    expected_prev: int | None = None,
 ) -> pd.DataFrame:
     """Incremental OR of a batch's newly-unique keys into the bucket files
     — the per-batch DRUM merge analog; cost O(batch), not O(store).
+
+    Epoch contract (multi-node safety): with `expected_prev` given, a
+    bucket file is only ORed into when its embedded epoch is in
+    [expected_prev, epoch] (== epoch covers an idempotent crash re-run;
+    ahead-of-expected is safe by the over-fill argument). A LAGGING or
+    missing file under expected_prev >= 0 is deleted and skipped
+    (stale=True in the stats) — never fresh-built from just this batch,
+    which would create a present-but-incomplete filter and hence Bloom
+    false negatives on this node. expected_prev = -1 bootstraps fresh
+    files (empty store), expected_prev = None skips validation entirely
+    (single-node / shared-dir legacy mode).
 
     Single-writer discipline (one driver loop commits batches serially, as
     the storage manifest already requires) — concurrent updaters could
@@ -245,7 +328,10 @@ def update_bloom_files(
         F.pmod(F.col(key_col), F.lit(num_buckets)).cast("int").alias("bucket"),
     )
     stats = keyed.groupBy("bucket").applyInPandas(
-        _build_or_update(dir_path, key_col, log2_bits, num_hashes, True),
+        _build_or_update(
+            dir_path, key_col, log2_bits, num_hashes, True, epoch,
+            expected_prev,
+        ),
         schema=BUILD_STATS_SCHEMA,
     )
     return stats.toPandas()
@@ -259,13 +345,17 @@ def bloom_probe(
     log2_bits: int = DEFAULT_LOG2_BITS,
     num_hashes: int = DEFAULT_NUM_HASHES,
     out_col: str = MAYBE_COL,
+    min_epoch: int | None = None,
 ) -> DataFrame:
     """Attach `out_col`: False ⇒ key certainly NOT in the store; True ⇒
     maybe (resolve with the exact join). mapInPandas — no shuffle; filter
     files load once per worker process, cached by (path, mtime). A missing
-    bucket file means "no information" ⇒ True for that bucket's rows.
-    Address width comes from each file (self-describing); `log2_bits` is
-    accepted for signature symmetry but never trusted for probing."""
+    bucket file means "no information" ⇒ True for that bucket's rows, and
+    with `min_epoch` given, so does a file whose embedded epoch is older
+    than min_epoch (a node-local file that missed committed batches —
+    probing it would yield false negatives). Address width comes from
+    each file (self-describing); `log2_bits` is accepted for signature
+    symmetry but never trusted for probing."""
     from pyspark.sql.types import BooleanType
 
     schema = StructType(
@@ -280,10 +370,13 @@ def bloom_probe(
             buckets = keys % num_buckets  # matches F.pmod for positive K
             maybe = np.ones(len(pdf), dtype=bool)
             for b in np.unique(buckets):
-                bits = _load_filter(_bucket_path(dir_path, int(b)))
+                loaded = _load_filter(_bucket_path(dir_path, int(b)))
                 sel = buckets == b
-                if bits is None:
+                if loaded is None:
                     continue  # no file -> no information -> maybe
+                bits, file_epoch = loaded
+                if min_epoch is not None and file_epoch < min_epoch:
+                    continue  # lagging file ≡ absent (false-neg guard)
                 maybe[sel] = _test_bits(bits, keys[sel], num_hashes)
             out = pdf.copy()
             out[out_col] = maybe

@@ -141,6 +141,9 @@ class CrawlLoop:
             order_col="depth",
             num_buckets=self.cfg.num_buckets,
             bloom_dir=self.cfg.bloom_dir,
+            # only trust sidecar files that reflect every committed batch
+            # (node-local dirs on a cluster can lag; membership.py epochs)
+            bloom_min_epoch=self.store.last_batch(),
         )
         fresh = fresh.drop("__seq").withColumn(
             "enqueue_batch", F.lit(batch_id).cast("int")
@@ -177,10 +180,18 @@ class CrawlLoop:
         new_keys = self.spark.read.parquet(
             os.path.join(self.store.root, "url_seen", runs["url_seen"])
         )
+        # pre_commit runs BEFORE the manifest swap, so last_batch() is
+        # still the previous committed batch: files must be at exactly
+        # that epoch (or already at prev+1 from a crashed re-run) to be
+        # ORed into; anything else is lagging and gets invalidated
+        # rather than fresh-built from this one batch (membership.py)
+        prev = self.store.last_batch()
         update_bloom_files(
             new_keys,
             self.cfg.bloom_dir,
             num_buckets=self.cfg.num_buckets,
+            epoch=prev + 1,
+            expected_prev=prev,
         )
 
     # ---- one crawl pass ----

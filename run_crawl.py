@@ -68,6 +68,27 @@ def main(argv: list[str] | None = None) -> int:
         seeds = spark.read.text(args.seeds).withColumnRenamed("value", "url")
         n = loop.ingest_seeds(seeds)
         print(json.dumps({"event": "seeded", "frontier_rows": n}))
+    elif args.bloom_dir and store.last_batch() >= 0 and store.exists(
+        "url_seen"
+    ):
+        # Resuming with a (possibly node-local, possibly empty/stale)
+        # sidecar dir: rebuild the filters from the committed store so
+        # they carry the current epoch — the loop's epoch validation
+        # (membership.py) refuses to OR into lagging files, which is
+        # safe but leaves the fast path dark until a rebuild like this.
+        from jirlbot_spark.operators.membership import build_bloom_files
+
+        stats = build_bloom_files(
+            store.read("url_seen"),
+            args.bloom_dir,
+            num_buckets=args.num_buckets,
+            epoch=store.last_batch(),
+        )
+        print(json.dumps({
+            "event": "bloom_rebuilt",
+            "buckets": int(len(stats)),
+            "epoch": store.last_batch(),
+        }))
 
     for st in loop.run(args.batches):
         print(json.dumps({"event": "batch", **st}))

@@ -258,13 +258,21 @@ if _HAVE_HYP:
         ),
         max_size=80,
     )
+    # dirty-heavy alphabet: forces the classes where the two regex engines
+    # could diverge (control chars, %-escapes, unicode hosts, separators)
+    dirty_text = st.lists(
+        st.sampled_from(
+            list("\t\n\r%2aAfF#?/.:~_-üÜßé日") + ["%2e", "%41", "%a", "\n#"]
+        ),
+        max_size=16,
+    ).map("".join)
     urlish = st.one_of(
         url_text,
         st.builds(
             lambda scheme, host, rest: f"{scheme}://{host}{rest}",
             st.sampled_from(["http", "https", "HTTP", "ftp", "a+b-c."]),
-            url_text,
-            url_text,
+            st.one_of(url_text, dirty_text),
+            st.one_of(url_text, dirty_text),
         ),
     )
 

@@ -108,3 +108,67 @@ def test_classification_equivalence(spark, tmp_path, with_batch_dups):
         assert by[(11, 6)] == DUPLICATE_KEY  # second in-batch arrival
         assert by[(99, 5)] == UNIQUE_KEY
         assert by[(99, 8)] == DUPLICATE_KEY
+
+
+# ---- epoch self-validation (multi-node node-local dir safety) ----
+
+def test_epoch_lagging_file_probes_as_absent(spark, tmp_path):
+    """A sidecar file that missed committed batches must degrade to
+    'no information' (all maybe), never produce Bloom false negatives."""
+    d = str(tmp_path / "bloom_epoch")
+    build_bloom_files(
+        _keys_df(spark, range(100)), d, num_buckets=4, log2_bits=LOG2,
+        epoch=3,
+    )
+    probed = bloom_probe(
+        _keys_df(spark, range(100, 140)), d, num_buckets=4, min_epoch=5
+    ).toPandas()
+    assert probed["__maybe_seen"].all()  # lagging (3 < 5) => all maybe
+    probed_ok = bloom_probe(
+        _keys_df(spark, range(100, 140)), d, num_buckets=4, min_epoch=3
+    ).toPandas()
+    assert not probed_ok["__maybe_seen"].all()  # fresh file filters again
+
+
+def test_epoch_update_refuses_fresh_build_on_lag(spark, tmp_path):
+    """update with expected_prev >= 0 over a MISSING file must not create a
+    batch-only filter (the false-negative trap on a node that missed prior
+    batches); it invalidates instead. expected_prev=-1 bootstraps."""
+    import os
+
+    d = str(tmp_path / "bloom_lag")
+    stats = update_bloom_files(
+        _keys_df(spark, range(50)), d, num_buckets=2, log2_bits=LOG2,
+        epoch=4, expected_prev=3,
+    )
+    assert stats["stale"].all()
+    assert not any(f.endswith(".npy") for f in os.listdir(d))
+    # bootstrap path: empty store, expected_prev=-1
+    stats0 = update_bloom_files(
+        _keys_df(spark, range(50)), d, num_buckets=2, log2_bits=LOG2,
+        epoch=0, expected_prev=-1,
+    )
+    assert not stats0["stale"].any()
+    # next batch ORs in and advances the epoch
+    stats1 = update_bloom_files(
+        _keys_df(spark, range(50, 80)), d, num_buckets=2, log2_bits=LOG2,
+        epoch=1, expected_prev=0,
+    )
+    assert not stats1["stale"].any()
+    assert (stats1["epoch"] == 1).all()
+    probed = bloom_probe(
+        _keys_df(spark, range(80)), d, num_buckets=2, min_epoch=1
+    ).toPandas()
+    assert probed["__maybe_seen"].all()  # every stored key still maybe
+    # crash re-run of batch 1 (file already at epoch 1) is idempotent
+    stats_re = update_bloom_files(
+        _keys_df(spark, range(50, 80)), d, num_buckets=2, log2_bits=LOG2,
+        epoch=1, expected_prev=0,
+    )
+    assert not stats_re["stale"].any()
+    # a file two epochs ahead of expected is out of contract -> stale
+    stats_bad = update_bloom_files(
+        _keys_df(spark, range(10)), d, num_buckets=2, log2_bits=LOG2,
+        epoch=0, expected_prev=-1,
+    )
+    assert stats_bad["stale"].all()

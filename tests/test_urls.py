@@ -43,6 +43,23 @@ CANON_CASES = [
     ("", "http://base.org/dir/page", "http://base.org/dir/page"),
     # port carried through base
     ("/x", "http://base.org:8080/a", "http://base.org:8080/x"),
+    # control characters: \t \n \r stripped anywhere (WHATWG), incl. the
+    # re2-vs-Python-re '$'-before-newline divergence cases (ADVICE r1)
+    ("http://x.com/#a\nb", "", "http://x.com/"),
+    ("http://x.com/a?q\n#f", "", "http://x.com/a?q"),
+    ("http://x.com/\na", "", "http://x.com/a"),
+    ("http://x\t.com/\r", "", "http://x.com/"),
+    # percent-encoding normalization (RFC 3986 §6.2.2)
+    ("http://x.com/a%3fb", "", "http://x.com/a%3Fb"),
+    ("http://x.com/%41%62c", "", "http://x.com/Abc"),
+    ("http://x.com/%7euser", "", "http://x.com/~user"),
+    ("http://x.com/a%2Fb?x=%2d", "", "http://x.com/a%2Fb?x=-"),
+    ("http://x.com/a/%2e%2e/b", "", "http://x.com/b"),  # decoded dot-segs
+    ("http://x.com/%zz", "", "http://x.com/%zz"),  # invalid escape kept
+    # IDN hosts -> punycode labels
+    ("http://müller.de/x", "", "http://xn--mller-kva.de/x"),
+    ("http://bücher.example.co.uk/", "", "http://xn--bcher-kva.example.co.uk/"),
+    ("http://xn--mller-kva.de/x", "", "http://xn--mller-kva.de/x"),
     # rejects
     ("ftp://example.com/file", "", REJECT),
     ("mailto:a@b.com", "", REJECT),
