@@ -5,14 +5,15 @@ The input contract (BASELINE.json:15) is an image+caption table
 invariant: decoded pixels allclose vs the source (PSNR>=40 dB for lossy
 formats) and caption equality.
 
-No PIL in this sandbox, so the codecs are self-contained numpy+zlib:
+No PIL in this sandbox, so the codecs are self-contained numpy+stdlib:
   - png: real PNG (IHDR/IDAT/IEND, 8-bit RGB, filter 0; decoder handles
     filters 0-2) — lossless, exact-match invariant
   - bmp: 24-bit BI_RGB bottom-up with row padding — lossless
   - raw: w*h*3 bytes row-major RGB — lossless
-  - jpeg: gated on an importable codec (`PIL` / `imageio`); absent here,
-    the encode path raises NotImplementedError and tests skip — the
-    PSNR>=40dB branch of the invariant activates only with a codec.
+  - jpeg: real baseline JPEG (functions/jpeg.py: DCT + quantization +
+    optimized Huffman, pure numpy) — LOSSY, activating the mandated
+    PSNR>=40dB branch of the per-row invariant; default quality 98
+    keeps fixture-content PSNR >= ~43 dB.
 
 phash: classic DCT hash — resize to 32x32 grayscale (area mean-pool),
 2D DCT-II, top-left 8x8 minus DC, median threshold -> 64-bit int. Pure
@@ -31,15 +32,8 @@ import numpy as np
 import pandas as pd
 
 LOSSLESS_FMTS = ("png", "bmp", "raw")
-
-
-def _jpeg_codec():
-    try:  # pragma: no cover - absent in sandbox
-        from PIL import Image  # noqa: F401
-
-        return Image
-    except ImportError:
-        return None
+LOSSY_FMTS = ("jpeg",)
+JPEG_QUALITY = 98  # fixture-content PSNR >= ~43 dB (invariant floor: 40)
 
 
 # ---------- PNG ----------
@@ -161,14 +155,9 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     if fmt == "raw":
         return encode_raw(pixels)
     if fmt == "jpeg":
-        codec = _jpeg_codec()
-        if codec is None:
-            raise NotImplementedError("no JPEG codec available in sandbox")
-        import io
+        from jirlbot_spark.functions.jpeg import encode_jpeg
 
-        buf = io.BytesIO()
-        codec.fromarray(pixels).save(buf, "JPEG", quality=95)
-        return buf.getvalue()
+        return encode_jpeg(pixels, quality=JPEG_QUALITY)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -180,12 +169,9 @@ def decode_image(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
     if fmt == "raw":
         return decode_raw(data, w, h)
     if fmt == "jpeg":
-        codec = _jpeg_codec()
-        if codec is None:
-            raise NotImplementedError("no JPEG codec available in sandbox")
-        import io
+        from jirlbot_spark.functions.jpeg import decode_jpeg
 
-        return np.asarray(codec.open(io.BytesIO(data)).convert("RGB"))
+        return decode_jpeg(data)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 

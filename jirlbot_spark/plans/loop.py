@@ -345,6 +345,21 @@ class CrawlLoop:
             "priority",
             F.col("image_id"),
         )
+        # payload verification (north rule: per-row decoded-pixel +
+        # caption invariant inside the fetch microbatch). Verified per
+        # DISTINCT image payload: N frontier URLs can map to one image,
+        # and decode cost must scale with |images fetched|, not |URLs|.
+        verify_log = None
+        if self.pages is not None:
+            from jirlbot_spark.operators.fetch import verify_payload
+
+            payloads = fetched.filter(
+                F.col("bytes").isNotNull()
+            ).dropDuplicates(["image_id"])
+            verify_log = verify_payload(payloads).withColumn(
+                "batch", F.lit(j)
+            )
+
         n_fetched = fetched.count()
         metrics = fetched.groupBy(
             F.lit(j).alias("batch"), F.spark_partition_id().alias("partition_id")
@@ -362,6 +377,8 @@ class CrawlLoop:
                 new_robots.select("host_hash")
             ),
         }
+        if verify_log is not None:
+            writes["verify_log"] = TableWrite(verify_log)
         if uniques is not None:
             writes["url_seen"] = TableWrite(uniques, partition_by=("bucket",))
         if new_edges is not None:

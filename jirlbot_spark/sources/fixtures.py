@@ -72,6 +72,38 @@ def gen_pages(seed: int, n: int) -> pd.DataFrame:
     return pd.DataFrame.from_records(recs)
 
 
+def gen_pages_lossy(seed: int, n: int) -> pd.DataFrame:
+    """Image+caption pages in the input-hint shape PLUS a `ref_pixels`
+    column (raw w*h*3 RGB of the true pixels). Two of three rows are JPEG
+    (the engine's own baseline codec — lossy, exercising the PSNR>=40dB
+    branch of the payload invariant); the rest PNG (exact branch). The
+    reference column is what verify_payload measures decoded pixels
+    against, per the north rule."""
+    rng = np.random.default_rng(seed)
+    fmts = ["jpeg", "jpeg", "png"]
+    recs = []
+    for idx in range(n):
+        w = int(rng.choice([16, 32, 64]))
+        h = int(rng.choice([16, 32, 64]))
+        fmt = fmts[idx % len(fmts)]
+        px = gen_pixels(rng, w, h)
+        words = " ".join(rng.choice(_WORDS, size=5))
+        image_id = f"img{idx:010d}"
+        recs.append(
+            {
+                "image_id": image_id,
+                "bytes": encode_image(px, fmt),
+                "w": w,
+                "h": h,
+                "fmt": fmt,
+                "caption": f"caption of {image_id}: {words}",
+                "phash": phash64(px),
+                "ref_pixels": px.tobytes(),
+            }
+        )
+    return pd.DataFrame.from_records(recs)
+
+
 def gen_seed_urls(seed: int, n_sites: int) -> pd.DataFrame:
     rng = np.random.default_rng(seed + 1)
     rows = []

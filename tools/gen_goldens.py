@@ -100,6 +100,44 @@ def golden_image_verify() -> str:
     )
 
 
+def golden_image_verify_lossy() -> str:
+    from jirlbot_spark.functions.images import hamming64, psnr
+    from jirlbot_spark.operators.fetch import (
+        PHASH_LOSSY_MAX_HAMMING,
+        PSNR_LOSSY_MIN_DB,
+    )
+    from jirlbot_spark.sources.fixtures import gen_pages_lossy
+
+    pages = gen_pages_lossy(43, 96)
+    rows = []
+    for r in pages.itertuples():
+        px = decode_image(bytes(r.bytes), r.fmt, r.w, r.h)
+        ref = np.frombuffer(r.ref_pixels, np.uint8).reshape(r.h, r.w, 3)
+        ph = phash64(px)
+        if r.fmt == "png":
+            exact = bool(np.array_equal(px, ref))
+            pixels_ok, p = exact, float("inf") if exact else psnr(ref, px)
+            phash_ok = ph == r.phash
+        else:
+            p = psnr(ref, px)
+            pixels_ok = p >= PSNR_LOSSY_MIN_DB
+            phash_ok = hamming64(ph, r.phash) <= PHASH_LOSSY_MAX_HAMMING
+        assert pixels_ok, f"{r.image_id} {r.fmt} psnr={p}"
+        rows.append((r.image_id, True, pixels_ok, p, True, ph, phash_ok))
+    return values_sql(
+        [
+            "image_id",
+            "decode_ok",
+            "pixels_ok",
+            "psnr_db",
+            "caption_ok",
+            "phash_computed",
+            "phash_ok",
+        ],
+        rows,
+    )
+
+
 def golden_phash() -> str:
     pages = gen_pages(42, 128)
     rows = []
@@ -186,6 +224,7 @@ def golden_resume_state() -> str:
 def main() -> None:
     goldens = {
         "image_verify": golden_image_verify(),
+        "image_verify_lossy": golden_image_verify_lossy(),
         "phash": golden_phash(),
         "image_resize": golden_image_resize(),
         "audio_features": golden_audio_features(),
