@@ -105,3 +105,70 @@ def test_politeness_min_delay_floor(spark):
         key=lambda r: r.seq_in_host,
     )
     assert out[1].planned_at_s - out[0].planned_at_s == 1.5
+
+
+# ---- HTTP fetch backend (injected transport + virtual clock) ----
+
+def test_http_fetch_honors_politeness_schedule(spark):
+    """Per-host serialization + planned_at_s spacing: each host's rows
+    fetch in schedule order, never before their planned offset, and the
+    injected transport's payloads come back row-for-row. Transport and
+    clock factory are LOCAL closures (cloudpickle ships them by value to
+    the workers — the same way a cluster user would inject them)."""
+    from jirlbot_spark.operators.fetch import http_fetch
+    from jirlbot_spark.operators.politeness import politeness_schedule
+
+    def virtual_clock_factory():
+        # per-task virtual clock starting at 0; sleeper advances exactly,
+        # and every clock() read costs 1ms (a deterministic fetch-cost
+        # model) - makes politeness enforcement assertable offline
+        state = {"t": 0.0}
+
+        def clock():
+            state["t"] += 0.001
+            return state["t"]
+
+        def sleeper(dt):
+            state["t"] += dt
+
+        return clock, sleeper
+
+    def fake_transport(url):
+        return {
+            "status": 200,
+            "content_type": "text/html",
+            "body": f'<a href="{url}/next">x</a>'.encode(),
+        }
+
+    rows = [
+        (f"http://h{h}.com/p{i}", f"h{h}.com", h * 1000 + i, float(i), 2.0)
+        for h in range(3)
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, host string, url_hash long, prio double, "
+        "crawl_delay double"
+    )
+    sched = politeness_schedule(
+        df, host_col="host", priority_col="prio", key_col="url_hash",
+        delay_col="crawl_delay", min_delay_s=1.0,
+    )
+    out = http_fetch(
+        sched,
+        transport=fake_transport,
+        clock_factory=virtual_clock_factory,
+    ).toPandas()
+    assert len(out) == 15
+    assert (out["status"] == 200).all()
+    for _, r in out.iterrows():
+        assert r["body"].decode().startswith(f'<a href="{r["url"]}')
+    for host, grp in out.groupby("host"):
+        g = grp.sort_values("seq_in_host")
+        # fetched in schedule order on a per-host serial clock...
+        assert g["fetched_at_s"].is_monotonic_increasing
+        # ...never before the planned offset...
+        assert (g["fetched_at_s"] >= g["planned_at_s"]).all()
+        # ...and consecutive fetches are >= the 2s crawl delay apart
+        # (minus the 1ms-per-clock-read fetch-cost model's jitter)
+        gaps = g["fetched_at_s"].diff().dropna()
+        assert (gaps >= 1.99).all(), (host, gaps.tolist())
