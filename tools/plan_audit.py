@@ -158,7 +158,42 @@ def main() -> None:
         )
     )
 
+    # --- similarity: blocked-exact self-join and block-matmul top-k must
+    # not plan as CartesianProduct / BroadcastNestedLoopJoin
+    import __spark_entry__ as entry
+
+    embed_plan = capture_plan(entry.q_dedup_embed(spark, SF))
+    sections.append(
+        (
+            "Embedding near-dup (blocked_neardup_exact)",
+            "Exact all-pairs cosine>=t via block-nested applyInPandas "
+            "self-join: rows replicate to B partner groups via a JVM "
+            "explode (n·B shuffle rows), each group scores as one numpy "
+            "matmul. The point of the audit: NO CartesianProduct / "
+            "BroadcastNestedLoopJoin anywhere in the executed plan — the "
+            "n² formulation this replaced planned as a crossJoin.",
+            embed_plan,
+        )
+    )
+    ann_plan = capture_plan(entry.q_ann_topk(spark, SF))
+    sections.append(
+        (
+            "ANN brute top-k (brute_topk operator)",
+            "Corpus blocks × query matrix inside mapInPandas; the "
+            "shuffle carries only |Q|·k·P candidate rows into the global "
+            "top-k window — vectors never shuffle, and no "
+            "CartesianProduct appears.",
+            ann_plan,
+        )
+    )
+
     checks = {
+        "dedup_embed executes with NO CartesianProduct/NestedLoop":
+        "CartesianProduct" not in embed_plan
+        and "BroadcastNestedLoopJoin" not in embed_plan,
+        "ann_topk executes with NO CartesianProduct/NestedLoop":
+        "CartesianProduct" not in ann_plan
+        and "BroadcastNestedLoopJoin" not in ann_plan,
         "PushedFilters with IsNotNull/GreaterThan on scan": "PushedFilters: ["
         in sections[0][2]
         and "GreaterThan" in sections[0][2],
