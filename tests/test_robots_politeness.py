@@ -172,3 +172,63 @@ def test_http_fetch_honors_politeness_schedule(spark):
         # (minus the 1ms-per-clock-read fetch-cost model's jitter)
         gaps = g["fetched_at_s"].diff().dropna()
         assert (gaps >= 1.99).all(), (host, gaps.tolist())
+
+
+def test_robots_rfc9309_grammar(spark):
+    """Allow + wildcard + $ anchor + per-UA groups + comments + grouped
+    consecutive UA lines, end to end: parse -> check."""
+    from jirlbot_spark.operators.robots import (
+        parse_robots_txt_df,
+        robots_check,
+    )
+
+    body = "\n".join([
+        "# global section",
+        "User-agent: *",
+        "Disallow: /private",
+        "Crawl-delay: 2",
+        "",
+        "User-agent: googlebot",
+        "User-agent: jirlbot   # grouped UA lines share rules",
+        "Disallow: /img/*.gif$",
+        "Disallow: /Cgi-Bin/",
+        "Allow: /img/public",
+        "Crawl-delay: 5",
+    ])
+    raw = spark.createDataFrame([("h1.com", body)], "host string, body string")
+
+    # as the star agent: only the * group applies
+    star = parse_robots_txt_df(raw).collect()[0]
+    assert star["disallow"] == ["/private"]
+    assert star["allow"] == []
+    assert star["crawl_delay"] == 2.0
+
+    # as jirlbot: the specific group wins over *
+    mine = parse_robots_txt_df(raw, user_agent="jirlbot/1.0").collect()[0]
+    assert sorted(mine["disallow"]) == ["/Cgi-Bin/", "/img/*.gif$"]
+    assert mine["allow"] == ["/img/public"]
+    assert mine["crawl_delay"] == 5.0
+
+    parsed = parse_robots_txt_df(raw, user_agent="jirlbot/1.0").withColumn(
+        "host_hash", F.lit(1).cast("long")
+    )
+    urls = spark.createDataFrame(
+        [
+            (1, 1, "/img/cat.gif"),        # wildcard + $ -> FAIL
+            (2, 1, "/img/cat.gif?x=1"),    # $ anchor: query breaks match -> PASS
+            (3, 1, "/img/public/cat.gif"), # allow (13) beats disallow (11) -> PASS
+            (4, 1, "/Cgi-Bin/x"),          # case-sensitive prefix -> FAIL
+            (5, 1, "/cgi-bin/x"),          # different case -> PASS
+            (6, 1, "/private/x"),          # star group's rule NOT applied -> PASS
+            (7, 2, "/anything"),           # unknown host -> UNKNOWN
+        ],
+        "url_id long, host_hash long, path string",
+    )
+    out = {
+        r["url_id"]: r["robots_status"]
+        for r in robots_check(urls, parsed).collect()
+    }
+    assert out == {
+        1: "FAIL", 2: "PASS", 3: "PASS", 4: "FAIL",
+        5: "PASS", 6: "PASS", 7: "UNKNOWN",
+    }
