@@ -353,12 +353,17 @@ class CrawlLoop:
         if self.pages is not None:
             from jirlbot_spark.operators.fetch import verify_payload
 
-            payloads = fetched.filter(
-                F.col("bytes").isNotNull()
-            ).dropDuplicates(["image_id"])
-            verify_log = verify_payload(payloads).withColumn(
-                "batch", F.lit(j)
+            # distinct on the NARROW image_id column, then re-attach the
+            # payload from the pages table (broadcastable) — never
+            # shuffle image bytes just to dedupe them
+            ids = (
+                fetched.filter(F.col("bytes").isNotNull())
+                .select("image_id")
+                .dropDuplicates(["image_id"])
             )
+            verify_log = verify_payload(
+                ids.join(self.pages, "image_id")
+            ).withColumn("batch", F.lit(j))
 
         n_fetched = fetched.count()
         metrics = fetched.groupBy(
