@@ -69,8 +69,11 @@ BENCH_QUERY_KEYS = [
     "link_explode",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_embed",
     "ann_topk",
+    "json_props",
     "image_verify",
+    "image_verify_lossy",
 ]
 
 

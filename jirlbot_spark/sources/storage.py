@@ -175,7 +175,7 @@ class TableStore:
         for d in old:
             shutil.rmtree(os.path.join(self.root, name, d), ignore_errors=True)
 
-    def gc_orphans(self) -> list[str]:
+    def gc_orphans(self) -> list[str]:  # noqa: C901 - simple walk
         """Remove data dirs no manifest references (post-crash cleanup)."""
         live = {
             os.path.join(name, d)
@@ -193,3 +193,128 @@ class TableStore:
                     shutil.rmtree(os.path.join(self.root, rel), ignore_errors=True)
                     removed.append(rel)
         return removed
+
+
+class IcebergTableStore(TableStore):
+    """TableStore over an Iceberg catalog (cluster path; capability-gated).
+
+    Design: Iceberg commits are atomic PER TABLE, but a crawl batch must
+    commit SEVERAL tables together (frontier + url_seen + logs) for exact
+    resume. So the JSON manifest stays the single atomic commit point —
+    what changes is what it records: instead of parquet run directories,
+    it pins each table to the Iceberg SNAPSHOT ID its batch write
+    produced. Readers time-travel to the pinned snapshot
+    (`VERSION AS OF`), so uncommitted Iceberg appends from a crashed
+    batch are invisible exactly like orphan run dirs are, and Iceberg
+    provides the file management (manifest lists, partition stats,
+    `rewrite_data_files` compaction) at 10^10-row scale.
+
+    Sandbox gate: pyspark ships no Iceberg runtime jar here, so the
+    constructor raises unless the session has a `spark.sql.catalog.*`
+    configured (session.get_spark wires one from
+    SPARK_GRAFT_ICEBERG_WAREHOUSE); the parquet TableStore is the tested
+    stand-in with the same interface.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        catalog: str = "jirlbot",
+        namespace: str = "crawl",
+    ):
+        impl = spark.conf.get(f"spark.sql.catalog.{catalog}", None)
+        if not impl:
+            raise NotImplementedError(
+                f"STUB-GATE: no Iceberg catalog '{catalog}' configured in "
+                "this session (set SPARK_GRAFT_ICEBERG_WAREHOUSE and ship "
+                "the iceberg-spark-runtime jar); use TableStore (parquet) "
+                "in the sandbox"
+            )
+        super().__init__(spark, root)  # root still holds the manifest
+        self.catalog = catalog
+        self.namespace = namespace
+        spark.sql(
+            f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}"
+        )
+
+    def _tbl(self, name: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{name}"
+
+    def _last_snapshot(self, name: str) -> int:
+        row = self.spark.sql(
+            f"SELECT snapshot_id FROM {self._tbl(name)}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        return int(row[0][0])
+
+    def read(self, name: str) -> DataFrame | None:
+        snap = self.manifest()["tables"].get(name)
+        if not snap:
+            return None
+        return self.spark.read.option("snapshot-id", int(snap[0])).table(
+            self._tbl(name)
+        )
+
+    def commit_batch(
+        self,
+        batch_id: int,
+        writes: dict[str, TableWrite],
+        pre_commit=None,
+    ) -> dict[str, str]:
+        m = self.manifest()
+        if batch_id <= m["batch_id"]:
+            raise ValueError(
+                f"batch {batch_id} already committed (last={m['batch_id']})"
+            )
+        tables = dict(m["tables"])
+        runs_written: dict[str, str] = {}
+        for name, w in writes.items():
+            df, tbl = w.df, self._tbl(name)
+            if w.mode == "append" and df.isEmpty():
+                continue
+            if w.partition_by:
+                df = df.repartition(*[df[c] for c in w.partition_by])
+            writer = df.writeTo(tbl)
+            if w.partition_by:
+                from pyspark.sql import functions as F
+
+                writer = writer.partitionedBy(
+                    *[F.col(c) for c in w.partition_by]
+                )
+            exists = self.spark.catalog.tableExists(tbl)
+            if w.mode == "overwrite" or not exists:
+                writer.createOrReplace()
+            else:
+                writer.append()
+            snap = self._last_snapshot(name)
+            tables[name] = [snap]
+            runs_written[name] = str(snap)
+        if pre_commit is not None:
+            pre_commit(runs_written)
+        new_manifest = {
+            "batch_id": batch_id,
+            "tables": tables,
+            "committed_at": time.time(),
+        }
+        tmp = self._manifest_path() + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(new_manifest, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._manifest_path())
+        return runs_written
+
+    def compact(self, name: str, partition_by: tuple[str, ...] = ()) -> None:
+        self.spark.sql(
+            f"CALL {self.catalog}.system.rewrite_data_files("
+            f"table => '{self.namespace}.{name}')"
+        )
+        m = self.manifest()
+        m["tables"][name] = [self._last_snapshot(name)]
+        tmp = self._manifest_path() + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._manifest_path())

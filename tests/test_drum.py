@@ -188,3 +188,15 @@ def test_update_and_append_update_ops(spark):
         for r in append_update(edges, store, "dst_pld", ["src_pld"]).collect()
     }
     assert delta == {(10, 30), (40, 50)}
+
+
+def test_iceberg_store_gated(spark, tmp_path):
+    """IcebergTableStore is capability-gated: without a configured
+    catalog it must refuse loudly (the parquet TableStore is the
+    sandbox implementation of the same interface)."""
+    import pytest as _pytest
+
+    from jirlbot_spark.sources.storage import IcebergTableStore
+
+    with _pytest.raises(NotImplementedError, match="STUB-GATE"):
+        IcebergTableStore(spark, str(tmp_path / "ice"))
