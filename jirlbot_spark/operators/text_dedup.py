@@ -216,11 +216,12 @@ def minhash_dedup(
 
 # ---- SimHash ----
 
-@F.pandas_udf(LongType())
-def simhash64_udf(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash per text — vectorized across the whole Arrow batch:
+def simhash64_batch(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash per text — vectorized across the whole batch:
     tokenize (pandas str), murmur3-hash ALL tokens in one numpy call, then
-    per-doc signed bit accumulation with np.add.reduceat."""
+    per-doc signed bit accumulation with np.add.reduceat. Plain function
+    (not a UDF) so the goldens generator can apply it directly; the Spark
+    surface wraps it below."""
     from jirlbot_spark.functions.hashing import murmur3_x64_128_batch
 
     tok_lists = texts.fillna("").str.split()
@@ -250,6 +251,11 @@ def simhash64_udf(texts: pd.Series) -> pd.Series:
     out = vals.view(np.int64)
     out[~nonempty] = 0
     return pd.Series(out, index=texts.index)
+
+
+@F.pandas_udf(LongType())
+def simhash64_udf(texts: pd.Series) -> pd.Series:
+    return simhash64_batch(texts)
 
 
 def simhash_candidates(

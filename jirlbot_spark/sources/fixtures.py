@@ -193,6 +193,46 @@ def gen_robots(seed: int, hosts: list[str]) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def gen_documents(seed: int, n: int) -> pd.DataFrame:
+    """Seeded text corpus with engineered near-duplicates: every 5th doc
+    is its predecessor with ONE word substituted (SimHash hamming small),
+    every 7th an exact clone of the doc three back (pairwise clusters,
+    not one giant clique). Drives the dedup_simhash driver key
+    (fixture-seeded like the media keys, so its golden is
+    sf-independent) and text-op tests."""
+    rng = np.random.default_rng(seed)
+    texts: list[str] = []
+    for i in range(n):
+        if i >= 7 and i % 7 == 0:
+            texts.append(texts[i - 3])
+        elif i > 0 and i % 5 == 0:
+            words = texts[i - 1].split()
+            words[int(rng.integers(0, len(words)))] = str(
+                rng.choice(_WORDS)
+            )
+            texts.append(" ".join(words))
+        else:
+            k = int(rng.integers(20, 60))
+            texts.append(" ".join(rng.choice(_WORDS, size=k)))
+    return pd.DataFrame({"doc_id": range(n), "text": texts})
+
+
+def gen_embeddings(seed: int, n: int, dim: int = 64) -> pd.DataFrame:
+    """Seeded float32 embedding corpus (vec_id, embedding[dim]) for the
+    fixture-keyed ANN driver checks — sf-independent like the media
+    fixtures. Every 9th vector is a noisy copy of the one three back, so
+    top-k has engineered true neighbors."""
+    rng = np.random.default_rng(seed)
+    mat = rng.standard_normal((n, dim)).astype(np.float32)
+    for i in range(9, n, 9):
+        mat[i] = mat[i - 3] + 0.05 * rng.standard_normal(dim).astype(
+            np.float32
+        )
+    return pd.DataFrame(
+        {"vec_id": range(n), "embedding": [row.copy() for row in mat]}
+    )
+
+
 def resume_scenario():
     """Shared fixture for the resume_state driver key: a small-but-nontrivial
     crawl world (8 sites, ring + cross links, one disallowed host, varied

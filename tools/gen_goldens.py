@@ -192,6 +192,95 @@ def golden_frame_sample() -> str:
     )
 
 
+def golden_dedup_simhash() -> str:
+    """Expected SimHash near-dup pairs over gen_documents(13, 400): the
+    simhash kernel applied directly (numpy), then an O(n²) reference
+    implementation of the candidate rule (pairs sharing >=1 of four
+    16-bit signature blocks) + hamming <= 3 filter — the pigeonhole
+    guarantee's ground truth the Spark blocked self-join must equal."""
+    import pandas as pd
+
+    from jirlbot_spark.operators.text_dedup import simhash64_batch
+    from jirlbot_spark.sources.fixtures import gen_documents
+
+    docs = gen_documents(13, 400)
+    sig = simhash64_batch(pd.Series(docs["text"])).to_numpy().astype(np.uint64)
+    ids = docs["doc_id"].to_numpy()
+    n = len(ids)
+    blocks = np.stack(
+        [(sig >> np.uint64(16 * b)) & np.uint64(0xFFFF) for b in range(4)],
+        axis=1,
+    )
+    rows = []
+    for i in range(n):
+        share = (blocks[i + 1 :] == blocks[i][None, :]).any(axis=1)
+        for j in np.nonzero(share)[0] + i + 1:
+            ham = bin(int(sig[i] ^ sig[j])).count("1")
+            if ham <= 3:
+                rows.append((int(ids[i]), int(ids[j]), ham))
+    assert len(rows) >= 30, f"too few near-dup pairs: {len(rows)}"
+    return values_sql(
+        ["id_a", "id_b", "hamming"], rows, int_cols=("hamming",)
+    )
+
+
+def golden_ann_lsh() -> str:
+    """Expected (query_id, vec_id, rank) for q_ann_lsh, computed by a
+    bit-exact reimplementation of the JVM plan: F.aggregate is a LEFT
+    FOLD over the array, so every dot product / norm here is a
+    sequential Python-float fold (IEEE double, same op order), sketches
+    use the same seeded planes, candidates the same per-table
+    full-sketch equality, and the top-5 the same (-cosine, vec_id)
+    order."""
+    from jirlbot_spark.sources.fixtures import gen_embeddings
+
+    emb = gen_embeddings(29, 300)
+    vecs = {
+        int(i): [float(x) for x in v]
+        for i, v in zip(emb["vec_id"], emb["embedding"])
+    }
+    n_planes, n_tables, k = 8, 4, 5
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    sketches = []
+    for t in range(n_tables):
+        rng = np.random.default_rng(100 + t)
+        planes = rng.standard_normal((n_planes, 64))
+        table = {}
+        for vid, v in vecs.items():
+            s = 0
+            for j in range(n_planes):
+                if fold_dot(v, [float(p) for p in planes[j]]) > 0:
+                    s += 1 << j
+            table[vid] = s
+        sketches.append(table)
+
+    rows = []
+    for q in range(10):
+        cands = set()
+        for table in sketches:
+            sq = table[q]
+            cands.update(v for v, s in table.items() if s == sq)
+        scored = []
+        for c in cands:
+            dot = fold_dot(vecs[q], vecs[c])
+            nq = np.sqrt(fold_dot(vecs[q], vecs[q]))
+            nc = np.sqrt(fold_dot(vecs[c], vecs[c]))
+            scored.append((float(dot / (nq * nc)), c))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (_, c) in enumerate(scored[:k], start=1):
+            rows.append((q, c, rank))
+    assert len(rows) >= 20, f"too few ANN rows: {len(rows)}"
+    return values_sql(
+        ["query_id", "vec_id", "rank"], rows, int_cols=("rank",)
+    )
+
+
 def golden_resume_state() -> str:
     """Expected 3-batch fetch_log from the pure-Python crawl SIMULATOR
     (tests/oracle_sim.py — an implementation independent of the engine),
@@ -229,6 +318,8 @@ def main() -> None:
         "image_resize": golden_image_resize(),
         "audio_features": golden_audio_features(),
         "frame_sample": golden_frame_sample(),
+        "dedup_simhash": golden_dedup_simhash(),
+        "ann_lsh": golden_ann_lsh(),
         "resume_state": golden_resume_state(),
     }
     out = Path(__file__).resolve().parent.parent / "jirlbot_spark" / "goldens_sql.py"
