@@ -134,8 +134,9 @@ def _huffman_lengths(freqs: dict[int, int]) -> dict[int, int]:
         heapq.heappush(heap, (f1 + f2, min(s1, s2), merged))
     lengths = heap[0][2]
     # fold lengths deeper than 16 (JPEG cap): repeatedly take a symbol at
-    # the deepest level and pair it one level up (Annex K.3 Adjust_BITS)
-    counts = np.zeros(64, dtype=np.int64)
+    # the deepest level and pair it one level up (Annex K.3 Adjust_BITS).
+    # Depth is bounded by the symbol count (<= 257), so size for that.
+    counts = np.zeros(260, dtype=np.int64)
     for d in lengths.values():
         counts[d] += 1
     for depth in range(len(counts) - 1, 16, -1):
