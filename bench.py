@@ -18,9 +18,12 @@ Modes:
   python bench.py                 # driver mode: headline + query timings
   python bench.py --frontier-only # one pipeline run, JSON (used by --scaling)
   python bench.py --scaling       # N vs 4N cores (JIRLBOT_SCALING_CORES,
-                                  # default 8,32), probe-balanced verdict
-                                  # -> BENCH/BASELINE.md
-  python bench.py --loop          # full crawl loop pages/s
+                                  # default 8,32), median probe-balanced
+                                  # verdict -> BENCH/BASELINE.md
+                                  # (JIRLBOT_SCALING_APPEND=1 appends a
+                                  # session instead of rewriting)
+  python bench.py --loop          # full crawl loop pages/s, incl. the
+                                  # per-batch payload-verify stage
 """
 
 from __future__ import annotations
