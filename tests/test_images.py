@@ -152,3 +152,31 @@ def test_verify_payload_spark(spark):
     assert not out2.loc[bad.loc[1, "image_id"], "phash_ok"]
     assert int((~out2["caption_ok"]).sum()) == 1
     assert int((~out2["phash_ok"]).sum()) == 1
+
+
+def test_jpeg_adversarial_content():
+    """Codec robustness beyond fixture-style content: pure noise, flat
+    fields, hard edges, extreme dims — roundtrip must stay deterministic
+    and shape-correct at q98, and near-lossless (q100) must clear the
+    40 dB invariant even on noise (quant tables all 1: only rounding +
+    colorspace error remains)."""
+    from jirlbot_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(21)
+    cases = [
+        rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8),   # noise
+        np.zeros((24, 8, 3), np.uint8),                           # black
+        np.full((8, 24, 3), 255, np.uint8),                       # white
+        np.kron(                                                  # checker
+            rng.integers(0, 2, size=(4, 4)), np.ones((8, 8))
+        ).astype(np.uint8)[..., None].repeat(3, axis=2) * 255,
+        rng.integers(0, 256, size=(1, 1, 3), dtype=np.uint8),     # 1x1
+        rng.integers(0, 256, size=(7, 129, 3), dtype=np.uint8),   # odd dims
+    ]
+    for px in cases:
+        h, w = px.shape[:2]
+        blob = encode_jpeg(px, 98)
+        dec = decode_jpeg(blob)
+        assert dec.shape == (h, w, 3), (h, w)
+        assert encode_jpeg(px, 98) == blob
+        assert psnr(px, decode_jpeg(encode_jpeg(px, 100))) >= 40.0, (h, w)

@@ -232,3 +232,48 @@ def test_robots_rfc9309_grammar(spark):
         1: "FAIL", 2: "PASS", 3: "PASS", 4: "FAIL",
         5: "PASS", 6: "PASS", 7: "UNKNOWN",
     }
+
+
+def test_robots_regex_degenerates_to_prefix_semantics(spark):
+    """Plain rules (no wildcards, no $, no allow list) through the
+    RFC 9309 matcher must classify exactly like simple prefix matching —
+    the degenerate-equivalence claim the oracle/simulator contracts rely
+    on. Random rules and paths, reference computed in plain Python."""
+    import numpy as np
+
+    from jirlbot_spark.operators.robots import robots_check
+
+    rng = np.random.default_rng(17)
+    segs = ["a", "b", "cgi", "img", "p.q", "x-y", "idx+1", "(v)", "z"]
+
+    def rand_path():
+        return "/" + "/".join(
+            rng.choice(segs, size=rng.integers(1, 4))
+        )
+
+    hosts = []
+    for h in range(20):
+        rules = [rand_path() for _ in range(int(rng.integers(0, 4)))]
+        hosts.append((h, rules))
+    urls = [
+        (u, int(rng.integers(0, 25)), rand_path()) for u in range(400)
+    ]
+    robots_df = spark.createDataFrame(
+        hosts, "host_hash long, disallow array<string>"
+    )
+    urls_df = spark.createDataFrame(
+        urls, "url_id long, host_hash long, path string"
+    )
+    got = {
+        r.url_id: r.robots_status
+        for r in robots_check(urls_df, robots_df).collect()
+    }
+    rules_by_host = dict(hosts)
+    for url_id, hh, path in urls:
+        if hh not in rules_by_host:
+            exp = "UNKNOWN"
+        elif any(path.startswith(d) for d in rules_by_host[hh]):
+            exp = "FAIL"
+        else:
+            exp = "PASS"
+        assert got[url_id] == exp, (url_id, hh, path)

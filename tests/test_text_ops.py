@@ -183,3 +183,39 @@ def test_ivf_recall_vs_brute(spark, vectors):
         n_centroids=4, nprobe=2,
     ).collect()
     assert {r.vec_id for r in near} == {3, 7}  # engineered near-dup found
+
+
+def test_blocked_neardup_exact_equals_brute_force(spark):
+    """blocked_neardup_exact (block-nested self-join) must equal the
+    naive all-pairs computation exactly — same pair set, bit-identical
+    cosines — across block counts (incl. B > distinct blocks and B=1)."""
+    import numpy as np
+
+    from jirlbot_spark.operators.similarity import blocked_neardup_exact
+
+    rng = np.random.default_rng(5)
+    n, dim = 60, 8
+    mat = rng.integers(-50, 50, size=(n, dim), dtype=np.int64)
+    mat[mat.sum(axis=1) == 0, 0] += 1  # no zero-ish degenerate rows
+    df = spark.createDataFrame(
+        [(i, [int(x) for x in mat[i]]) for i in range(n)],
+        "vec_id long, embedding array<long>",
+    )
+    expected = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            dot = float(int(mat[i] @ mat[j]))
+            na, nb = int(mat[i] @ mat[i]), int(mat[j] @ mat[j])
+            cos = dot / np.sqrt(float(na * nb))
+            if cos >= 0.3:
+                expected[(i, j)] = cos
+    for n_blocks in (1, 4, 16):
+        got = {
+            (r.id_a, r.id_b): r.cosine
+            for r in blocked_neardup_exact(
+                df, threshold=0.3, n_blocks=n_blocks
+            ).collect()
+        }
+        assert got.keys() == expected.keys(), n_blocks
+        for k in expected:
+            assert got[k] == expected[k], (n_blocks, k)
