@@ -50,6 +50,17 @@ def with_seq(df: DataFrame, order_col: str | None = None) -> DataFrame:
     return df.withColumn(SEQ_COL, F.monotonically_increasing_id())
 
 
+def _bloom_epoch_kw(bloom_min_epoch) -> dict:
+    """Route the caller's epoch expectation to bloom_probe: a dict is the
+    per-bucket store contract (bucket -> last key-writing batch), a bare
+    int a blunt global minimum."""
+    if isinstance(bloom_min_epoch, dict):
+        return {"bucket_key_epochs": bloom_min_epoch}
+    if bloom_min_epoch is not None:
+        return {"min_epoch": bloom_min_epoch}
+    return {}
+
+
 def classify_batch(
     batch: DataFrame,
     seen: DataFrame | None,
@@ -87,7 +98,7 @@ def classify_batch(
 
         batch = bloom_probe(
             batch, bloom_dir, key_col=key_col, num_buckets=num_buckets,
-            min_epoch=bloom_min_epoch,
+            **_bloom_epoch_kw(bloom_min_epoch),
         )
     w = Window.partitionBy(key_col).orderBy(SEQ_COL)
     batch = batch.withColumn("__rn", F.row_number().over(w))
@@ -169,7 +180,7 @@ def check_update_agg(
 
         batch = bloom_probe(
             batch, bloom_dir, key_col=key_col, num_buckets=num_buckets,
-            min_epoch=bloom_min_epoch,
+            **_bloom_epoch_kw(bloom_min_epoch),
         )
         row_cols = [c for c in row_cols if c != MAYBE_COL]
         maybe_flag = MAYBE_COL

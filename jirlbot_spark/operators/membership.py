@@ -89,17 +89,22 @@ _ERR = np.errstate(over="ignore")
 _FILTER_CACHE: dict[tuple[str, int], tuple[np.ndarray, int]] = {}
 
 # File format: np.save of uint64 [MAGIC, epoch, bits...]. The embedded
-# epoch is the last-applied committed batch id, which makes every filter
-# file SELF-VALIDATING against the store: on a multi-node cluster with a
-# node-local --bloom-dir, a node that missed earlier batches would
-# otherwise hold a file containing only the batches it saw — and a
-# present-but-incomplete file is precisely the case that produces Bloom
-# FALSE NEGATIVES (re-crawls). With the epoch, a lagging file is detected
-# and treated exactly like an absent one (no information ⇒ maybe ⇒ exact
-# join), the same safe degradation as a missing file. Files AHEAD of the
-# expected epoch (crash after the pre-commit OR) are safe by the standing
-# over-fill argument and are accepted. Headerless/legacy files are
-# treated as absent.
+# epoch makes every filter file SELF-VALIDATING against the committed
+# store, with a PER-BUCKET contract: file for bucket b is trustworthy
+# iff its epoch >= the last batch that actually appended url_seen keys
+# for bucket b (the caller derives that map from the store's run
+# listing — see plans/loop.CrawlLoop._bucket_key_epochs). Why per
+# bucket, not a global batch id: a bucket untouched for ten batches has
+# a perfectly complete file at its old epoch, while a node-local dir
+# that MISSED a batch which did write keys for that bucket holds a
+# present-but-incomplete file — and that is precisely the case that
+# produces Bloom FALSE NEGATIVES (re-crawls). An out-of-contract or
+# headerless file is treated exactly like an absent one (no information
+# ⇒ maybe ⇒ the exact join resolves), the same safe degradation as a
+# missing file; update refuses to OR into it and deletes it instead of
+# fresh-building from one batch. A file AHEAD of the expectation
+# (crash after the pre-commit OR, re-run) is safe by the standing
+# over-fill argument and is accepted.
 _MAGIC = np.uint64(0x4A4C424C4F4F4D31)  # "JLBLOOM1"
 _HDR = 2
 
@@ -200,8 +205,29 @@ def _build_or_update(
     num_hashes: int,
     update: bool,
     epoch: int,
-    expected_prev: int | None,
+    bucket_key_epochs: dict[int, int] | None,
 ):
+    def _stale_row(bucket: int, path: str) -> pd.DataFrame:
+        # this node's file missed batches that wrote keys for its bucket
+        # (or is headerless/foreign): an incremental OR would leave a
+        # present-but-incomplete filter = Bloom false negatives. Make it
+        # ABSENT instead (missing ⇒ "maybe" ⇒ exact join — safe);
+        # build_bloom_files re-bootstraps it.
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
+        return pd.DataFrame(
+            {
+                "bucket": [bucket],
+                "n_keys": [0],
+                "fill_ratio": [0.0],
+                "path": [path],
+                "epoch": [-1],
+                "stale": [True],
+            }
+        )
+
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         bucket = int(pdf["bucket"].iloc[0])
         path = _bucket_path(dir_path, bucket)
@@ -214,39 +240,17 @@ def _build_or_update(
             if len(arr) >= _HDR and arr[0] == _MAGIC:
                 bits, file_epoch = arr[_HDR:].copy(), int(arr[1])
         if update:
-            # a present file we cannot vouch for (headerless/legacy, or —
-            # under the epoch contract — outside [expected_prev, epoch])
-            # must become ABSENT, never fresh-overwritten from one batch
-            lagging = (file_exists and bits is None) or (
-                expected_prev is not None
-                and (
-                    (bits is None and expected_prev >= 0)
-                    or (
-                        file_epoch is not None
-                        and not (expected_prev <= file_epoch <= epoch)
-                    )
-                )
-            )
-            if lagging:
-                # this node's file missed committed batches (or is from
-                # another lineage): an incremental OR would leave a
-                # present-but-incomplete filter = Bloom false negatives.
-                # Make it ABSENT instead (missing file ⇒ "maybe" ⇒ exact
-                # join — safe); build_bloom_files re-bootstraps it.
-                try:
-                    os.remove(path)
-                except FileNotFoundError:
-                    pass
-                return pd.DataFrame(
-                    {
-                        "bucket": [bucket],
-                        "n_keys": [0],
-                        "fill_ratio": [0.0],
-                        "path": [path],
-                        "epoch": [-1],
-                        "stale": [True],
-                    }
-                )
+            if file_exists and bits is None:
+                return _stale_row(bucket, path)  # unparseable file
+            if bucket_key_epochs is not None:
+                need = bucket_key_epochs.get(bucket, -1)
+                if bits is None:
+                    # missing file: fresh-build is valid ONLY when the
+                    # store holds no earlier keys for this bucket
+                    if need >= 0:
+                        return _stale_row(bucket, path)
+                elif file_epoch < need:
+                    return _stale_row(bucket, path)
         if bits is None:
             bits = np.zeros(1 << max(log2_bits - 6, 0), dtype=_U64)
         keys = pdf[key_col].to_numpy(dtype=np.int64)
@@ -295,6 +299,15 @@ def build_bloom_files(
     return stats.toPandas()
 
 
+def parse_run_batch(run_name: str) -> int:
+    """Effective batch id encoded in a url_seen run/compaction dir name
+    (b%08d_... or compact_b%08d_...); -1 if none."""
+    import re
+
+    m = re.search(r"b(\d{8})", run_name)
+    return int(m.group(1)) if m else -1
+
+
 def update_bloom_files(
     new_keys: DataFrame,
     dir_path: str,
@@ -303,21 +316,22 @@ def update_bloom_files(
     log2_bits: int = DEFAULT_LOG2_BITS,
     num_hashes: int = DEFAULT_NUM_HASHES,
     epoch: int = 0,
-    expected_prev: int | None = None,
+    bucket_key_epochs: dict[int, int] | None = None,
 ) -> pd.DataFrame:
     """Incremental OR of a batch's newly-unique keys into the bucket files
     — the per-batch DRUM merge analog; cost O(batch), not O(store).
 
-    Epoch contract (multi-node safety): with `expected_prev` given, a
-    bucket file is only ORed into when its embedded epoch is in
-    [expected_prev, epoch] (== epoch covers an idempotent crash re-run;
-    ahead-of-expected is safe by the over-fill argument). A LAGGING or
-    missing file under expected_prev >= 0 is deleted and skipped
-    (stale=True in the stats) — never fresh-built from just this batch,
-    which would create a present-but-incomplete filter and hence Bloom
-    false negatives on this node. expected_prev = -1 bootstraps fresh
-    files (empty store), expected_prev = None skips validation entirely
-    (single-node / shared-dir legacy mode).
+    Per-bucket epoch contract (multi-node safety): `bucket_key_epochs`
+    maps bucket -> last batch that wrote url_seen keys for it (from the
+    STORE's run listing — CrawlLoop._bucket_key_epochs). A bucket's file
+    is ORed into only when its embedded epoch >= that value (a file
+    ahead of it — crash re-run — is safe by the over-fill argument); a
+    file BEHIND it missed committed keys and is deleted instead of ORed
+    (stale=True in the stats), and a MISSING file is fresh-built only
+    when the store holds no earlier keys for that bucket — otherwise a
+    fresh-from-one-batch filter would be present-but-incomplete = Bloom
+    false negatives on this node. bucket_key_epochs = None skips
+    validation (single-node / shared-dir legacy mode).
 
     Single-writer discipline (one driver loop commits batches serially, as
     the storage manifest already requires) — concurrent updaters could
@@ -330,7 +344,7 @@ def update_bloom_files(
     stats = keyed.groupBy("bucket").applyInPandas(
         _build_or_update(
             dir_path, key_col, log2_bits, num_hashes, True, epoch,
-            expected_prev,
+            bucket_key_epochs,
         ),
         schema=BUILD_STATS_SCHEMA,
     )
@@ -346,16 +360,21 @@ def bloom_probe(
     num_hashes: int = DEFAULT_NUM_HASHES,
     out_col: str = MAYBE_COL,
     min_epoch: int | None = None,
+    bucket_key_epochs: dict[int, int] | None = None,
 ) -> DataFrame:
     """Attach `out_col`: False ⇒ key certainly NOT in the store; True ⇒
     maybe (resolve with the exact join). mapInPandas — no shuffle; filter
     files load once per worker process, cached by (path, mtime). A missing
     bucket file means "no information" ⇒ True for that bucket's rows, and
-    with `min_epoch` given, so does a file whose embedded epoch is older
-    than min_epoch (a node-local file that missed committed batches —
-    probing it would yield false negatives). Address width comes from
-    each file (self-describing); `log2_bits` is accepted for signature
-    symmetry but never trusted for probing."""
+    so does a file that fails the epoch contract: its embedded epoch must
+    be >= `bucket_key_epochs[bucket]` (the last batch that wrote keys for
+    that bucket per the STORE — the per-bucket contract) and, when the
+    scalar `min_epoch` is given instead, >= min_epoch for every bucket (a
+    blunter test, used by standalone callers). Out-of-contract = a
+    node-local file that missed committed keys — probing it would yield
+    false negatives. Address width comes from each file
+    (self-describing); `log2_bits` is accepted for signature symmetry but
+    never trusted for probing."""
     from pyspark.sql.types import BooleanType
 
     schema = StructType(
@@ -375,8 +394,13 @@ def bloom_probe(
                 if loaded is None:
                     continue  # no file -> no information -> maybe
                 bits, file_epoch = loaded
-                if min_epoch is not None and file_epoch < min_epoch:
-                    continue  # lagging file ≡ absent (false-neg guard)
+                need = -1
+                if bucket_key_epochs is not None:
+                    need = bucket_key_epochs.get(int(b), -1)
+                if min_epoch is not None:
+                    need = max(need, min_epoch)
+                if file_epoch < need:
+                    continue  # out-of-contract ≡ absent (false-neg guard)
                 maybe[sel] = _test_bits(bits, keys[sel], num_hashes)
             out = pdf.copy()
             out[out_col] = maybe

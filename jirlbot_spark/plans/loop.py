@@ -141,14 +141,45 @@ class CrawlLoop:
             order_col="depth",
             num_buckets=self.cfg.num_buckets,
             bloom_dir=self.cfg.bloom_dir,
-            # only trust sidecar files that reflect every committed batch
-            # (node-local dirs on a cluster can lag; membership.py epochs)
-            bloom_min_epoch=self.store.last_batch(),
+            # per-bucket contract: only trust a sidecar file whose epoch
+            # covers the last batch that wrote keys for ITS bucket
+            # (node-local dirs on a cluster can lag; membership.py)
+            bloom_min_epoch=(
+                self._bucket_key_epochs()
+                if self.cfg.bloom_dir is not None
+                else None
+            ),
         )
         fresh = fresh.drop("__seq").withColumn(
             "enqueue_batch", F.lit(batch_id).cast("int")
         )
         return fresh.select(*[f.name for f in FRONTIER_SCHEMA.fields]), uniques
+
+    def _bucket_key_epochs(self) -> dict[int, int]:
+        """bucket -> last committed batch that appended url_seen keys for
+        it, derived from the store's run listing (run names carry their
+        batch id; url_seen runs are bucket-partitioned, so the bucket set
+        of a run is its partition dirs). This is the validation map the
+        Bloom sidecar epoch contract compares node-local files against
+        (membership.py). Local/posix listing; an object-store-backed
+        TableStore supplies the same via its listing API."""
+        import os
+
+        from jirlbot_spark.operators.membership import parse_run_batch
+
+        out: dict[int, int] = {}
+        for run in self.store.manifest()["tables"].get("url_seen", []):
+            eb = parse_run_batch(run)
+            rdir = os.path.join(self.store.root, "url_seen", run)
+            try:
+                parts = os.listdir(rdir)
+            except FileNotFoundError:
+                continue
+            for d in parts:
+                if d.startswith("bucket="):
+                    b = int(d.split("=", 1)[1])
+                    out[b] = max(out.get(b, -1), eb)
+        return out
 
     def ingest_seeds(self, seeds: DataFrame, url_col: str = "url") -> int:
         """Batch 0: canonicalize + dedup seeds into the frontier."""
@@ -172,6 +203,8 @@ class CrawlLoop:
         negative; see storage.commit_batch docstring). Re-running the
         aborted batch re-ORs the same keys, which is idempotent."""
         if self.cfg.bloom_dir is None or "url_seen" not in runs:
+            # no new keys ⇒ nothing to OR, and (per-bucket contract)
+            # existing files stay valid without any epoch touch-up
             return
         import os
 
@@ -180,18 +213,19 @@ class CrawlLoop:
         new_keys = self.spark.read.parquet(
             os.path.join(self.store.root, "url_seen", runs["url_seen"])
         )
-        # pre_commit runs BEFORE the manifest swap, so last_batch() is
-        # still the previous committed batch: files must be at exactly
-        # that epoch (or already at prev+1 from a crashed re-run) to be
-        # ORed into; anything else is lagging and gets invalidated
-        # rather than fresh-built from this one batch (membership.py)
-        prev = self.store.last_batch()
+        # pre_commit runs BEFORE the manifest swap, so the manifest (and
+        # hence _bucket_key_epochs) still reflects the PRIOR committed
+        # state: a bucket's file must cover every earlier key-writing
+        # batch for that bucket to be ORed into; anything lagging gets
+        # invalidated rather than fresh-built from one batch, and a
+        # missing file fresh-builds only for buckets with no prior keys
+        # (membership.py per-bucket contract)
         update_bloom_files(
             new_keys,
             self.cfg.bloom_dir,
             num_buckets=self.cfg.num_buckets,
-            epoch=prev + 1,
-            expected_prev=prev,
+            epoch=self.store.last_batch() + 1,
+            bucket_key_epochs=self._bucket_key_epochs(),
         )
 
     # ---- one crawl pass ----
@@ -413,4 +447,22 @@ class CrawlLoop:
                 break
             if every and j % every == 0:
                 self.store.compact("url_seen", partition_by=("bucket",))
+                if self.cfg.bloom_dir is not None:
+                    # the compacted run carries the compaction batch id,
+                    # which raises every bucket's required epoch — rebuild
+                    # the sidecars from the (just-compacted) store so they
+                    # re-enter contract; both passes are O(store), and
+                    # compaction is the rare maintenance moment
+                    from jirlbot_spark.operators.membership import (
+                        build_bloom_files,
+                    )
+
+                    seen = self.store.read("url_seen")
+                    if seen is not None:
+                        build_bloom_files(
+                            seen,
+                            self.cfg.bloom_dir,
+                            num_buckets=self.cfg.num_buckets,
+                            epoch=self.store.last_batch(),
+                        )
         return out

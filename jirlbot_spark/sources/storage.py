@@ -156,7 +156,9 @@ class TableStore:
         if df is None:
             return
         m = self.manifest()
-        run = f"compact_{uuid.uuid4().hex[:8]}"
+        # the embedded batch id keeps bucket->last-key-batch derivable
+        # from run names after compaction (Bloom epoch contract)
+        run = f"compact_b{int(m['batch_id']):08d}_{uuid.uuid4().hex[:8]}"
         out = os.path.join(self.root, name, run)
         if partition_by:
             df = df.repartition(*[df[c] for c in partition_by])

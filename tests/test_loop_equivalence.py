@@ -179,6 +179,28 @@ def test_bloom_fastpath_equivalence(spark, tmp_path_factory, engine_run):
         num_buckets=cfg.num_buckets,
     )
     assert probed.filter(~F.col("__maybe_seen")).count() == 0
+    # ...and they are LIVE under the loop's own per-bucket contract (not
+    # merely treated as absent): probing with _bucket_key_epochs — the
+    # exact map the loop's DRUM probe uses — unseen keys whose bucket
+    # has a file must get definite negatives
+    bke = loop_b._bucket_key_epochs()
+    assert bke, "store should have url_seen buckets"
+    unseen = spark.range(50).select(
+        (F.col("id") + 123_456_789_000).alias("url_hash")
+    )
+    neg = bloom_probe(
+        unseen, cfg.bloom_dir, num_buckets=cfg.num_buckets,
+        bucket_key_epochs=bke,
+    )
+    assert neg.filter(~F.col("__maybe_seen")).count() > 0
+    # while an unattainable per-bucket requirement invalidates every
+    # file ⇒ all maybe (the node-missed-batches degradation path)
+    future = bloom_probe(
+        unseen, cfg.bloom_dir, num_buckets=cfg.num_buckets,
+        bucket_key_epochs={b: e + 1 for b, e in bke.items()},
+        min_epoch=loop_b.store.last_batch() + 1,
+    )
+    assert future.filter(~F.col("__maybe_seen")).count() == 0
 
 
 def test_compaction_preserves_crawl(spark, tmp_path, sim_result):

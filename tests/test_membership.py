@@ -131,44 +131,79 @@ def test_epoch_lagging_file_probes_as_absent(spark, tmp_path):
 
 
 def test_epoch_update_refuses_fresh_build_on_lag(spark, tmp_path):
-    """update with expected_prev >= 0 over a MISSING file must not create a
-    batch-only filter (the false-negative trap on a node that missed prior
-    batches); it invalidates instead. expected_prev=-1 bootstraps."""
+    """Per-bucket contract: update over a MISSING file must not create a
+    batch-only filter when the store already holds keys for that bucket
+    (the false-negative trap on a node that missed prior batches); it
+    fresh-builds only for buckets with no prior keys, ORs into files in
+    contract, and invalidates files behind their bucket's last
+    key-writing batch."""
     import os
 
     d = str(tmp_path / "bloom_lag")
+    # store already has keys for both buckets (last writes at batch 3) —
+    # a node with no files must NOT fresh-build from this batch
     stats = update_bloom_files(
         _keys_df(spark, range(50)), d, num_buckets=2, log2_bits=LOG2,
-        epoch=4, expected_prev=3,
+        epoch=4, bucket_key_epochs={0: 3, 1: 3},
     )
     assert stats["stale"].all()
     assert not any(f.endswith(".npy") for f in os.listdir(d))
-    # bootstrap path: empty store, expected_prev=-1
+    # bootstrap: no prior keys for any bucket -> fresh files at epoch 0
     stats0 = update_bloom_files(
         _keys_df(spark, range(50)), d, num_buckets=2, log2_bits=LOG2,
-        epoch=0, expected_prev=-1,
+        epoch=0, bucket_key_epochs={},
     )
     assert not stats0["stale"].any()
-    # next batch ORs in and advances the epoch
+    # next batch ORs in (files cover bucket-last-write 0) and advances
     stats1 = update_bloom_files(
         _keys_df(spark, range(50, 80)), d, num_buckets=2, log2_bits=LOG2,
-        epoch=1, expected_prev=0,
+        epoch=1, bucket_key_epochs={0: 0, 1: 0},
     )
     assert not stats1["stale"].any()
     assert (stats1["epoch"] == 1).all()
     probed = bloom_probe(
-        _keys_df(spark, range(80)), d, num_buckets=2, min_epoch=1
+        _keys_df(spark, range(80)), d, num_buckets=2,
+        bucket_key_epochs={0: 1, 1: 1},
     ).toPandas()
     assert probed["__maybe_seen"].all()  # every stored key still maybe
-    # crash re-run of batch 1 (file already at epoch 1) is idempotent
+    # crash re-run of batch 1 (files already at epoch 1 >= last write 0)
     stats_re = update_bloom_files(
         _keys_df(spark, range(50, 80)), d, num_buckets=2, log2_bits=LOG2,
-        epoch=1, expected_prev=0,
+        epoch=1, bucket_key_epochs={0: 0, 1: 0},
     )
     assert not stats_re["stale"].any()
-    # a file two epochs ahead of expected is out of contract -> stale
+    # files behind their bucket's last key-writing batch -> invalidated
     stats_bad = update_bloom_files(
         _keys_df(spark, range(10)), d, num_buckets=2, log2_bits=LOG2,
-        epoch=0, expected_prev=-1,
+        epoch=5, bucket_key_epochs={0: 4, 1: 4},
     )
     assert stats_bad["stale"].all()
+    assert not any(f.endswith(".npy") for f in os.listdir(d))
+
+
+def test_untouched_bucket_stays_in_contract(spark, tmp_path):
+    """A bucket that receives no keys for many batches keeps a VALID
+    (probe-usable) file under the per-bucket contract — its file epoch
+    only needs to cover its own last key-writing batch, not the global
+    batch id. (This is the liveness half the per-bucket design buys;
+    the global-epoch design went dark here.)"""
+    d = str(tmp_path / "bloom_idle")
+    # batch 0 writes keys for both buckets of 2
+    update_bloom_files(
+        _keys_df(spark, [0, 1, 2, 3]), d, num_buckets=2, log2_bits=LOG2,
+        epoch=0, bucket_key_epochs={},
+    )
+    # batches 1..4 write only EVEN keys (bucket 0); bucket 1 idle
+    for j in range(1, 5):
+        update_bloom_files(
+            _keys_df(spark, [100 + 2 * j]), d, num_buckets=2,
+            log2_bits=LOG2, epoch=j,
+            bucket_key_epochs={0: j - 1, 1: 0},
+        )
+    # probe with the store's true per-bucket map: bucket 1's file (epoch
+    # 0) is still valid -> unseen odd keys get definite negatives
+    probed = bloom_probe(
+        _keys_df(spark, [999_001, 999_003, 999_005]), d, num_buckets=2,
+        bucket_key_epochs={0: 4, 1: 0},
+    ).toPandas()
+    assert not probed["__maybe_seen"].all()
