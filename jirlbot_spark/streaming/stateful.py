@@ -93,9 +93,22 @@ def politeness_stream(
             last_at, seq0 = state.get
         else:
             last_at, seq0 = -delay, 0
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
+        # the state API hands the group's rows as an ITERATOR of pandas
+        # chunks (Arrow batch segmentation) — a big host spans several.
+        # The trigger-wide (priority, url_hash) ordering contract demands
+        # ONE sort over the whole group, so concatenate first; per-chunk
+        # sorting silently degrades to per-chunk ordering the moment a
+        # group outgrows one Arrow batch (caught by the sf0.1 oracle
+        # run, invisible at small scale). Group size is bounded by the
+        # per-host trigger volume (BEAST-capped upstream), so the concat
+        # is small by construction.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = (
+                chunks[0]
+                if len(chunks) == 1
+                else pd.concat(chunks, ignore_index=True)
+            )
             order = (
                 pdf[[priority_col, key_col]]
                 .sort_values([priority_col, key_col], kind="mergesort")

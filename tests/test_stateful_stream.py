@@ -95,3 +95,56 @@ def test_politeness_stream_batch_mode(spark):
         [r for r in got if r.host_hash == 7], key=lambda r: r.seq_in_host
     )
     assert [r.planned_at_s for r in h7] == [0.0, 2.0, 4.0]
+
+
+def test_group_spanning_multiple_arrow_chunks(spark, tmp_path):
+    """A host whose trigger volume exceeds one Arrow batch must still get
+    ONE (priority, url_hash)-sorted sequence per trigger — the state API
+    hands such groups to the operator as several pandas chunks, and
+    per-chunk sorting would silently reorder (the sf0.1-scale bug this
+    pins)."""
+    import pandas as pd
+
+    from jirlbot_spark.streaming.stateful import politeness_stream
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "40")
+    try:
+        # one host, 500 rows, descending url_hash so chunk order fights
+        # the required global order
+        rows = [(1, 10_000 - i, float(i % 3)) for i in range(500)]
+        indir = str(tmp_path / "in")
+        outdir = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        spark.createDataFrame(
+            rows, "host_hash long, url_hash long, priority double"
+        ).coalesce(1).write.parquet(indir)
+        stream = spark.readStream.schema(
+            "host_hash long, url_hash long, priority double"
+        ).parquet(indir)
+        q = (
+            politeness_stream(stream, min_delay_s=1.0)
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = (
+            spark.read.parquet(outdir)
+            .toPandas()
+            .sort_values("seq_in_host")
+            .reset_index(drop=True)
+        )
+        assert len(out) == 500
+        expected = pd.DataFrame(rows, columns=["h", "url_hash", "prio"])
+        expected = expected.sort_values(
+            ["prio", "url_hash"], kind="mergesort"
+        ).reset_index(drop=True)
+        assert out["url_hash"].tolist() == expected["url_hash"].tolist()
+        assert out["planned_at_s"].tolist() == [float(i) for i in range(500)]
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old
+        )

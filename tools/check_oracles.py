@@ -3,6 +3,11 @@ on Spark and oracle_sql()[k] on DuckDB over the same sf dir, compare
 row count, column names, and exact values (rows sorted by all columns).
 
 Usage: python tools/check_oracles.py [sf_dir] [key ...]
+
+Run it at MORE than the driver's sf0.01 before shipping — the sf0.1 pass
+is what exposed the stateful-politeness multi-chunk ordering bug that
+small scales cannot reach (groups fitting one Arrow batch hide it).
+SPARK_GRAFT_ANSI=true replicates the driver's ANSI-on session.
 """
 
 from __future__ import annotations
