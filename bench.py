@@ -275,6 +275,16 @@ def run_loop_bench(spark, n_sites: int = 2000, n_batches: int = 4) -> dict:
     cfg = CrawlConfig(
         top_k=1000, b_hi=5000, b_lo=50, default_budget=5000,
         salt_buckets=8, image_scale=500,
+        bloom_dir=(
+            os.path.join(wd, "bloom")
+            if os.environ.get("JIRLBOT_LOOP_BLOOM") == "1"
+            else None
+        ),
+        compact_every=(
+            int(os.environ["JIRLBOT_LOOP_COMPACT"])
+            if os.environ.get("JIRLBOT_LOOP_COMPACT")
+            else None
+        ),
     )
     loop = CrawlLoop(spark, store, pages, links, robots, cfg)
     t0 = time.time()

@@ -33,7 +33,8 @@ extracted links are new), and Spark 4's runtime bloom filter then prunes
 the url_seen scan from the other side — the two filters compose. Sizing:
 with K=32 buckets and 2^33 bits/bucket (1 GiB), a 10^10-key store holds
 ~3.1e8 keys/bucket at ~0.4% FP with 7 hashes; this sandbox defaults to
-2^27 bits (16 MiB) per bucket.
+2^24 bits (2 MiB) per bucket (see DEFAULT_LOG2_BITS for why local mode
+needs small filters).
 
 Hashing: keys are already murmur3-mixed 64-bit values (functions/hashing).
 Double hashing (Kirsch-Mitzenmacher): position_i = (h1 + i*h2) mod m with
@@ -73,7 +74,13 @@ from pyspark.sql.types import (
 
 from jirlbot_spark.session import DEFAULT_NUM_BUCKETS
 
-DEFAULT_LOG2_BITS = 27  # 16 MiB per bucket in the sandbox
+# 2 MiB per bucket in the sandbox: every local-mode worker ends up
+# probing (and caching) EVERY bucket, so the per-process footprint is
+# num_buckets × filter size × num_workers — 16 MiB buckets OOM-killed
+# workers at 32×32 on this box. A cluster sizes this up (SCALE.md: 2^33
+# per bucket at 10^10 keys) because there each executor touches mostly
+# its node's buckets and has the filter budget to itself.
+DEFAULT_LOG2_BITS = 24
 DEFAULT_NUM_HASHES = 7
 MAYBE_COL = "__maybe_seen"
 
@@ -85,8 +92,18 @@ _ERR = np.errstate(over="ignore")
 # and Spark reuses Python workers across jobs — a path-only cache would let
 # a long-lived worker probe with a stale filter missing the latest batch's
 # keys, i.e. Bloom false negatives. A stat() per bucket per Arrow batch
-# (~32 stats / 10k rows) buys exact freshness.
-_FILTER_CACHE: dict[tuple[str, int], tuple[np.ndarray, int]] = {}
+# (~32 stats / 10k rows) buys exact freshness. LRU-capped in BYTES
+# (JIRLBOT_BLOOM_CACHE_MB, default 256): a local-mode worker touches
+# every bucket, and an unbounded cache multiplied across workers
+# OOM-killed the box at 16 MiB×32×32.
+from collections import OrderedDict  # noqa: E402
+
+_FILTER_CACHE: OrderedDict[tuple[str, int], tuple[np.ndarray, int]] = (
+    OrderedDict()
+)
+_CACHE_CAP_BYTES = (
+    int(os.environ.get("JIRLBOT_BLOOM_CACHE_MB", "256")) * 1024 * 1024
+)
 
 # File format: np.save of uint64 [MAGIC, epoch, bits...]. The embedded
 # epoch makes every filter file SELF-VALIDATING against the committed
@@ -147,6 +164,12 @@ def _load_filter(path: str) -> tuple[np.ndarray, int] | None:
         if len(arr) < _HDR or arr[0] != _MAGIC:
             return None  # legacy/foreign file: no epoch ⇒ no information
         _FILTER_CACHE[key] = (arr[_HDR:], int(arr[1]))
+        total = sum(v[0].nbytes for v in _FILTER_CACHE.values())
+        while total > _CACHE_CAP_BYTES and len(_FILTER_CACHE) > 1:
+            _, (old_bits, _) = _FILTER_CACHE.popitem(last=False)
+            total -= old_bits.nbytes
+    else:
+        _FILTER_CACHE.move_to_end(key)
     return _FILTER_CACHE[key]
 
 
