@@ -6,7 +6,7 @@ test:
 dist:
 	rm -f dist/jirlbot_spark.zip
 	mkdir -p dist
-	cd . && zip -qr dist/jirlbot_spark.zip jirlbot_spark -i '*.py'
+	cd . && zip -qr dist/jirlbot_spark.zip jirlbot_spark -i '*.py' '*.dat'
 	@echo "submit with: spark-submit --py-files dist/jirlbot_spark.zip your_job.py"
 
 bench:

@@ -42,22 +42,10 @@ from pyspark.sql.types import StringType
 
 MAX_URL_LEN = 2048
 
-# Two-level public suffixes (minimal embedded table; a cluster deployment
-# swaps in the full publicsuffix.org list as a broadcast set — the lookup
-# below is set-membership and does not change shape with table size).
-_TWO_LEVEL_SUFFIXES = frozenset(
-    {
-        "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
-        "com.au", "net.au", "org.au", "edu.au", "gov.au",
-        "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
-        "com.br", "net.br", "org.br", "gov.br",
-        "co.in", "net.in", "org.in", "gen.in",
-        "com.cn", "net.cn", "org.cn", "gov.cn",
-        "co.nz", "net.nz", "org.nz",
-        "co.za", "org.za", "com.mx", "com.ar", "com.tr", "com.sg",
-        "co.kr", "or.kr", "com.tw", "com.hk",
-    }
-)
+# Full publicsuffix.org rule sets (vendored — functions/psl.py). Loaded
+# lazily so importing this module stays cheap on executors that never
+# touch pld.
+from jirlbot_spark.functions.psl import MAX_RULE_LABELS, load_psl
 
 _SCHEME_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.\-]*):")
 # scheme://host[:port][/path...]
@@ -265,19 +253,56 @@ def host_of_series(urls: pd.Series) -> pd.Series:
     return h.str.lower()
 
 
-def pld_series(hosts: pd.Series) -> pd.Series:
-    """Pay-level-domain of a hostname, vectorized.
+def _suffix_re(k: int) -> str:
+    """Regex capturing the last k dot-separated labels (no match -> NaN)."""
+    if k == 1:
+        return r"([^.]+)$"
+    return r"((?:[^.]+\.){%d}[^.]+)$" % (k - 1)
 
-    Last two labels, or last three when the last two form a known
-    two-level public suffix (co.uk etc.). IP literals pass through whole.
+
+def pld_series(hosts: pd.Series) -> pd.Series:
+    """Pay-level-domain of a hostname via the full public-suffix list.
+
+    PSL match algorithm, vectorized: the public-suffix label count is the
+    longest matching exact rule, or parent+1 for a ``*.parent`` wildcard
+    rule, with ``!exception`` rules overriding to len(exception)-1, and
+    the implicit ``*`` default (the bare TLD) when nothing matches.  The
+    PLD is one label more than the public suffix.  Hosts that ARE a
+    public suffix (or single labels like "localhost") are their own PLD;
+    IPv4 literals pass through whole.
+
+    Cost per batch: MAX_RULE_LABELS+1 anchored regex extracts plus ~2·K
+    hash-set membership tests — shape-independent of the 9.5k-rule table.
     """
+    exact, wildcard_parents, exceptions = load_psl()
     h = hosts.fillna("").str.lower().str.strip(".")
     is_ip = h.str.match(r"^\d{1,3}(\.\d{1,3}){3}$")
-    last2 = h.str.extract(r"([^.]+\.[^.]+)$")[0]
-    last3 = h.str.extract(r"([^.]+\.[^.]+\.[^.]+)$")[0]
-    suffix_hit = last2.isin(_TWO_LEVEL_SUFFIXES)
-    pld = last2.where(~suffix_hit, last3)
-    # single-label hosts (e.g. "localhost") are their own PLD
+    K = MAX_RULE_LABELS
+    suf = {k: h.str.extract(_suffix_re(k))[0] for k in range(1, K + 2)}
+    # implicit '*' rule: the TLD itself is a public suffix
+    ps_len = pd.Series(1, index=h.index)
+    for k in range(2, K + 1):  # k=1 is the default; exact TLD rules agree
+        hit = suf[k].isin(exact)
+        if hit.any():
+            ps_len = ps_len.mask(hit, k)  # increasing k => longest match
+    for k in range(1, K):
+        # '*.parent' with k-label parent => (k+1)-label suffixes are public
+        hit = suf[k].isin(wildcard_parents)
+        if hit.any():
+            ps_len = ps_len.mask(hit & (ps_len < k + 1), k + 1)
+    for k in range(2, K + 1):
+        # exception rule: its own match is REGISTRABLE (ps = rule minus
+        # leftmost label); beats wildcard/exact per the PSL spec
+        hit = suf[k].isin(exceptions)
+        if hit.any():
+            ps_len = ps_len.mask(hit, k - 1)
+    pld = pd.Series(pd.NA, index=h.index, dtype="object")
+    for L in range(2, K + 2):
+        pick = ps_len == L - 1
+        if pick.any():
+            pld = pld.mask(pick, suf[L])
+    # host shorter than ps+1 labels (is itself a suffix, or single-label
+    # like "localhost") -> own PLD
     pld = pld.fillna(h)
     pld = pld.mask(is_ip, h)
     return pld.mask(h == "", pd.NA)

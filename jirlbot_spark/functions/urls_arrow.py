@@ -23,11 +23,12 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from jirlbot_spark.functions.psl import MAX_RULE_LABELS, load_psl
 from jirlbot_spark.functions.urls import (
-    _TWO_LEVEL_SUFFIXES,
     MAX_URL_LEN,
     PCT_DECODE_LITERALS,
     PCT_UPPER_PASSES,
+    _suffix_re,
     idna_encode,
 )
 
@@ -37,7 +38,21 @@ _SPLIT_PAT = (
 )
 _EMPTY = pa.scalar("", pa.string())
 _NULL_STR = pa.scalar(None, pa.string())
-_SUFFIX_SET = pa.array(sorted(_TWO_LEVEL_SUFFIXES), pa.string())
+_PSL_ARROW: tuple[pa.Array, pa.Array, pa.Array] | None = None
+
+
+def _psl_arrow() -> tuple[pa.Array, pa.Array, pa.Array]:
+    """(exact, wildcard_parents, exceptions) as Arrow value sets, built
+    once per process from the vendored publicsuffix.org table."""
+    global _PSL_ARROW
+    if _PSL_ARROW is None:
+        exact, wc, exc = load_psl()
+        _PSL_ARROW = (
+            pa.array(sorted(exact), pa.string()),
+            pa.array(sorted(wc), pa.string()),
+            pa.array(sorted(exc), pa.string()),
+        )
+    return _PSL_ARROW
 
 # dot-segment passes — same patterns, same order, same fixpoint loop as
 # urls._remove_dot_segments (rows without the literal "/." can match none
@@ -284,21 +299,39 @@ def host_of_chunk(urls: pa.Array) -> pa.Array:
 
 
 def pld_chunk(hosts: pa.Array) -> pa.Array:
-    """Pay-level-domain, mirroring urls.pld_series: last two labels, or
-    three when the last two are a known two-level public suffix; IP
-    literals and single-label hosts pass through whole; ""/null -> null."""
+    """Pay-level-domain via the full public-suffix list, mirroring
+    urls.pld_series exactly (PSL exact/wildcard/exception rules plus the
+    implicit '*' default); IP literals and hosts that are themselves a
+    suffix pass through whole; ""/null -> null."""
     if isinstance(hosts, pa.ChunkedArray):
         hosts = hosts.combine_chunks()
+    exact_set, wc_set, exc_set = _psl_arrow()
     h = pc.utf8_trim(pc.utf8_lower(pc.fill_null(hosts, "")), ".")
     is_ip = pc.match_substring_regex(h, r"^\d{1,3}(\.\d{1,3}){3}$")
-    last2 = pc.struct_field(
-        pc.extract_regex(h, r"(?P<g>[^.]+\.[^.]+)$"), "g"
-    )
-    last3 = pc.struct_field(
-        pc.extract_regex(h, r"(?P<g>[^.]+\.[^.]+\.[^.]+)$"), "g"
-    )
-    suffix_hit = pc.is_in(last2, value_set=_SUFFIX_SET)
-    pld = pc.if_else(suffix_hit, last3, last2)
+    K = MAX_RULE_LABELS
+    suf = {
+        k: pc.struct_field(
+            pc.extract_regex(h, "(?P<g>" + _suffix_re(k)[1:]), "g"
+        )
+        for k in range(1, K + 2)
+    }
+    ps_len = pa.array(np.ones(len(h), np.int32))
+    for k in range(2, K + 1):
+        hit = pc.fill_null(pc.is_in(suf[k], value_set=exact_set), False)
+        ps_len = pc.if_else(hit, pa.scalar(k, pa.int32()), ps_len)
+    for k in range(1, K):
+        hit = pc.and_(
+            pc.fill_null(pc.is_in(suf[k], value_set=wc_set), False),
+            pc.less(ps_len, k + 1),
+        )
+        ps_len = pc.if_else(hit, pa.scalar(k + 1, pa.int32()), ps_len)
+    for k in range(2, K + 1):
+        hit = pc.fill_null(pc.is_in(suf[k], value_set=exc_set), False)
+        ps_len = pc.if_else(hit, pa.scalar(k - 1, pa.int32()), ps_len)
+    pld = pa.array([None] * len(h), pa.string())
+    for L in range(2, K + 2):
+        pick = pc.equal(ps_len, L - 1)
+        pld = pc.if_else(pick, suf[L], pld)
     pld = pc.coalesce(pld, h)
     pld = pc.if_else(is_ip, h, pld)
     return pc.if_else(pc.equal(h, ""), _NULL_STR, pld)

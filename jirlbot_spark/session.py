@@ -113,7 +113,10 @@ def _ship_package(spark: SparkSession) -> None:
             with zipfile.ZipFile(zpath, "w") as z:
                 for dirpath, _, files in os.walk(pkg_dir):
                     for fn in files:
-                        if fn.endswith(".py"):
+                        # .py sources plus packaged data files (the
+                        # public-suffix table) — executors read the
+                        # latter via importlib.resources from this zip
+                        if fn.endswith((".py", ".dat")):
                             full = os.path.join(dirpath, fn)
                             rel = os.path.join(
                                 "jirlbot_spark",

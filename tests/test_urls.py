@@ -81,6 +81,30 @@ PLD_CASES = [
     ("192.168.0.1", "192.168.0.1"),
     ("EXAMPLE.ORG", "example.org"),
     ("trailing.dot.com.", "dot.com"),
+    # --- full-PSL coverage (vendored publicsuffix.org list) ---
+    # private-section suffix: github.io is itself a public suffix, so
+    # every user site is its own PLD
+    ("foo.github.io", "foo.github.io"),
+    ("deep.foo.github.io", "foo.github.io"),
+    ("github.io", "github.io"),
+    # multi-label ICANN suffix with a same-name shorter rule (com.co AND co)
+    ("example.com.co", "example.com.co"),
+    ("x.example.com.co", "example.com.co"),
+    # wildcard rule *.ck: every <label>.ck is a public suffix ...
+    ("x.other.ck", "x.other.ck"),
+    ("other.ck", "other.ck"),
+    # ... except the !www.ck exception, which IS registrable
+    ("www.ck", "www.ck"),
+    ("sub.www.ck", "www.ck"),
+    # wildcard with 2-label parent + exception: *.kawasaki.jp / !city.kawasaki.jp
+    ("a.foo.kawasaki.jp", "a.foo.kawasaki.jp"),
+    ("x.city.kawasaki.jp", "city.kawasaki.jp"),
+    # 5-label exact rule (deepest in the list)
+    ("vfs.cloud9.ca-central-1.amazonaws.com", "vfs.cloud9.ca-central-1.amazonaws.com"),
+    ("x.vfs.cloud9.ca-central-1.amazonaws.com", "x.vfs.cloud9.ca-central-1.amazonaws.com"),
+    # unicode rule stored in punycode form (рф -> xn--p1ai)
+    ("xn--e1afmkfd.xn--p1ai", "xn--e1afmkfd.xn--p1ai"),
+    ("sub.xn--e1afmkfd.xn--p1ai", "xn--e1afmkfd.xn--p1ai"),
 ]
 
 
