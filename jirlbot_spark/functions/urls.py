@@ -81,9 +81,33 @@ PCT_UPPER_PASSES: list[tuple[str, str]] = [
 _UNRESERVED = (
     "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
 )
-PCT_DECODE_LITERALS: list[tuple[str, str]] = [
-    (f"%{ord(ch):02X}", ch) for ch in _UNRESERVED
+# Unreserved-escape decode, pinned contract: ITERATED single-pass to
+# FIXPOINT. One round is a true simultaneous single pass, in two
+# literal-replace phases (RE2 has no replacement callback, so a single
+# regex pass isn't expressible in the Arrow kernel):
+#   phase 1: each valid %XX -> a private-use placeholder U+E0XX.
+#            Placeholders are non-ASCII, so a decode inside one round can
+#            never combine with surrounding text into a NEW escape — the
+#            round is order-independent, unlike the old 66-sequential-
+#            literal scheme whose result depended on pass order.
+#   phase 2: placeholder -> the decoded character.
+# Rounds repeat until nothing changes. On well-formed input one round is
+# a no-op-detecting second pass; on malformed stray-% input ('%7%45E')
+# a decode may SYNTHESIZE a new escape ('%7EE'), and the next round
+# decodes it ('~E'). That cascading is a deliberate, documented
+# divergence from one-shot RFC 3986 decoding: the canonical form must be
+# a FIXPOINT of canonicalize (frontier dedup keys would otherwise drift),
+# and one-shot decoding leaves non-fixpoint outputs. Golden-pinned in
+# tests/test_urls.py; fuzzed in tests/test_arrow_kernels.py.
+PCT_DECODE_PHASE1: list[tuple[str, str]] = [
+    (f"%{ord(ch):02X}", chr(0xE000 + ord(ch))) for ch in _UNRESERVED
 ]
+PCT_DECODE_PHASE2: list[tuple[str, str]] = [
+    (chr(0xE000 + ord(ch)), ch) for ch in _UNRESERVED
+]
+# adversarial inputs carrying our placeholder code points would corrupt
+# phase 2 — strip them first (they're garbage in a URL either way)
+_P_PUA_GUARD = re.compile("[\\uE000-\\uE0FF]")
 _PCT_UPPER_COMPILED = [(re.compile(p), r) for p, r in PCT_UPPER_PASSES]
 
 
@@ -94,16 +118,28 @@ def _strip_ctrl(s: pd.Series) -> pd.Series:
 
 
 def _pct_normalize(s: pd.Series) -> pd.Series:
-    """Uppercase %XX hex + decode unreserved escapes, only over the rows
-    that contain '%' (subset-scatter like _remove_dot_segments)."""
+    """Uppercase %XX hex + fixpoint decode of unreserved escapes
+    (iterated placeholder two-phase — see PCT_DECODE_PHASE1), only over
+    the rows that contain '%' (subset-scatter like _remove_dot_segments).
+    Round count is bounded: each non-final round strictly shortens its
+    rows (a decode drops >=2 chars)."""
     m = s.str.contains("%", regex=False, na=False)
     if not m.any():
         return s
     sub = s[m]
+    if sub.str.contains(_P_PUA_GUARD, na=False).any():
+        sub = sub.str.replace(_P_PUA_GUARD, "", regex=True)
     for pat, rep in _PCT_UPPER_COMPILED:
         sub = sub.str.replace(pat, rep, regex=True)
-    for lit, rep in PCT_DECODE_LITERALS:
-        sub = sub.str.replace(lit, rep, regex=False)
+    for _ in range(64):
+        nxt = sub
+        for lit, rep in PCT_DECODE_PHASE1:
+            nxt = nxt.str.replace(lit, rep, regex=False)
+        for lit, rep in PCT_DECODE_PHASE2:
+            nxt = nxt.str.replace(lit, rep, regex=False)
+        if nxt.equals(sub):
+            break
+        sub = nxt
     out = s.copy()
     out[m] = sub
     return out

@@ -26,7 +26,8 @@ import pyarrow.compute as pc
 from jirlbot_spark.functions.psl import MAX_RULE_LABELS, load_psl
 from jirlbot_spark.functions.urls import (
     MAX_URL_LEN,
-    PCT_DECODE_LITERALS,
+    PCT_DECODE_PHASE1,
+    PCT_DECODE_PHASE2,
     PCT_UPPER_PASSES,
     _suffix_re,
     idna_encode,
@@ -83,16 +84,26 @@ def _strip_ctrl(u: pa.Array) -> pa.Array:
 
 def _pct_normalize(u: pa.Array) -> pa.Array:
     """Same pass sequence as urls._pct_normalize (tables imported from
-    there): 12 re2 uppercase passes, 66 literal unreserved decodes, only
-    over rows containing '%'."""
+    there): PUA-placeholder guard, 12 re2 uppercase passes, then the
+    FIXPOINT-iterated two-phase unreserved decode (escape -> placeholder
+    -> char per round; see urls.PCT_DECODE_PHASE1 for why the fixpoint
+    is the pinned contract), only over rows containing '%'."""
     mask = pc.match_substring(u, "%")
     if not pc.any(mask).as_py():
         return u
     sub = pc.filter(u, mask)
+    sub = pc.replace_substring_regex(sub, r"[\x{E000}-\x{E0FF}]", "")
     for pat, rep in PCT_UPPER_PASSES:
         sub = pc.replace_substring_regex(sub, pat, rep)
-    for lit, rep in PCT_DECODE_LITERALS:
-        sub = pc.replace_substring(sub, lit, rep)
+    for _ in range(64):
+        nxt = sub
+        for lit, rep in PCT_DECODE_PHASE1:
+            nxt = pc.replace_substring(nxt, lit, rep)
+        for lit, rep in PCT_DECODE_PHASE2:
+            nxt = pc.replace_substring(nxt, lit, rep)
+        if pc.all(pc.equal(nxt, sub)).as_py():
+            break
+        sub = nxt
     return pc.replace_with_mask(u, mask, sub)
 
 

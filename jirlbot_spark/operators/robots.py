@@ -199,7 +199,9 @@ def parse_robots_txt_df(
     alw = rule_list("allow", "allow")
     delay = (
         in_grp.filter(F.col("line").startswith("crawl-delay:"))
-        .withColumn("crawl_delay", directive("crawl-delay").cast("double"))
+        # try_cast: malformed values in untrusted robots.txt ("10s")
+        # must degrade to NULL -> default delay, not throw under ANSI
+        .withColumn("crawl_delay", directive("crawl-delay").try_cast("double"))
         .groupBy("h")
         .agg(F.max("crawl_delay").alias("crawl_delay"))
     )

@@ -383,6 +383,29 @@ def _kmeans_numpy(
     return cent
 
 
+CENT_SCALE = 1 << 14
+
+
+def _quantize_centroids(cent: np.ndarray) -> np.ndarray:
+    """Round unit-norm float centroids to int64 at CENT_SCALE.
+
+    For INTEGER corpora this makes every cell score exact (int64 dot,
+    int64 centroid norm, one IEEE divide) and therefore bit-identical
+    regardless of how mapInPandas batches the corpus — assignments and
+    probes can't flip on an Arrow block boundary, and a golden oracle
+    can replicate them with plain numpy."""
+    return np.rint(cent * CENT_SCALE).astype(np.int64)
+
+
+def _cell_scores(mat: np.ndarray, cent_int: np.ndarray) -> np.ndarray:
+    """dot(v, c)/||c|| per (row, centroid) with the exact-int recipe of
+    _cosine_matrix (the row norm is dropped — it never changes a row's
+    argmax/argsort over centroids)."""
+    dots = (mat.astype(np.int64) @ cent_int.T).astype(np.float64)
+    nb = np.einsum("ij,ij->i", cent_int, cent_int).astype(np.float64)
+    return dots / np.sqrt(np.maximum(nb, 1.0))
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -440,9 +463,21 @@ def ivf_topk(
     ).toPandas()
     qids = qpdf["qid"].to_numpy()
     qmat = np.vstack(qpdf["qv"].to_numpy())
-    qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    int_vecs = np.issubdtype(qmat.dtype, np.integer)
     nprobe_eff = min(nprobe, len(cent))
-    qcells = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe_eff]
+    if int_vecs:
+        # exact-int cell scores: assignment/probing is bit-deterministic
+        # and independent of Arrow batch boundaries (see _quantize_centroids)
+        cent_int = _quantize_centroids(cent)
+        qcells = np.argsort(
+            -_cell_scores(qmat, cent_int), axis=1, kind="stable"
+        )[:, :nprobe_eff]
+    else:
+        cent_int = None
+        qn = qmat / np.maximum(
+            np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12
+        )
+        qcells = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe_eff]
     # cell -> indices of queries probing it
     probes: dict[int, np.ndarray] = {
         c: np.nonzero((qcells == c).any(axis=1))[0]
@@ -455,10 +490,13 @@ def ivf_topk(
                 continue
             cids = pdf["__cid"].to_numpy()
             cmat = np.vstack(pdf["__cv"].to_numpy())
-            cn = cmat / np.maximum(
-                np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12
-            )
-            cells = np.argmax(cn @ cent.T, axis=1)
+            if cent_int is not None:
+                cells = np.argmax(_cell_scores(cmat, cent_int), axis=1)
+            else:
+                cn = cmat / np.maximum(
+                    np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12
+                )
+                cells = np.argmax(cn @ cent.T, axis=1)
             for c in np.unique(cells):
                 qsel = probes.get(int(c))
                 if qsel is None or len(qsel) == 0:

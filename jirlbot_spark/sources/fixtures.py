@@ -122,6 +122,98 @@ def gen_seed_urls(seed: int, n_sites: int) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def robots_rfc_scenario() -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Fixture for the robots_rfc driver key: (bodies, urls).
+
+    bodies: (host, body) raw robots.txt exercising the full documented
+    grammar — comments, mixed-case directives, consecutive User-agent
+    lines sharing one group, specific-UA-beats-* group choice, Allow vs
+    Disallow longest-match with allow winning ties, mid-rule `*`
+    wildcards, `$` end anchors, regex metachars in paths, the "/"
+    disallow-everything sentinel, an empty Disallow (allow-all), and a
+    malformed Crawl-delay that must degrade to the default, not throw.
+    urls: (url_id, host, path) probing every rule boundary.
+    """
+    bodies = [
+        # longest-match + allow-tie-wins + $ anchor + mid wildcard
+        (
+            "a.com",
+            "# fixture\n"
+            "User-agent: *\n"
+            "Disallow: /private/\n"
+            "Allow: /private/pub/\n"
+            "Disallow: /*.json$\n"
+            "Allow: /api/\n"
+            "Disallow: /api/internal\n"
+            "Crawl-delay: 2.5\n",
+        ),
+        # specific group beats *: jirlbot gets a laxer policy
+        (
+            "b.com",
+            "User-agent: *\n"
+            "Disallow: /\n"
+            "\n"
+            "User-agent: jirlbot\n"
+            "Disallow: /only-this/\n"
+            "Crawl-delay: 10s\n",  # malformed -> default delay
+        ),
+        # consecutive UA lines share one group; regex metachars in rule
+        (
+            "c.com",
+            "User-agent: otherbot\n"
+            "User-agent: jirl\n"
+            "Disallow: /a(b)+c?/\n"
+            "Allow:\n",  # empty Allow value is dropped
+        ),
+        # "/" sentinel in the only applicable (*) group
+        ("d.com", "User-agent: *\nDisallow: /\n"),
+        # allow-all: no matching group at all
+        ("e.com", "User-agent: nobody\nDisallow: /\n"),
+        # empty body -> allow-all with empty rule arrays
+        ("f.com", "\n"),
+    ]
+    probes = [
+        ("a.com", "/private/x"),          # FAIL (disallow /private/)
+        ("a.com", "/private/pub/x"),      # PASS (longer allow wins)
+        ("a.com", "/data/feed.json"),     # FAIL ($-anchored wildcard)
+        ("a.com", "/data/feed.json5"),    # PASS ($ anchor excludes)
+        ("a.com", "/api/ok"),             # PASS (allow /api/)
+        ("a.com", "/api/internal/x"),     # FAIL (longer disallow wins)
+        ("a.com", "/open"),               # PASS
+        ("b.com", "/anything"),           # PASS (specific group is laxer)
+        ("b.com", "/only-this/x"),        # FAIL (specific group rule)
+        ("c.com", "/a(b)+c?/zz"),         # FAIL (escaped metachars match)
+        ("c.com", "/abbc/zz"),            # PASS (no regex interpretation)
+        ("d.com", "/"),                   # FAIL (sentinel)
+        ("d.com", "/any/depth"),          # FAIL
+        ("e.com", "/x"),                  # PASS (no applicable group)
+        ("f.com", "/x"),                  # PASS (empty body)
+    ]
+    urls = pd.DataFrame(
+        [
+            {"url_id": i, "host": h, "path": p}
+            for i, (h, p) in enumerate(probes)
+        ]
+    )
+    return pd.DataFrame(bodies, columns=["host", "body"]), urls
+
+
+def gen_hash_urls(n: int) -> pd.DataFrame:
+    """Deterministic canonical-URL corpus for the url_hash driver key:
+    (url_id, url) with lengths sweeping every residue mod 16 so the
+    murmur3 128-bit block loop AND all 15 tail-switch arms are exercised
+    by the driver contract (not just by pytest)."""
+    rows = []
+    for i in range(n):
+        url = (
+            f"http://site{i % 53}.example{i % 7}.com/p/{i}"
+            + "x" * (i % 16)
+            + (f"?q={i % 29}" if i % 3 == 0 else "")
+        )
+        rows.append({"url_id": i, "url": url})
+    return pd.DataFrame(rows)
+
+
 def gen_web_graph(
     seed: int,
     n_sites: int,

@@ -20,6 +20,13 @@ REJECT = None
 
 CANON_CASES = [
     # (raw, base, expected)
+    # fixpoint %-decode (pinned contract, urls.py PCT_DECODE_PHASE1
+    # comment): malformed stray-% input decodes until stable so the
+    # canonical form stays idempotent — '%7%45E' -> '%7EE' -> '~E'
+    ("http://example.com/%7%45E", "", "http://example.com/~E"),
+    ("http://example.com/%4%31x", "", "http://example.com/Ax"),
+    # adversarial private-use placeholders are stripped, not decoded
+    ("http://example.com/xy%41", "", "http://example.com/xyA"),
     ("http://example.com", "", "http://example.com/"),
     ("HTTP://EXAMPLE.COM/Path", "", "http://example.com/Path"),
     ("http://example.com:80/", "", "http://example.com/"),

@@ -281,6 +281,158 @@ def golden_ann_lsh() -> str:
     )
 
 
+def golden_url_hash() -> str:
+    """Expected (url_id, url_hash, bucket) for q_url_hash, computed with
+    the INDEPENDENT pure-Python scalar MurmurHash3 reference
+    (tests/scalar_murmur3.py — written from Appleby's public-domain
+    MurmurHash3.cpp), so a green driver key proves the vectorized numpy
+    kernel implements the algorithm, not merely that the plumbing round-
+    trips. bucket replicates Spark's pmod(h, 32) on the signed i64."""
+    from jirlbot_spark.sources.fixtures import gen_hash_urls
+    from tests.scalar_murmur3 import murmur3_x64_128
+
+    pdf = gen_hash_urls(512)
+    rows = []
+    for i, url in zip(pdf["url_id"], pdf["url"]):
+        h1, _ = murmur3_x64_128(str(url).encode("utf-8"), seed=0)
+        signed = h1 - (1 << 64) if h1 >= (1 << 63) else h1
+        rows.append((int(i), signed, signed % 32))
+    assert len({r[1] for r in rows}) == len(rows), "hash collision in fixture"
+    return values_sql(
+        ["url_id", "url_hash", "bucket"], rows, int_cols=("bucket",)
+    )
+
+
+def golden_robots_rfc() -> str:
+    """Expected (url_id, robots_status, crawl_delay) for q_robots_rfc,
+    from an INDEPENDENT pure-Python evaluator of the pinned grammar
+    (line-loop state machine + per-rule re.match — nothing shared with
+    the Spark window/regexp_like implementation)."""
+    import re as _re
+
+    from jirlbot_spark.sources.fixtures import robots_rfc_scenario
+
+    UA = "jirlbot"
+
+    def parse(body: str):
+        groups: list[tuple[list[str], list[tuple[str, str]]]] = []
+        cur_uas: list[str] | None = None
+        cur_rules: list[tuple[str, str]] | None = None
+        for raw_line in body.split("\n"):
+            line = raw_line.split("#", 1)[0].strip()
+            if not line:
+                continue
+            low = line.lower()
+            if low.startswith("user-agent:"):
+                tok = line.split(":", 1)[1].strip().lower()
+                if cur_rules:  # previous group had directives -> close it
+                    groups.append((cur_uas or [], cur_rules))
+                    cur_uas, cur_rules = None, None
+                if cur_uas is None:
+                    cur_uas, cur_rules = [], []
+                cur_uas.append(tok)
+            elif ":" in line and cur_uas is not None:
+                d, v = line.split(":", 1)
+                cur_rules.append((d.strip().lower(), v.strip()))
+        if cur_uas is not None:
+            groups.append((cur_uas, cur_rules or []))
+        specific = [
+            g for g in groups
+            if any(t != "*" and UA.startswith(t) for t in g[0])
+        ]
+        chosen = specific or [g for g in groups if "*" in g[0]]
+        allow, disallow, delay = [], [], 0.0
+        for _, rules in chosen:
+            for d, v in rules:
+                if d == "allow" and v:
+                    allow.append(v)
+                elif d == "disallow" and v:
+                    disallow.append(v)
+                elif d == "crawl-delay":
+                    try:
+                        delay = max(delay, float(v))
+                    except ValueError:
+                        pass
+        return allow, disallow, delay
+
+    def rule_re(rule: str) -> str:
+        pat = "".join(
+            ".*" if ch == "*" else _re.escape(ch) for ch in rule
+        )
+        if rule.endswith("$"):
+            pat = pat[: -len(_re.escape("$"))] + "$"
+        return pat
+
+    def check(path: str, allow: list[str], disallow: list[str]) -> str:
+        best = {"PASS": -1, "FAIL": -1}
+        for verdict, rules in (("PASS", allow), ("FAIL", disallow)):
+            for r in rules:
+                if _re.match(rule_re(r), path):
+                    best[verdict] = max(best[verdict], len(r))
+        return "FAIL" if best["FAIL"] > best["PASS"] else "PASS"
+
+    bodies, urls = robots_rfc_scenario()
+    parsed = {h: parse(b) for h, b in zip(bodies["host"], bodies["body"])}
+    rows = []
+    for uid, host, path in zip(urls["url_id"], urls["host"], urls["path"]):
+        allow, disallow, delay = parsed[host]
+        rows.append((int(uid), check(path, allow, disallow), float(delay)))
+    statuses = {r[1] for r in rows}
+    assert statuses == {"PASS", "FAIL"}, f"degenerate scenario: {statuses}"
+    return values_sql(["url_id", "robots_status", "crawl_delay"], rows)
+
+
+def golden_ann_ivf() -> str:
+    """Expected (query_id, vec_id, cosine, rnk) for q_ann_ivf by direct
+    replication of the whole IVF pipeline over the seeded fixture:
+    same quantization (floor(x*1000) on float64-widened float32), same
+    k-means call over the same full-corpus sample in row order
+    (sample_mod=1 at fixture scale), same int64-quantized centroids and
+    exact-int cell scores, same int64 _cosine_matrix rerank — so every
+    double is bit-identical to what the Spark plan produces and the
+    blocking of mapInPandas cannot change assignments or order."""
+    from jirlbot_spark.operators.similarity import (
+        _cell_scores,
+        _cosine_matrix,
+        _kmeans_numpy,
+        _quantize_centroids,
+    )
+    from jirlbot_spark.sources.fixtures import gen_embeddings
+
+    emb = gen_embeddings(29, 300)
+    mat = np.floor(
+        np.vstack(emb["embedding"].to_numpy()).astype(np.float64) * 1000.0
+    ).astype(np.int64)
+    ids = emb["vec_id"].to_numpy().astype(np.int64)
+    n_centroids, nprobe, k = 16, 6, 5
+    sample_mod = max(1, len(mat) // (256 * n_centroids))
+    assert sample_mod == 1, "fixture no longer below the training budget"
+    cent_int = _quantize_centroids(_kmeans_numpy(mat, n_centroids, seed=31))
+
+    qmask = ids < 10
+    qids, qmat = ids[qmask], mat[qmask]
+    qcells = np.argsort(
+        -_cell_scores(qmat, cent_int), axis=1, kind="stable"
+    )[:, : min(nprobe, len(cent_int))]
+    cells = np.argmax(_cell_scores(mat, cent_int), axis=1)
+
+    rows = []
+    for qi in range(len(qids)):
+        cand = np.nonzero(np.isin(cells, qcells[qi]))[0]
+        sims = _cosine_matrix(qmat[qi : qi + 1], mat[cand])[0]
+        order = sorted(
+            range(len(cand)), key=lambda j: (-sims[j], ids[cand[j]])
+        )
+        for rank, j in enumerate(order[:k], start=1):
+            rows.append(
+                (int(qids[qi]), int(ids[cand[j]]), float(sims[j]), rank)
+            )
+    assert len(rows) == 50, f"unexpected IVF row count {len(rows)}"
+    return values_sql(
+        ["query_id", "vec_id", "cosine", "rnk"], rows, int_cols=("rnk",)
+    )
+
+
 def golden_resume_state() -> str:
     """Expected 3-batch fetch_log from the pure-Python crawl SIMULATOR
     (tests/oracle_sim.py — an implementation independent of the engine),
@@ -320,6 +472,9 @@ def main() -> None:
         "frame_sample": golden_frame_sample(),
         "dedup_simhash": golden_dedup_simhash(),
         "ann_lsh": golden_ann_lsh(),
+        "ann_ivf": golden_ann_ivf(),
+        "url_hash": golden_url_hash(),
+        "robots_rfc": golden_robots_rfc(),
         "resume_state": golden_resume_state(),
     }
     out = Path(__file__).resolve().parent.parent / "jirlbot_spark" / "goldens_sql.py"
