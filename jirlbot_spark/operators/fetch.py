@@ -101,6 +101,7 @@ def http_fetch(
     planned_col: str = "planned_at_s",
     seq_col: str = "seq_in_host",
     hash_col: str = "url_hash",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """The reference's live-fetch path, Spark-first: ONE applyInPandas
     task per host executes that host's URLs strictly in politeness order,
@@ -122,7 +123,16 @@ def http_fetch(
     BEAST budgets have already bounded every host's row count, so no
     group outgrows a task (hot-host skew is capped upstream by design,
     not by this operator).
+
+    `carry` names extra columns of `scheduled` (depth, priority,
+    image_id, ...) to ride through the per-host task unchanged — the
+    crawl loop needs them downstream, and carrying beats re-joining the
+    fetch results back to the frontier on url_hash (a second shuffle of
+    the whole batch for columns the task already holds).
     """
+    carry = tuple(c for c in carry)
+    carry_fields = [f for f in scheduled.schema.fields if f.name in carry]
+    out_fetch_schema = StructType(HTTP_FETCH_SCHEMA.fields + carry_fields)
 
     def fetch_host(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([planned_col, seq_col], kind="mergesort")
@@ -155,14 +165,50 @@ def http_fetch(
                 **out,
             }
         )
+        for c in carry:
+            res[c] = pdf[c].to_numpy()
         return res
 
-    cols = [host_col, url_col, hash_col, seq_col, planned_col]
+    cols = [host_col, url_col, hash_col, seq_col, planned_col, *carry]
     return (
         scheduled.select(*cols)
         .groupBy(host_col)
-        .applyInPandas(fetch_host, schema=HTTP_FETCH_SCHEMA)
+        .applyInPandas(fetch_host, schema=out_fetch_schema)
     )
+
+
+def http_backend(
+    transport=urllib_transport, clock_factory=_real_clock_factory
+):
+    """Adapter: package http_fetch as a CrawlLoop `fetch_backend`.
+
+    The loop hands the backend its politeness-scheduled frame and expects
+    the frontier metadata (depth/priority/pld_hash/image_id/...) back on
+    every fetched row; this closure carries those columns through the
+    per-host task (see http_fetch `carry`). On a cluster this is the live
+    path: CrawlLoop(..., fetch_backend=http_backend()); tests inject a
+    fake transport + virtual clock through the same two parameters.
+    """
+    meta_cols = (
+        "host_hash",
+        "pld",
+        "pld_hash",
+        "depth",
+        "priority",
+        "enqueue_batch",
+        "image_id",
+    )
+
+    def backend(scheduled: DataFrame) -> DataFrame:
+        carry = tuple(c for c in meta_cols if c in scheduled.columns)
+        return http_fetch(
+            scheduled,
+            transport=transport,
+            clock_factory=clock_factory,
+            carry=carry,
+        )
+
+    return backend
 
 
 def extract_links(

@@ -103,6 +103,7 @@ class CrawlLoop:
         link_table: DataFrame | None,
         robots_source: DataFrame | None,
         config: CrawlConfig | None = None,
+        fetch_backend=None,
     ):
         self.spark = spark
         self.store = store
@@ -110,6 +111,21 @@ class CrawlLoop:
         self.link_table = link_table
         self.robots_source = robots_source  # host -> (disallow, crawl_delay)
         self.cfg = config or CrawlConfig()
+        # fetch_backend(scheduled)->DataFrame overrides the table join —
+        # the live-HTTP path on a cluster (operators.fetch.http_backend);
+        # must return the scheduled rows (+frontier metadata) per fetch
+        self.fetch_backend = fetch_backend
+        if self.cfg.bloom_dir is not None and not store.supports_run_listing:
+            # the sidecar epoch contract derives bucket->batch maps from
+            # posix run-dir listings; a snapshot-pinned store (Iceberg)
+            # has no such dirs — fail loudly at construction instead of
+            # TypeError-ing mid-batch in _bucket_key_epochs
+            raise ValueError(
+                f"bloom_dir requires a run-listing TableStore; "
+                f"{type(store).__name__} pins snapshots, not run dirs. "
+                "Disable the Bloom sidecar (bloom_dir=None) or use the "
+                "parquet TableStore."
+            )
 
     # ---- URL ingestion (seeds and extracted links share this path) ----
     def _prepare_urls(
@@ -323,11 +339,12 @@ class CrawlLoop:
                 "img%010d", F.crc32(F.col("url")) % cfg.image_scale
             ),
         )
-        fetched = (
-            table_fetch(scheduled, self.pages, "image_id")
-            if self.pages is not None
-            else scheduled
-        )
+        if self.fetch_backend is not None:
+            fetched = self.fetch_backend(scheduled)
+        elif self.pages is not None:
+            fetched = table_fetch(scheduled, self.pages, "image_id")
+        else:
+            fetched = scheduled
         fetched = fetched.withColumn("batch", F.lit(j)).cache()
 
         # link extraction + PLD graph update
@@ -378,13 +395,20 @@ class CrawlLoop:
             "planned_at_s",
             "priority",
             F.col("image_id"),
+            # live-HTTP backends add status/timing; log them (never the
+            # body — fetch_log must stay narrow at 10^10 rows)
+            *[
+                c
+                for c in ("status", "content_type", "fetched_at_s")
+                if c in fetched.columns
+            ],
         )
         # payload verification (north rule: per-row decoded-pixel +
         # caption invariant inside the fetch microbatch). Verified per
         # DISTINCT image payload: N frontier URLs can map to one image,
         # and decode cost must scale with |images fetched|, not |URLs|.
         verify_log = None
-        if self.pages is not None:
+        if self.pages is not None and "bytes" in fetched.columns:
             from jirlbot_spark.operators.fetch import verify_payload
 
             # distinct on the NARROW image_id column, then re-attach the

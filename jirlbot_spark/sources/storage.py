@@ -43,6 +43,10 @@ class TableWrite:
 
 
 class TableStore:
+    # run dirs are posix-listable (the Bloom sidecar epoch contract and
+    # gc_orphans rely on this); snapshot-pinned subclasses flip it off
+    supports_run_listing = True
+
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
@@ -211,6 +215,18 @@ class IcebergTableStore(TableStore):
     provides the file management (manifest lists, partition stats,
     `rewrite_data_files` compaction) at 10^10-row scale.
 
+    Re-run idempotency: readers of the OLD manifest never see a crashed
+    append, but an exact RESUME re-runs the crashed batch — and a blind
+    second append would leave both copies inside the re-run's pinned
+    snapshot. So every write stamps `jirlbot.batch-id` (+ table name)
+    into the snapshot summary, and commit_batch first looks for an
+    existing snapshot already carrying this batch's stamp: if found, the
+    write is SKIPPED and that snapshot is pinned instead — re-running a
+    crashed batch adopts its own orphaned append rather than doubling it.
+    (The stamped snapshot is a complete record of the batch's write: a
+    crash can only happen before or after the per-table Iceberg commit,
+    never mid-snapshot.)
+
     Sandbox gate: pyspark ships no Iceberg runtime jar here, so the
     constructor raises unless the session has a `spark.sql.catalog.*`
     configured (session.get_spark wires one from
@@ -240,6 +256,8 @@ class IcebergTableStore(TableStore):
             f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}"
         )
 
+    supports_run_listing = False  # snapshots, not posix run dirs
+
     def _tbl(self, name: str) -> str:
         return f"{self.catalog}.{self.namespace}.{name}"
 
@@ -249,6 +267,18 @@ class IcebergTableStore(TableStore):
             "ORDER BY committed_at DESC LIMIT 1"
         ).collect()
         return int(row[0][0])
+
+    def _snapshot_for_batch(self, name: str, batch_id: int) -> int | None:
+        """Snapshot id already stamped with this batch (crashed-append
+        adoption — see class docstring); None if no such snapshot."""
+        if not self.spark.catalog.tableExists(self._tbl(name)):
+            return None
+        rows = self.spark.sql(
+            f"SELECT snapshot_id FROM {self._tbl(name)}.snapshots "
+            f"WHERE summary['jirlbot.batch-id'] = '{int(batch_id)}' "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        return int(rows[0][0]) if rows else None
 
     def read(self, name: str) -> DataFrame | None:
         snap = self.manifest()["tables"].get(name)
@@ -275,9 +305,18 @@ class IcebergTableStore(TableStore):
             df, tbl = w.df, self._tbl(name)
             if w.mode == "append" and df.isEmpty():
                 continue
+            adopted = self._snapshot_for_batch(name, batch_id)
+            if adopted is not None:
+                # this batch already wrote (crashed before the manifest
+                # swap): adopt the stamped snapshot, don't append twice
+                tables[name] = [adopted]
+                runs_written[name] = str(adopted)
+                continue
             if w.partition_by:
                 df = df.repartition(*[df[c] for c in w.partition_by])
-            writer = df.writeTo(tbl)
+            writer = df.writeTo(tbl).option(
+                "snapshot-property.jirlbot.batch-id", str(int(batch_id))
+            )
             if w.partition_by:
                 from pyspark.sql import functions as F
 
