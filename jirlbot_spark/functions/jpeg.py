@@ -20,6 +20,7 @@ canonical Huffman with stable tie-breaks), so fixture goldens replay.
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
@@ -252,6 +253,57 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _destuff(data: bytes, pos: int) -> bytes:
+    """Entropy-coded segment starting at `pos` with 0xFF00 stuffing undone,
+    truncated at the first real marker (EOI etc.), padded with 0xFF bytes
+    so reads past the end see all-1 bits — the same semantics _BitReader
+    implements byte-at-a-time (feed 1-bits at a marker, never advance)."""
+    out = bytearray()
+    n = len(data)
+    start = pos
+    while pos < n:
+        b = data[pos]
+        if b == 0xFF:
+            nxt = data[pos + 1] if pos + 1 < n else 0xD9
+            if nxt == 0x00:
+                out += data[start:pos + 1]  # keep FF, drop stuffed 00
+                pos += 2
+                start = pos
+                continue
+            out += data[start:pos]  # marker: stop before the FF
+            break
+        pos += 1
+    else:
+        out += data[start:n]
+    out += b"\xff" * 32
+    return bytes(out)
+
+
+# bit masks for the inlined entropy-decode accumulator (index = width)
+_BIT_MASKS = tuple((1 << i) - 1 for i in range(80))
+
+
+@functools.lru_cache(maxsize=64)
+def _huff_lut(items: tuple) -> tuple[list[int], int]:
+    """Flat 2^maxlen lookup: next-maxlen-bits -> (length << 8) | symbol,
+    packed so the hot loop does ONE list index per Huffman symbol. Codes
+    are prefix-free so every maxlen-bit word starting with code (ln, c)
+    maps to it; words matching no code stay 0 (valid entries always have
+    ln >= 1, i.e. packed >= 256 — 0 is the invalid-code sentinel). Sized
+    to the table's real max code length (typically 9-12 bits, not the
+    worst-case 16) to keep the build cheap, and cached on the table
+    contents: real-world JPEGs overwhelmingly reuse the Annex-K tables, so
+    across a corpus the build cost amortizes to ~zero. Returns
+    (lut, maxlen)."""
+    maxlen = max(ln for (ln, _), _ in items)
+    lut = [0] * (1 << maxlen)
+    for (ln, code), sym in items:
+        lo = code << (maxlen - ln)
+        hi = (code + 1) << (maxlen - ln)
+        lut[lo:hi] = [(ln << 8) | sym] * (hi - lo)
+    return lut, maxlen
+
+
 def _bitsize(v: int) -> int:
     return int(abs(v)).bit_length()
 
@@ -480,50 +532,112 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     bw = (w + 7) // 8
     bh = (h + 7) // 8
     n_blocks = bw * bh
-    rdr = _BitReader(data, pos)
+    luts = {
+        key: _huff_lut(tuple(sorted(tbl.items())))
+        for key, tbl in huff.items()
+    }
 
-    def decode_huff(table) -> int:
-        code = 0
-        for ln in range(1, 17):
-            code = (code << 1) | rdr.bit()
-            sym = table.get((ln, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code")
-
-    planes = [
-        np.zeros((bh * 8, bw * 8), np.float64) for _ in scan_comps
+    # Entropy decode into sparse (block, zigzag-k, value) triplets per
+    # component + the DC diff stream; dequant/IDCT is then ONE batched
+    # numpy pass over all blocks instead of per-block 8x8 matmuls. The
+    # bit reader is INLINED as locals (acc/nbits/bpos) — at ~3 Huffman
+    # symbols + value reads per coefficient, method-call overhead was the
+    # single largest cost in the profile.
+    nsc = len(scan_comps)
+    dc_diffs: list[list[int]] = [[] for _ in range(nsc)]
+    ac_bi: list[list[int]] = [[] for _ in range(nsc)]
+    ac_k: list[list[int]] = [[] for _ in range(nsc)]
+    ac_v: list[list[int]] = [[] for _ in range(nsc)]
+    comp_luts = [
+        (*luts[(0, c["td"])], *luts[(1, c["ta"])]) for c in scan_comps
     ]
-    pred = [0] * len(scan_comps)
+    buf = _destuff(data, pos)
+    nbuf = len(buf)
+    bpos = acc = nbits = 0
+    masks = _BIT_MASKS
     for bi in range(n_blocks):
-        by, bx = divmod(bi, bw)
-        for ci, comp in enumerate(scan_comps):
-            dct = huff[(0, comp["td"])]
-            act = huff[(1, comp["ta"])]
-            size = decode_huff(dct)
-            diff = _extend(rdr.receive(size), size)
-            pred[ci] += diff
-            zz = np.zeros(64, np.int64)
-            zz[0] = pred[ci]
+        for ci in range(nsc):
+            dlut, dbits, alut, abits = comp_luts[ci]
+            # refill to >=32 bits: enough for one code (<=16) + one
+            # amplitude (<=11) without an intermediate check
+            if nbits < 32:
+                if bpos + 4 > nbuf:
+                    buf += b"\xff" * 4096  # exhausted: feed 1-bits
+                    nbuf = len(buf)
+                acc = (acc << 32) | int.from_bytes(
+                    buf[bpos : bpos + 4], "big"
+                )
+                bpos += 4
+                nbits += 32
+            packed = dlut[(acc >> (nbits - dbits)) & masks[dbits]]
+            if packed == 0:
+                raise ValueError("invalid Huffman code")
+            size = packed & 0xFF
+            nbits -= packed >> 8
+            if size:
+                nbits -= size
+                v = (acc >> nbits) & masks[size]
+                dc_diffs[ci].append(
+                    v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+                )
+            else:
+                dc_diffs[ci].append(0)
+            acc &= masks[nbits]
             k = 1
+            bis, ks, vs = ac_bi[ci], ac_k[ci], ac_v[ci]
             while k < 64:
-                sym = decode_huff(act)
+                if nbits < 32:
+                    if bpos + 4 > nbuf:
+                        buf += b"\xff" * 4096
+                        nbuf = len(buf)
+                    acc = (acc << 32) | int.from_bytes(
+                        buf[bpos : bpos + 4], "big"
+                    )
+                    bpos += 4
+                    nbits += 32
+                packed = alut[(acc >> (nbits - abits)) & masks[abits]]
+                if packed == 0:
+                    raise ValueError("invalid Huffman code")
+                sym = packed & 0xFF
+                nbits -= packed >> 8
                 if sym == 0x00:  # EOB
                     break
-                run, sz = sym >> 4, sym & 0xF
-                if sym == 0xF0:
+                if sym == 0xF0:  # ZRL
                     k += 16
                     continue
-                k += run
+                k += sym >> 4
                 if k > 63:
                     raise ValueError("AC index overflow")
-                zz[k] = _extend(rdr.receive(sz), sz)
+                sz = sym & 0xF
+                if sz:
+                    nbits -= sz
+                    v = (acc >> nbits) & masks[sz]
+                    acc &= masks[nbits]
+                    vs.append(
+                        v if v >= (1 << (sz - 1)) else v - (1 << sz) + 1
+                    )
+                else:
+                    vs.append(0)
+                bis.append(bi)
+                ks.append(k)
                 k += 1
-            block = np.zeros(64, np.float64)
-            block[_ZZ_FLAT] = zz
-            block = block.reshape(8, 8) * qt[comp["tq"]]
-            px = _B8.T @ block @ _B8 + 128.0
-            planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+            acc &= masks[nbits]
+
+    planes = []
+    for ci, comp in enumerate(scan_comps):
+        zz = np.zeros((n_blocks, 64), np.float64)
+        zz[:, 0] = np.cumsum(np.asarray(dc_diffs[ci], np.int64))
+        if ac_bi[ci]:
+            zz[np.asarray(ac_bi[ci]), np.asarray(ac_k[ci])] = ac_v[ci]
+        blocks = np.zeros((n_blocks, 64), np.float64)
+        blocks[:, _ZZ_FLAT] = zz
+        blocks = blocks.reshape(n_blocks, 8, 8) * qt[comp["tq"]]
+        px = _B8.T @ blocks @ _B8 + 128.0
+        planes.append(
+            px.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
 
     planes = [p[:h, :w] for p in planes]
     if len(planes) == 1:

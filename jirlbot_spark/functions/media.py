@@ -26,6 +26,7 @@ nearest-neighbor over the engine's own codecs (functions/images.py).
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -90,6 +91,118 @@ def video_codec():
         return None
 
 
+# ---- WAV codec (REAL, pure numpy/struct — RIFF is trivial) ----
+#
+# Makes `audio_features` REAL in-sandbox for wav payloads the same way
+# functions/jpeg.py did for lossy images: RIFF/WAVE PCM (8/16/24/32-bit)
+# and IEEE float32 decode with no external codec. Non-wav formats (flac,
+# mp3, ...) still need a shipped codec and stay behind the fake/gate.
+
+_PCM_TAG, _FLOAT_TAG = 1, 3
+
+
+def encode_wav(
+    wave: np.ndarray, sample_rate: int, bits: int = 16, float32: bool = False
+) -> bytes:
+    """Encode float samples in [-1, 1] ((n,) mono or (n, ch)) to a RIFF/
+    WAVE blob. PCM at 8/16/24/32 bits (8-bit is unsigned per the spec),
+    or IEEE float32 when `float32` is set. Quantization: round(v *
+    2^(bits-1)) clipped to the signed range — the inverse of decode_wav's
+    v / 2^(bits-1) scaling."""
+    arr = np.asarray(wave, np.float64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n_frames, n_ch = arr.shape
+    if float32:
+        tag, bits = _FLOAT_TAG, 32
+        payload = arr.astype("<f4").tobytes()
+    else:
+        if bits not in (8, 16, 24, 32):
+            raise ValueError(f"unsupported PCM bit depth {bits}")
+        tag = _PCM_TAG
+        full = 1 << (bits - 1)
+        q = np.clip(np.round(arr * full), -full, full - 1).astype(np.int64)
+        if bits == 8:
+            payload = (q + 128).astype(np.uint8).tobytes()
+        elif bits == 24:
+            le = (q & 0xFFFFFF).astype("<u4").view(np.uint8).reshape(-1, 4)
+            payload = le[:, :3].tobytes()
+        else:
+            payload = q.astype(f"<i{bits // 8}").tobytes()
+    block_align = n_ch * bits // 8
+    fmt_chunk = struct.pack(
+        "<HHIIHH", tag, n_ch, sample_rate, sample_rate * block_align,
+        block_align, bits,
+    )
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    if len(payload) % 2:
+        chunks += b"\x00"  # RIFF chunks are word-aligned
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def is_wav(data: bytes) -> bool:
+    return len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode a RIFF/WAVE blob to ((n_frames, n_channels) float32 in
+    [-1, 1], sample_rate). Walks the chunk list (tolerating extra chunks
+    like LIST/INFO), supports PCM 8/16/24/32-bit and IEEE float32.
+    Compressed formats raise NotImplementedError; malformed structure
+    raises ValueError."""
+    if not is_wav(data):
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, end = 12, min(len(data), 8 + struct.unpack("<I", data[4:8])[0])
+    fmt = payload = None
+    while pos + 8 <= end:
+        cid = data[pos : pos + 4]
+        (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError("truncated fmt chunk")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            payload = body
+        pos += 8 + clen + (clen % 2)
+    if fmt is None or payload is None:
+        raise ValueError("missing fmt/data chunk")
+    tag, n_ch, sr, _brate, _balign, bits = fmt
+    if tag == 0xFFFE:
+        raise NotImplementedError("WAVE_FORMAT_EXTENSIBLE")
+    if tag not in (_PCM_TAG, _FLOAT_TAG):
+        raise NotImplementedError(f"compressed WAVE format tag {tag}")
+    if n_ch < 1:
+        raise ValueError("zero channels")
+    if tag == _FLOAT_TAG:
+        if bits != 32:
+            raise NotImplementedError(f"float WAV at {bits} bits")
+        flat = np.frombuffer(payload, "<f4").astype(np.float32)
+    elif bits == 8:
+        flat = (
+            np.frombuffer(payload, np.uint8).astype(np.float32) - 128.0
+        ) / 128.0
+    elif bits == 24:
+        raw = np.frombuffer(payload[: len(payload) // 3 * 3], np.uint8)
+        tri = raw.reshape(-1, 3).astype(np.uint32)
+        v = (tri[:, 0] | (tri[:, 1] << 8) | (tri[:, 2] << 16)).astype(
+            np.int32
+        )
+        v = (v << 8) >> 8  # sign-extend 24 -> 32
+        flat = v.astype(np.float32) / float(1 << 23)
+    elif bits in (16, 32):
+        flat = np.frombuffer(payload, f"<i{bits // 8}").astype(
+            np.float32
+        ) / float(1 << (bits - 1))
+    else:
+        raise NotImplementedError(f"PCM WAV at {bits} bits")
+    n_frames = len(flat) // n_ch
+    return flat[: n_frames * n_ch].reshape(n_frames, n_ch), int(sr)
+
+
 def _seed_from(data: bytes) -> int:
     return int.from_bytes(hashlib.blake2s(data, digest_size=8).digest(), "little")
 
@@ -110,18 +223,28 @@ def fake_decode_frame(
 
 
 def _decode_audio(row, allow_fake: bool) -> np.ndarray:
+    """Samples for one payload row, flattened interleaved (the pinned
+    contract: (frames, ch).reshape(-1), matching the soundfile path).
+    RIFF/WAVE payloads decode for REAL via the engine's own parser; other
+    formats use soundfile when shipped, else the gated deterministic
+    fake."""
+    data = bytes(row["bytes"])
+    if is_wav(data):
+        wave, _sr = decode_wav(data)
+        return wave.reshape(-1)
     codec = audio_codec()
     if codec is not None:  # pragma: no cover - cluster-only path
         import io
 
-        wave, _sr = codec.read(io.BytesIO(bytes(row["bytes"])))
+        wave, _sr = codec.read(io.BytesIO(data))
         return np.asarray(wave, dtype=np.float32).reshape(-1)
     if not allow_fake:
         raise NotImplementedError(
-            "STUB: no audio codec in this environment (soundfile absent); "
-            "pass allow_fake=True for the deterministic fake backend"
+            "STUB: no codec for non-wav audio in this environment "
+            "(soundfile absent); pass allow_fake=True for the "
+            "deterministic fake backend"
         )
-    return fake_decode_audio(bytes(row["bytes"]), row["n_samples"])
+    return fake_decode_audio(data, row["n_samples"])
 
 
 AUDIO_FEATURES_FIELDS = [

@@ -193,21 +193,46 @@ def minhash_dedup(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.8,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle -> minhash -> band -> bucket join ->
     exact-Jaccard verify >= threshold. Returns (id_a, id_b, jaccard).
 
     The exploded shingle frame feeds four downstream branches (signatures,
-    both jaccard sides, sizes). Deliberately NOT persisted: an A/B at
-    sf0.1 measured .persist() 2x SLOWER — caching materializes the full
-    exploded frame (blocking column pruning and the semi-join pushdown
-    each branch gets when recomputing) while Spark's shuffle-stage reuse
-    already dedupes the heavy lifting across branches. At the 100 TB tier
-    the same logic favors a bucketed intermediate TABLE over executor
-    cache."""
-    sh = shingle_hashes(docs, text_col, id_col, k_shingle)
+    both jaccard sides, sizes), and the candidate-pair frame three (both
+    semi-join prunes + the final verify semi-join). Both are MATERIALIZED
+    before fan-out — the r2-shipped no-materialization form relied on
+    "Spark's shuffle-stage reuse dedupes the heavy lifting", which the
+    round-3 interleaved A/B (tools/ab_minhash.py, probe-balanced, sf0.1)
+    refuted: the semi-join pushdown specializes each branch's exchanges so
+    NOTHING is reused, and the shingle+LSH pipeline re-executes per branch
+    — 31 s no-materialization vs ~4.6 s with localCheckpoint on both
+    frames vs ~5.4 s with a parquet intermediate (plain .persist() was
+    worst of all at 131-190 s in a degraded window: the InMemoryRelation
+    blocks the semi-join pushdown AND still re-derives the candidate
+    pipeline from cache 3x).
+
+    Materialization backend: `localCheckpoint(eager)` by default (no
+    config needed; executor-local storage). On a multi-node run where
+    executor loss must be survivable — or at the 100 TB tier where the
+    shingle frame exceeds executor storage — pass `scratch_dir` to write
+    the intermediates as parquet (the bucketed-table shape) instead."""
+    import uuid as _uuid
+
+    def _materialize(df: DataFrame, tag: str) -> DataFrame:
+        if scratch_dir is None:
+            return df.localCheckpoint(eager=True)
+        path = f"{scratch_dir}/minhash_{tag}_{_uuid.uuid4().hex}"
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
+
+    sh = _materialize(
+        shingle_hashes(docs, text_col, id_col, k_shingle), "shingles"
+    )
     sig = minhash_signatures(sh, id_col, num_hashes)
-    cand = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
+    cand = _materialize(
+        lsh_candidate_pairs(sig, id_col, num_hashes, bands), "cand"
+    )
     jac = exact_jaccard(sh, cand, id_col)
     return jac.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "jaccard"

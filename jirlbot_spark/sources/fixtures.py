@@ -366,21 +366,38 @@ def resume_scenario():
 
 
 def gen_audio(seed: int, n: int) -> pd.DataFrame:
-    """Deterministic audio payload rows (media.AUDIO_SCHEMA shape). Bytes
-    are opaque seeded blobs — the fake decoder derives waveforms from
-    them deterministically, so tests of the Spark-side plumbing replay
-    exactly."""
+    """Deterministic audio payload rows (media.AUDIO_SCHEMA shape).
+
+    "wav" rows carry REAL RIFF/WAVE bytes (deterministic sine+noise
+    mono waveforms across PCM 8/16/24/32-bit and float32 — decoded for
+    real by media.decode_wav); "flac" rows stay opaque seeded blobs for
+    the gated fake-decoder path (no flac codec ships in-sandbox)."""
+    from jirlbot_spark.functions.media import encode_wav
+
     rng = np.random.default_rng(seed)
+    depths = [(8, False), (16, False), (24, False), (32, False), (32, True)]
     recs = []
     for idx in range(n):
         sr = int(rng.choice([8000, 16000, 44100]))
         n_samples = int(rng.integers(sr // 2, sr * 3))
-        blob = rng.bytes(int(rng.integers(200, 2000)))
+        fmt = str(rng.choice(["wav", "flac"]))
+        if fmt == "wav":
+            t = np.arange(n_samples) / sr
+            freq = float(rng.uniform(80.0, 2000.0))
+            wave = 0.7 * np.sin(2 * np.pi * freq * t) + 0.1 * rng.standard_normal(
+                n_samples
+            )
+            bits, f32 = depths[idx % len(depths)]
+            blob = encode_wav(
+                np.clip(wave, -1, 1), sr, bits=bits, float32=f32
+            )
+        else:
+            blob = rng.bytes(int(rng.integers(200, 2000)))
         recs.append(
             {
                 "audio_id": f"aud{idx:08d}",
                 "bytes": blob,
-                "fmt": str(rng.choice(["wav", "flac"])),
+                "fmt": fmt,
                 "sample_rate": sr,
                 "n_samples": n_samples,
                 "caption": f"audio clip {idx}",

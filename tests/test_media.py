@@ -44,10 +44,84 @@ def test_audio_features_shape_and_determinism(spark):
 
 
 def test_audio_stub_marker(spark):
-    audio = spark.createDataFrame(gen_audio(3, 2), schema=AUDIO_SCHEMA)
+    """allow_fake=False raises ONLY for codec-less formats; wav rows
+    decode for real and never hit the gate."""
+    pdf = gen_audio(3, 16)
+    nonwav = pdf[pdf["fmt"] != "wav"]
+    assert len(nonwav), "fixture must include a codec-less format"
+    audio = spark.createDataFrame(nonwav, schema=AUDIO_SCHEMA)
     with pytest.raises(Exception) as ei:
         audio_features(audio, allow_fake=False).collect()
     assert "STUB" in str(ei.value)
+    wav_only = spark.createDataFrame(
+        pdf[pdf["fmt"] == "wav"], schema=AUDIO_SCHEMA
+    )
+    assert audio_features(wav_only, allow_fake=False).count() == len(
+        pdf[pdf["fmt"] == "wav"]
+    )
+
+
+def test_wav_roundtrip_all_depths():
+    from jirlbot_spark.functions.media import decode_wav, encode_wav, is_wav
+
+    rng = np.random.default_rng(0)
+    wave = np.clip(
+        0.6 * np.sin(2 * np.pi * 440 * np.arange(4000) / 16000)
+        + 0.1 * rng.standard_normal(4000),
+        -1,
+        1,
+    )
+    for bits, f32, tol in [
+        (8, False, 1 / 128),
+        (16, False, 1 / 32000),
+        (24, False, 1e-6),
+        (32, False, 1e-7),
+        (32, True, 1e-7),
+    ]:
+        blob = encode_wav(wave, 16000, bits=bits, float32=f32)
+        assert is_wav(blob)
+        dec, sr = decode_wav(blob)
+        assert sr == 16000 and dec.shape == (4000, 1)
+        assert np.abs(dec[:, 0] - wave).max() <= tol, (bits, f32)
+
+
+def test_wav_stereo_interleave_and_chunk_walk():
+    from jirlbot_spark.functions.media import decode_wav, encode_wav
+
+    st = np.stack(
+        [np.linspace(-0.9, 0.9, 500), np.linspace(0.9, -0.9, 500)], axis=1
+    )
+    blob = encode_wav(st, 8000, bits=16)
+    dec, sr = decode_wav(blob)
+    assert dec.shape == (500, 2) and sr == 8000
+    assert np.abs(dec - st).max() < 1e-3
+    # extra chunk between header and data must be skipped
+    import struct as _s
+
+    fmt_start = blob.index(b"fmt ")
+    extra = b"LIST" + _s.pack("<I", 6) + b"junk!!"
+    patched = blob[:fmt_start] + extra + blob[fmt_start:]
+    patched = (
+        patched[:4]
+        + _s.pack("<I", len(patched) - 8)
+        + patched[8:]
+    )
+    dec2, _ = decode_wav(patched)
+    assert np.array_equal(dec, dec2)
+
+
+def test_wav_malformed_and_compressed():
+    from jirlbot_spark.functions.media import decode_wav, encode_wav
+
+    with pytest.raises(ValueError):
+        decode_wav(b"nonsense")
+    blob = bytearray(encode_wav(np.zeros(100), 8000, bits=16))
+    tag_off = blob.index(b"fmt ") + 8
+    blob[tag_off : tag_off + 2] = (85).to_bytes(2, "little")  # mp3 tag
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(blob))
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF\x04\x00\x00\x00WAVE")  # no chunks
 
 
 def test_frame_sample_cardinality_and_layout(spark):
