@@ -334,18 +334,32 @@ def frontier_only_main() -> None:
         spark.stop()
 
 
-def run_query_timings(spark) -> dict[str, float]:
+def run_query_timings(spark) -> tuple[dict[str, float], dict[str, dict]]:
+    """Per-key timings, noise-armored (r2 verdict #9): each key runs
+    JIRLBOT_BENCH_QUERY_REPEATS times (default 3) and reports the MIN —
+    on a host with documented ~4x CPU swings a single sample can
+    masquerade as a regression. The detail dict keeps every run plus a
+    cpu probe per repeat so a degraded window is visible in the artifact
+    itself."""
     import __spark_entry__ as entrymod
 
+    repeats = max(1, int(os.environ.get("JIRLBOT_BENCH_QUERY_REPEATS", "3")))
     qs = entrymod.queries()
-    out = {}
+    out: dict[str, float] = {}
+    detail: dict[str, dict] = {}
     for key in BENCH_QUERY_KEYS:
         fn = qs[key]
-        t0 = time.time()
-        n = fn(spark, SF_DIR).count()
-        out[key] = round(time.time() - t0, 3)
-        _ = n
-    return out
+        runs = []
+        for r in range(repeats):
+            probe = cpu_probe(0.5) if repeats > 1 else 0.0
+            t0 = time.time()
+            fn(spark, SF_DIR).count()
+            runs.append(
+                {"s": round(time.time() - t0, 3), "probe": round(probe)}
+            )
+        out[key] = min(r["s"] for r in runs)
+        detail[key] = {"runs": runs}
+    return out, detail
 
 
 def driver_main() -> None:
@@ -355,8 +369,10 @@ def driver_main() -> None:
     workdir = _mkworkdir("bench_frontier_")
     try:
         warmup_pipeline(spark)
+        probe_pre = cpu_probe(1.0)
         frontier = run_frontier_pipeline(spark, N_URLS, workdir)
-        queries = run_query_timings(spark)
+        probe_post = cpu_probe(1.0)
+        queries, query_detail = run_query_timings(spark)
         sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
         try:
             sf_val = float(sf)
@@ -369,12 +385,17 @@ def driver_main() -> None:
                     "value": round(frontier["urls_per_sec"], 1),
                     "unit": "urls/sec",
                     "queries": queries,
+                    "query_detail": query_detail,
                     "sf": sf_val,
                     "frontier": {
                         "n_urls": frontier["n_urls"],
                         "n_unique": frontier["n_unique"],
                         "n_admitted": frontier["n_admitted"],
                         "wall_s": round(frontier["wall_s"], 2),
+                        # host-health context (documented ~4x CPU swings):
+                        # healthy windows probe ~250+ M ops/s
+                        "cpu_probe_pre": round(probe_pre),
+                        "cpu_probe_post": round(probe_post),
                         "timings": {
                             k: round(v, 2)
                             for k, v in frontier["timings"].items()

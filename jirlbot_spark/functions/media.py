@@ -3,21 +3,26 @@ general image resizing.
 
 Design (per the training-data-pipeline mandate): media travel as opaque
 `binary` columns with TYPED metadata; decode / feature-extract /
-frame-sample run as Arrow-batched mapInPandas operators. The real codec
-libraries (soundfile/librosa for audio, av/ffmpeg for video) are NOT in
-this container, so decoding is behind a capability gate:
+frame-sample run as Arrow-batched mapInPandas operators.
 
-  - `audio_codec()` / `video_codec()` try the real imports and return
+Decode backends, by format:
+
+  - RIFF/WAVE audio and uncompressed RIFF/AVI video decode for REAL with
+    the engine's own pure-numpy parsers below (encode_wav/decode_wav,
+    encode_avi/decode_avi) — no codec library involved, same move as
+    functions/jpeg.py for images;
+  - compressed formats (flac/mp3, mp4/webm) need libraries NOT in this
+    container and sit behind a capability gate: `audio_codec()` /
+    `video_codec()` try the real imports (soundfile / av) and return
     None here — a cluster image that ships the libs activates them with
     no other change;
-  - the default backend is a DETERMINISTIC FAKE decoder (seeded from the
-    payload bytes' xxhash): wrong waveforms/frames, right SHAPES — so the
+  - the gated fallback is a DETERMINISTIC FAKE decoder (seeded from the
+    payload bytes): wrong waveforms/frames, right SHAPES — so the
     Spark-side contract (schemas, batch shapes, explode cardinality,
-    partitioning) is fully real and fully tested, which is the part that
-    must survive a 100 TB run;
+    partitioning) is fully real and fully tested either way;
   - callers that must not silently get fake samples pass
     `allow_fake=False` and receive NotImplementedError — the explicit
-    stub marker.
+    stub marker — for the formats that would need it.
 
 Image resize (resize_pixels / resize_images) is REAL — pure-numpy
 nearest-neighbor over the engine's own codecs (functions/images.py).
@@ -32,6 +37,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
     DoubleType,
@@ -203,6 +209,130 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     return flat[: n_frames * n_ch].reshape(n_frames, n_ch), int(sr)
 
 
+# ---- AVI codec (REAL, pure numpy/struct — uncompressed DIB frames) ----
+#
+# Same move as the WAV codec: AVI is RIFF, and the uncompressed BI_RGB
+# variant (24-bit bottom-up BGR '00db' frames) needs no codec library, so
+# `frame_sample` becomes REAL in-sandbox for avi payloads. Compressed
+# streams (mp4/webm/'00dc' with a fourcc) still require a shipped decoder
+# and stay behind the fake/gate.
+
+
+def _riff_chunks(data: bytes, pos: int, end: int):
+    """Yield (fourcc, body_start, body_len) walking a RIFF chunk list."""
+    while pos + 8 <= end:
+        cid = data[pos : pos + 4]
+        (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        yield cid, pos + 8, clen
+        pos += 8 + clen + (clen % 2)
+
+
+def encode_avi(frames: np.ndarray, fps: float = 30.0) -> bytes:
+    """Encode (n, h, w, 3) uint8 RGB frames as an uncompressed AVI
+    (BI_RGB 24-bit, bottom-up BGR rows padded to 4 bytes, one '00db'
+    chunk per frame)."""
+    frames = np.asarray(frames, np.uint8)
+    n, h, w, _ = frames.shape
+    row_pad = (-(w * 3)) % 4
+    frame_bytes = (w * 3 + row_pad) * h
+    scale, rate = 1000, int(round(fps * 1000))
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        int(1e6 * scale / max(rate, 1)), frame_bytes * int(fps) + 1, 0,
+        0x10, n, 0, 1, frame_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0, scale, rate, 0, n,
+        frame_bytes, 0xFFFFFFFF & -1, 0, 0, 0, int(w), int(h),
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0
+    )
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) % 2 else b""
+        )
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
+    movi_body = b"".join(
+        chunk(
+            b"00db",
+            np.pad(
+                frames[i, ::-1, :, ::-1].reshape(h, w * 3),  # bottom-up BGR
+                ((0, 0), (0, row_pad)),
+            ).tobytes(),
+        )
+        for i in range(n)
+    )
+    movi = lst(b"movi", movi_body)
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def is_avi(data: bytes) -> bool:
+    return len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"AVI "
+
+
+def decode_avi(data: bytes) -> tuple[np.ndarray, float]:
+    """Decode an uncompressed AVI to ((n, h, w, 3) uint8 RGB, fps).
+    Supports BI_RGB 24-bit bottom-up '00db'/'00dc' frames; compressed
+    streams raise NotImplementedError, malformed structure ValueError."""
+    if not is_avi(data):
+        raise ValueError("not a RIFF/AVI stream")
+    end = min(len(data), 8 + struct.unpack("<I", data[4:8])[0])
+    w = h = None
+    fps = 30.0
+    compression = 0
+    bitcount = 24
+    raw_frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal w, h, fps, compression, bitcount
+        for cid, bstart, blen in _riff_chunks(data, pos, end):
+            body_end = bstart + blen
+            if cid == b"LIST":
+                walk(bstart + 4, body_end)
+            elif cid == b"strh" and data[bstart : bstart + 4] == b"vids":
+                _, _, _, _, _, _, scale, rate = struct.unpack(
+                    "<4s4sIHHIII", data[bstart : bstart + 28]
+                )[:8]
+                if scale:
+                    fps = rate / scale
+            elif cid == b"strf" and w is None:
+                (_, bw, bh, _, bc, comp) = struct.unpack(
+                    "<IiiHHI", data[bstart : bstart + 20]
+                )
+                w, h = int(bw), abs(int(bh))
+                bitcount, compression = int(bc), int(comp)
+            elif cid in (b"00db", b"00dc"):
+                raw_frames.append(data[bstart:body_end])
+
+    walk(12, end)
+    if w is None or h is None:
+        raise ValueError("missing stream format (strf) chunk")
+    if compression != 0:
+        raise NotImplementedError(
+            f"compressed AVI stream (fourcc {compression:#x})"
+        )
+    if bitcount != 24:
+        raise NotImplementedError(f"{bitcount}-bit DIB frames")
+    row_pad = (-(w * 3)) % 4
+    stride = w * 3 + row_pad
+    out = np.zeros((len(raw_frames), h, w, 3), np.uint8)
+    for i, rf in enumerate(raw_frames):
+        if len(rf) < stride * h:
+            raise ValueError("truncated frame chunk")
+        rows = np.frombuffer(rf[: stride * h], np.uint8).reshape(h, stride)
+        out[i] = rows[::-1, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR->RGB
+    return out, float(fps)
+
+
 def _seed_from(data: bytes) -> int:
     return int.from_bytes(hashlib.blake2s(data, digest_size=8).digest(), "little")
 
@@ -310,27 +440,48 @@ def frame_sample(
                 continue
             rows = []
             for _, row in pdf.iterrows():
-                if codec is None and not allow_fake:
-                    raise NotImplementedError(
-                        "STUB: no video codec in this environment (av "
-                        "absent); pass allow_fake=True for the "
-                        "deterministic fake backend"
-                    )
+                data = bytes(row["bytes"])
                 w, h = int(row["w"]), int(row["h"])
-                for idx in range(0, int(row["n_frames"]), every_n):
-                    frame = fake_decode_frame(bytes(row["bytes"]), idx, w, h)
+                decoded = None
+                if is_avi(data):
+                    # REAL decode: uncompressed AVI via the engine's own
+                    # RIFF parser — no codec library involved
+                    decoded, _fps = decode_avi(data)
+                elif codec is None and not allow_fake:
+                    raise NotImplementedError(
+                        "STUB: no codec for non-avi video in this "
+                        "environment (av absent); pass allow_fake=True "
+                        "for the deterministic fake backend"
+                    )
+                n_frames = (
+                    len(decoded) if decoded is not None
+                    else int(row["n_frames"])
+                )
+                for idx in range(0, n_frames, every_n):
+                    frame = (
+                        decoded[idx]
+                        if decoded is not None
+                        else fake_decode_frame(data, idx, w, h)
+                    )
                     rows.append(
                         {
                             "video_id": row["video_id"],
                             "frame_idx": idx,
-                            "w": w,
-                            "h": h,
+                            "w": frame.shape[1],
+                            "h": frame.shape[0],
                             "pixels": frame.tobytes(),
                         }
                     )
             yield pd.DataFrame(rows)
 
     return video.mapInPandas(run, schema=out_schema)
+
+
+@F.pandas_udf(LongType())
+def px_sum_udf(b: pd.Series) -> pd.Series:
+    """Byte-sum of a binary pixel buffer — a cheap content fingerprint
+    the frame_sample driver key pins against golden direct decodes."""
+    return b.map(lambda x: int(np.frombuffer(x, np.uint8).sum()))
 
 
 # ---- image resize (REAL, numpy nearest-neighbor) ----

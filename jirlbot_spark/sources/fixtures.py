@@ -407,21 +407,42 @@ def gen_audio(seed: int, n: int) -> pd.DataFrame:
 
 
 def gen_video(seed: int, n: int) -> pd.DataFrame:
-    """Deterministic video payload rows (media.VIDEO_SCHEMA shape)."""
+    """Deterministic video payload rows (media.VIDEO_SCHEMA shape).
+
+    "avi" rows carry REAL uncompressed-AVI bytes (deterministic moving-
+    gradient frames — decoded for real by media.decode_avi); "mp4"/"webm"
+    rows stay opaque seeded blobs for the gated fake-decoder path (no
+    compressed-video codec ships in-sandbox)."""
+    from jirlbot_spark.functions.media import encode_avi
+
     rng = np.random.default_rng(seed)
     recs = []
     for idx in range(n):
         w = int(rng.choice([16, 32]))
         h = int(rng.choice([16, 32]))
+        n_frames = int(rng.integers(5, 60))
+        fps = float(rng.choice([24.0, 30.0]))
+        fmt = str(rng.choice(["avi", "mp4", "webm"]))
+        if fmt == "avi":
+            f = np.arange(n_frames, dtype=np.int32)[:, None, None, None]
+            y = np.arange(h, dtype=np.int32)[None, :, None, None]
+            x = np.arange(w, dtype=np.int32)[None, None, :, None]
+            c = np.arange(3, dtype=np.int32)[None, None, None, :]
+            frames = ((x * 3 + y * 5 + f * 7 + c * 11 + idx) % 256).astype(
+                np.uint8
+            )
+            blob = encode_avi(frames, fps=fps)
+        else:
+            blob = rng.bytes(int(rng.integers(500, 5000)))
         recs.append(
             {
                 "video_id": f"vid{idx:08d}",
-                "bytes": rng.bytes(int(rng.integers(500, 5000))),
-                "fmt": str(rng.choice(["mp4", "webm"])),
+                "bytes": blob,
+                "fmt": fmt,
                 "w": w,
                 "h": h,
-                "n_frames": int(rng.integers(5, 60)),
-                "fps": float(rng.choice([24.0, 30.0])),
+                "n_frames": n_frames,
+                "fps": fps,
                 "caption": f"video clip {idx}",
             }
         )

@@ -125,7 +125,10 @@ def test_wav_malformed_and_compressed():
 
 
 def test_frame_sample_cardinality_and_layout(spark):
+    from jirlbot_spark.functions.media import decode_avi, is_avi
+
     pdf = gen_video(5, 8)
+    assert (pdf["fmt"] == "avi").any(), "fixture must include real avi"
     video = spark.createDataFrame(pdf, schema=VIDEO_SCHEMA)
     out = frame_sample(video, every_n=7).collect()
     expected = sum(len(range(0, int(nf), 7)) for nf in pdf["n_frames"])
@@ -138,14 +141,60 @@ def test_frame_sample_cardinality_and_layout(spark):
         assert [f.frame_idx for f in frames] == list(
             range(0, int(row["n_frames"]), 7)
         )
+        decoded = (
+            decode_avi(bytes(row["bytes"]))[0]
+            if is_avi(bytes(row["bytes"]))
+            else None
+        )
         for f in frames:
             assert f.w == row["w"] and f.h == row["h"]
             assert len(f.pixels) == f.w * f.h * 3  # raw RGB24 contract
-            exp = fake_decode_frame(
-                bytes(row["bytes"]), f.frame_idx, f.w, f.h
+            exp = (
+                decoded[f.frame_idx]  # REAL pixels for avi payloads
+                if decoded is not None
+                else fake_decode_frame(
+                    bytes(row["bytes"]), f.frame_idx, f.w, f.h
+                )
             )
             got = np.frombuffer(f.pixels, np.uint8).reshape(f.h, f.w, 3)
             assert np.array_equal(got, exp)  # deterministic replay
+
+
+def test_avi_roundtrip_and_gates():
+    import struct as _s
+
+    from jirlbot_spark.functions.media import decode_avi, encode_avi, is_avi
+
+    rng = np.random.default_rng(2)
+    for n, h, w in [(4, 16, 16), (3, 17, 23), (1, 2, 2)]:
+        fr = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+        blob = encode_avi(fr, fps=24.0)
+        assert is_avi(blob)
+        dec, fps = decode_avi(blob)
+        assert np.array_equal(dec, fr) and abs(fps - 24.0) < 1e-9
+    with pytest.raises(ValueError):
+        decode_avi(b"garbage")
+    blob = bytearray(encode_avi(rng.integers(0, 256, (2, 8, 8, 3), np.uint8)))
+    off = bytes(blob).index(b"strf") + 8 + 16  # biCompression
+    blob[off : off + 4] = _s.pack("<I", 0x34363248)  # 'H264'
+    with pytest.raises(NotImplementedError):
+        decode_avi(bytes(blob))
+
+
+def test_video_stub_marker(spark):
+    """allow_fake=False raises ONLY for compressed formats; avi rows
+    decode for real and never hit the gate."""
+    pdf = gen_video(5, 12)
+    nonavi = pdf[pdf["fmt"] != "avi"]
+    assert len(nonavi), "fixture must include a codec-less format"
+    video = spark.createDataFrame(nonavi, schema=VIDEO_SCHEMA)
+    with pytest.raises(Exception) as ei:
+        frame_sample(video, allow_fake=False).collect()
+    assert "STUB" in str(ei.value)
+    avi_only = spark.createDataFrame(
+        pdf[pdf["fmt"] == "avi"], schema=VIDEO_SCHEMA
+    )
+    assert frame_sample(avi_only, every_n=10, allow_fake=False).count() > 0
 
 
 def test_resize_pixels_real():

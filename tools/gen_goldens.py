@@ -26,6 +26,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from jirlbot_spark.functions.images import decode_image, phash64  # noqa: E402
 from jirlbot_spark.functions.media import (  # noqa: E402
     fake_decode_audio,
+    fake_decode_frame,
     resize_pixels,
 )
 from jirlbot_spark.sources.fixtures import (  # noqa: E402
@@ -187,15 +188,39 @@ def golden_audio_features() -> str:
 
 
 def golden_frame_sample() -> str:
+    from jirlbot_spark.functions.media import decode_avi, is_avi
+
     video = gen_video(9, 32)
     rows = []
     for r in video.itertuples():
-        for idx in range(0, int(r.n_frames), 10):
-            rows.append((r.video_id, idx, int(r.w), int(r.h), r.w * r.h * 3))
+        # mirrors media.frame_sample: real AVI decode for avi rows,
+        # content-seeded fake for codec-less formats; px_sum pins the
+        # actual emitted pixel CONTENT, not just cardinality
+        decoded = (
+            decode_avi(bytes(r.bytes))[0] if is_avi(bytes(r.bytes)) else None
+        )
+        n_frames = len(decoded) if decoded is not None else int(r.n_frames)
+        for idx in range(0, n_frames, 10):
+            frame = (
+                decoded[idx]
+                if decoded is not None
+                else fake_decode_frame(bytes(r.bytes), idx, int(r.w), int(r.h))
+            )
+            h, w = frame.shape[:2]
+            rows.append(
+                (
+                    r.video_id,
+                    idx,
+                    w,
+                    h,
+                    w * h * 3,
+                    int(frame.astype(np.int64).sum()),
+                )
+            )
     return values_sql(
-        ["video_id", "frame_idx", "w", "h", "n_bytes"],
+        ["video_id", "frame_idx", "w", "h", "n_bytes", "px_sum"],
         rows,
-        int_cols=("frame_idx", "w", "h", "n_bytes"),
+        int_cols=("frame_idx", "w", "h", "n_bytes", "px_sum"),
     )
 
 
