@@ -566,6 +566,30 @@ def scaling_main() -> None:
                 break
             print("host aggregate-capped; waiting for a usable window")
             time.sleep(60)
+        # per-pair memory-bandwidth control AND gate: the frontier
+        # kernels are streaming passes, so a window where DRAM bandwidth
+        # stops scaling with procs caps the ENGINE even while the ALU
+        # probe and busyloop control look healthy (observed: 1.06x engine
+        # scaling at busyloop 3.96x — bandwidth was the collapsed axis).
+        # Like the busyloop gate above, a collapsed window proves nothing
+        # about the engine — wait (bounded) for bandwidth to scale.
+        membw_floor = float(
+            os.environ.get("JIRLBOT_MEMBW_FLOOR", str(0.7 * factor))
+        )
+        for _attempt in range(8):
+            pair["membw_lo"] = round(membw_probe(lo, 1.5), 1)
+            pair["membw_hi"] = round(membw_probe(hi, 1.5), 1)
+            pair["membw_scale"] = pair["membw_hi"] / max(pair["membw_lo"], 0.1)
+            print(
+                f"pair {i} membw control: {pair['membw_lo']} GB/s @{lo}p -> "
+                f"{pair['membw_hi']} GB/s @{hi}p "
+                f"({pair['membw_scale']:.2f}x of {factor:g}x ideal)",
+                flush=True,
+            )
+            if pair["membw_scale"] >= membw_floor:
+                break
+            print("host bandwidth-capped; waiting for a usable window")
+            time.sleep(60)
         for cores in (lo, hi):
             for _attempt in range(10):
                 pre = cpu_probe()
@@ -633,6 +657,7 @@ def scaling_main() -> None:
         f"| {i} | {t[lo]['urls_per_sec']:,.0f} | {t[lo]['cpu_probe_mops']:.0f} "
         f"| {t[hi]['urls_per_sec']:,.0f} | {t[hi]['cpu_probe_mops']:.0f} "
         f"| {t['busyloop_scale']:.2f}x "
+        f"| {t.get('membw_scale', 0.0):.2f}x "
         f"| {t['efficiency']:.3f} |"
         for i, t in enumerate(trials)
     )
@@ -661,13 +686,17 @@ def scaling_main() -> None:
         f"engine quality; a 4x-executor cluster brings 4x memory "
         f"controllers.\n\n"
         f"| pair | thr@{lo} (urls/s) | probe@{lo} | thr@{hi} (urls/s) | "
-        f"probe@{hi} | busyloop@{lo}->{hi} | efficiency |\n"
-        "| --- | --- | --- | --- | --- | --- | --- |\n"
+        f"probe@{hi} | busyloop@{lo}->{hi} | membw@{lo}->{hi} | "
+        f"efficiency |\n"
+        "| --- | --- | --- | --- | --- | --- | --- | --- |\n"
         f"{rows}\n\n"
-        f"The busyloop column is the ENGINE-FREE control: aggregate "
-        f"pure-Python busy-loop Mops/s measured at {lo} then {hi} procs "
-        f"immediately before the pair — the host's actual {factor:g}x-proc "
-        f"scaling ceiling in that window, independent of Spark.\n\n"
+        f"busyloop and membw are the ENGINE-FREE controls, measured "
+        f"immediately before each pair: aggregate pure-Python busy-loop "
+        f"Mops/s (ALU ceiling) and aggregate numpy-triad GB/s (DRAM "
+        f"bandwidth ceiling) at {lo} then {hi} procs — the host's actual "
+        f"{factor:g}x-proc scaling ceilings in that window, independent "
+        f"of Spark. The frontier kernels are streaming passes, so the "
+        f"membw ceiling is usually the binding one.\n\n"
         f"**Scaling efficiency** (MEDIAN probe-balanced lo/hi combination; "
         f"probes within 20%) = (thr_{hi}/thr_{lo})/{factor:g} "
         f"= **{bestc['eff']:.3f}** (target >= 0.8 per north rule). "
