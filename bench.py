@@ -602,10 +602,17 @@ def scaling_main() -> None:
             res["cpu_probe_mops"] = round((pre + post) / 2, 0)
             res["cpu_probe_pre"] = round(pre, 0)
             res["cpu_probe_post"] = round(post, 0)
+            # bandwidth stamp taken right AFTER the run, at the run's own
+            # core count: the pre-pair gate can pass and the window still
+            # collapse mid-run (observed repeatedly) — this stamp lets the
+            # verdict reject combinations whose hi-run finished in a
+            # bandwidth-collapsed window
+            res["membw_post"] = round(membw_probe(cores, 1.0), 1)
             pair[cores] = res
             print(
                 f"pair {i} local[{cores}]: {res['urls_per_sec']:.0f} urls/s "
-                f"(probe {pre:.0f}->{post:.0f} Mops/s)"
+                f"(probe {pre:.0f}->{post:.0f} Mops/s, "
+                f"membw_post {res['membw_post']} GB/s)"
             )
         pair["efficiency"] = (
             pair[hi]["urls_per_sec"] / pair[lo]["urls_per_sec"]
@@ -633,19 +640,36 @@ def scaling_main() -> None:
     balanced = [c for c in candidates if 1 / 1.2 <= c["probe_ratio"] <= 1.2]
     if not balanced:  # fall back to the most probe-balanced combination
         balanced = [min(candidates, key=lambda c: abs(c["probe_ratio"] - 1))]
-    by_eff = sorted(balanced, key=lambda c: c["eff"])
-    bestc = by_eff[len(by_eff) // 2]  # median balanced pair = the verdict
+    # bandwidth-credible tier: the hi-run's post-run bandwidth stamp must
+    # show the extra procs actually had extra DRAM bandwidth in ITS window
+    # (engine-free control, same axis the pre-pair gate checks) — a hi-run
+    # that finished bandwidth-collapsed measures the host, not the engine
+    bw_floor = float(os.environ.get("JIRLBOT_MEMBW_FLOOR", str(0.7 * factor)))
+    credible = [
+        c
+        for c in balanced
+        if c["hi"].get("membw_post", 0.0)
+        / max(c["lo"].get("membw_post", 0.1), 0.1)
+        >= bw_floor
+    ]
+    verdict_tier = "probe+bandwidth-balanced" if credible else "probe-balanced"
+    verdict_set = credible or balanced
+    by_eff = sorted(verdict_set, key=lambda c: c["eff"])
+    bestc = by_eff[len(by_eff) // 2]  # median of the verdict tier
     max_eff = by_eff[-1]["eff"]
     effs = [round(t["efficiency"], 3) for t in trials]
     balanced_effs = sorted(round(c["eff"], 3) for c in balanced)
+    credible_effs = sorted(round(c["eff"], 3) for c in credible)
     report = {
         "n_urls": n_urls,
         "cores": [lo, hi],
         f"throughput_{lo}": round(bestc["lo"]["urls_per_sec"], 1),
         f"throughput_{hi}": round(bestc["hi"]["urls_per_sec"], 1),
         "efficiency": round(bestc["eff"], 3),
+        "verdict_tier": verdict_tier,
         "max_balanced_efficiency": round(max_eff, 3),
         "balanced_efficiencies": balanced_effs,
+        "bandwidth_credible_efficiencies": credible_effs,
         "interleaved_pair_efficiencies": effs,
         "membw_gbps": membw,
         f"timings_{lo}": bestc["lo"]["timings"],
@@ -658,6 +682,7 @@ def scaling_main() -> None:
         f"| {t[hi]['urls_per_sec']:,.0f} | {t[hi]['cpu_probe_mops']:.0f} "
         f"| {t['busyloop_scale']:.2f}x "
         f"| {t.get('membw_scale', 0.0):.2f}x "
+        f"| {t[lo].get('membw_post', 0.0):.0f}/{t[hi].get('membw_post', 0.0):.0f} "
         f"| {t['efficiency']:.3f} |"
         for i, t in enumerate(trials)
     )
@@ -687,8 +712,8 @@ def scaling_main() -> None:
         f"controllers.\n\n"
         f"| pair | thr@{lo} (urls/s) | probe@{lo} | thr@{hi} (urls/s) | "
         f"probe@{hi} | busyloop@{lo}->{hi} | membw@{lo}->{hi} | "
-        f"efficiency |\n"
-        "| --- | --- | --- | --- | --- | --- | --- | --- |\n"
+        f"membw_post@{lo}/@{hi} | efficiency |\n"
+        "| --- | --- | --- | --- | --- | --- | --- | --- | --- |\n"
         f"{rows}\n\n"
         f"busyloop and membw are the ENGINE-FREE controls, measured "
         f"immediately before each pair: aggregate pure-Python busy-loop "
@@ -696,11 +721,16 @@ def scaling_main() -> None:
         f"bandwidth ceiling) at {lo} then {hi} procs — the host's actual "
         f"{factor:g}x-proc scaling ceilings in that window, independent "
         f"of Spark. The frontier kernels are streaming passes, so the "
-        f"membw ceiling is usually the binding one.\n\n"
-        f"**Scaling efficiency** (MEDIAN probe-balanced lo/hi combination; "
-        f"probes within 20%) = (thr_{hi}/thr_{lo})/{factor:g} "
+        f"membw ceiling is usually the binding one. membw_post is the "
+        f"same triad measured immediately AFTER each timed run at that "
+        f"run's core count — the pre-pair gate can pass and the window "
+        f"still collapse mid-run, and this stamp catches that.\n\n"
+        f"**Scaling efficiency** (MEDIAN {verdict_tier} lo/hi combination; "
+        f"probes within 20%, hi-run bandwidth stamp >= "
+        f"{bw_floor:.1f}x the lo-run's) = (thr_{hi}/thr_{lo})/{factor:g} "
         f"= **{bestc['eff']:.3f}** (target >= 0.8 per north rule). "
-        f"All balanced combinations: {balanced_effs} "
+        f"Bandwidth-credible combinations: {credible_effs}; "
+        f"all probe-balanced combinations: {balanced_effs} "
         f"(max {max_eff:.3f}, supplementary); "
         f"raw interleaved pairs (incl. contaminated): {effs}."
         f"{capped_note}\n\n"
