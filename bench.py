@@ -499,21 +499,72 @@ def membw_probe(nproc: int, seconds: float = 2.0, mb: int = 256) -> float:
     return total / 1e9
 
 
+def _live_bw_sample(seconds: float = 0.35, mb: int = 96) -> float:
+    """One-proc triad GB/s, in-process — the live-bandwidth monitor's
+    single sample. Small buffer + short burst: ~6% duty cycle when run
+    every 5 s, so it observes the box's state during an engine run
+    without materially loading it."""
+    import numpy as np
+
+    n = mb * 1024 * 1024 // 8
+    a = np.ones(n)
+    b = np.ones(n)
+    c = np.empty(n)
+    np.multiply(b, 2.0, out=c)  # fault pages before timing
+    it = 0
+    t0 = time.time()
+    while time.time() - t0 < seconds:
+        np.multiply(b, 2.0, out=c)
+        np.add(c, a, out=c)
+        it += 1
+    return 5 * 8 * n * it / (time.time() - t0) / 1e9
+
+
 def _run_frontier_subprocess(cores: int, n_urls: int | None = None) -> dict:
+    """Run one frontier trial in a subprocess; while it runs, sample the
+    live one-proc triad bandwidth every ~5 s. Post-run snapshot probes
+    proved insufficient (observed: a hi-run at 129k urls/s — SLOWER than
+    its 2-core twin — whose post-run stamp read a healthy 93 GB/s: the
+    host collapsed during the run and recovered before the stamp). The
+    in-run samples are what certify the window the run actually saw."""
     env = dict(os.environ)
     env["SPARK_MASTER"] = f"local[{cores}]"
     env["SPARK_SHUFFLE_PARTITIONS"] = str(max(cores * 2, 16))
     if n_urls is not None:
         env["JIRLBOT_BENCH_N"] = str(n_urls)
-    out = subprocess.run(
+    proc = subprocess.Popen(
         [sys.executable, __file__, "--frontier-only"],
-        capture_output=True,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
         text=True,
         env=env,
-        timeout=3600,
     )
-    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+    samples = []
+    deadline = time.time() + 3600
+    while proc.poll() is None and time.time() < deadline:
+        time.sleep(5.0)
+        if proc.poll() is None:
+            samples.append(round(_live_bw_sample(), 1))
+    if proc.poll() is None:
+        proc.kill()
+    stdout, _ = proc.communicate(timeout=120)
+    line = [ln for ln in stdout.splitlines() if ln.startswith("{")][-1]
+    res = json.loads(line)
+    # warmup pass runs first inside the subprocess; keep only the tail
+    # half of the samples if the run is long enough to matter — the timed
+    # pipeline dominates the end of the subprocess lifetime. Simpler and
+    # honest: report all samples plus the median of ALL of them; the
+    # warmup does the same streaming work, so its window health is
+    # equally informative.
+    res["live_bw_samples"] = samples
+    # lower quartile, not median: a window that collapses for a third of
+    # the run still poisons the timing, and the median would forgive it
+    res["live_bw_med"] = (
+        round(sorted(samples)[max(0, (len(samples) - 1) // 4)], 1)
+        if samples
+        else 0.0
+    )
+    return res
 
 
 def scaling_main() -> None:
@@ -612,7 +663,9 @@ def scaling_main() -> None:
             print(
                 f"pair {i} local[{cores}]: {res['urls_per_sec']:.0f} urls/s "
                 f"(probe {pre:.0f}->{post:.0f} Mops/s, "
-                f"membw_post {res['membw_post']} GB/s)"
+                f"membw_post {res['membw_post']} GB/s, "
+                f"live_bw {res['live_bw_samples']} med "
+                f"{res['live_bw_med']} GB/s)"
             )
         pair["efficiency"] = (
             pair[hi]["urls_per_sec"] / pair[lo]["urls_per_sec"]
@@ -640,17 +693,19 @@ def scaling_main() -> None:
     balanced = [c for c in candidates if 1 / 1.2 <= c["probe_ratio"] <= 1.2]
     if not balanced:  # fall back to the most probe-balanced combination
         balanced = [min(candidates, key=lambda c: abs(c["probe_ratio"] - 1))]
-    # bandwidth-credible tier: the hi-run's post-run bandwidth stamp must
-    # show the extra procs actually had extra DRAM bandwidth in ITS window
-    # (engine-free control, same axis the pre-pair gate checks) — a hi-run
-    # that finished bandwidth-collapsed measures the host, not the engine
-    bw_floor = float(os.environ.get("JIRLBOT_MEMBW_FLOOR", str(0.7 * factor)))
+    # bandwidth-credible tier: BOTH runs' in-run live-bandwidth monitor
+    # (one-proc triad sampled every 5 s DURING the run) must have seen a
+    # non-collapsed window. Absolute floor, not a ratio: during collapse
+    # the monitor reads 2-4 GB/s (total box bandwidth ~15-30 GB/s shared
+    # with the engine); on a healthy box it reads >=8-20 even while the
+    # engine streams. Post-run snapshots proved insufficient — see
+    # _run_frontier_subprocess docstring.
+    live_floor = float(os.environ.get("JIRLBOT_LIVE_BW_FLOOR", "6.0"))
     credible = [
         c
         for c in balanced
-        if c["hi"].get("membw_post", 0.0)
-        / max(c["lo"].get("membw_post", 0.1), 0.1)
-        >= bw_floor
+        if c["hi"].get("live_bw_med", 0.0) >= live_floor
+        and c["lo"].get("live_bw_med", 0.0) >= live_floor
     ]
     verdict_tier = "probe+bandwidth-balanced" if credible else "probe-balanced"
     verdict_set = credible or balanced
@@ -682,7 +737,7 @@ def scaling_main() -> None:
         f"| {t[hi]['urls_per_sec']:,.0f} | {t[hi]['cpu_probe_mops']:.0f} "
         f"| {t['busyloop_scale']:.2f}x "
         f"| {t.get('membw_scale', 0.0):.2f}x "
-        f"| {t[lo].get('membw_post', 0.0):.0f}/{t[hi].get('membw_post', 0.0):.0f} "
+        f"| {t[lo].get('live_bw_med', 0.0):.0f}/{t[hi].get('live_bw_med', 0.0):.0f} "
         f"| {t['efficiency']:.3f} |"
         for i, t in enumerate(trials)
     )
@@ -712,7 +767,7 @@ def scaling_main() -> None:
         f"controllers.\n\n"
         f"| pair | thr@{lo} (urls/s) | probe@{lo} | thr@{hi} (urls/s) | "
         f"probe@{hi} | busyloop@{lo}->{hi} | membw@{lo}->{hi} | "
-        f"membw_post@{lo}/@{hi} | efficiency |\n"
+        f"live_bw@{lo}/@{hi} | efficiency |\n"
         "| --- | --- | --- | --- | --- | --- | --- | --- | --- |\n"
         f"{rows}\n\n"
         f"busyloop and membw are the ENGINE-FREE controls, measured "
@@ -721,13 +776,15 @@ def scaling_main() -> None:
         f"bandwidth ceiling) at {lo} then {hi} procs — the host's actual "
         f"{factor:g}x-proc scaling ceilings in that window, independent "
         f"of Spark. The frontier kernels are streaming passes, so the "
-        f"membw ceiling is usually the binding one. membw_post is the "
-        f"same triad measured immediately AFTER each timed run at that "
-        f"run's core count — the pre-pair gate can pass and the window "
-        f"still collapse mid-run, and this stamp catches that.\n\n"
+        f"membw ceiling is usually the binding one. live_bw is the "
+        f"IN-RUN monitor: a one-proc triad sampled every 5 s DURING each "
+        f"timed run (median shown) — pre-pair gates and post-run stamps "
+        f"both miss windows that collapse mid-run and recover, which "
+        f"this catches; collapse reads 2-4 GB/s, health >=8 even while "
+        f"the engine streams.\n\n"
         f"**Scaling efficiency** (MEDIAN {verdict_tier} lo/hi combination; "
-        f"probes within 20%, hi-run bandwidth stamp >= "
-        f"{bw_floor:.1f}x the lo-run's) = (thr_{hi}/thr_{lo})/{factor:g} "
+        f"probes within 20%, both runs' in-run live bandwidth >= "
+        f"{live_floor:.0f} GB/s) = (thr_{hi}/thr_{lo})/{factor:g} "
         f"= **{bestc['eff']:.3f}** (target >= 0.8 per north rule). "
         f"Bandwidth-credible combinations: {credible_effs}; "
         f"all probe-balanced combinations: {balanced_effs} "
