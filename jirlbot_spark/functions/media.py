@@ -213,9 +213,15 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
 #
 # Same move as the WAV codec: AVI is RIFF, and the uncompressed BI_RGB
 # variant (24-bit bottom-up BGR '00db' frames) needs no codec library, so
-# `frame_sample` becomes REAL in-sandbox for avi payloads. Compressed
-# streams (mp4/webm/'00dc' with a fourcc) still require a shipped decoder
-# and stay behind the fake/gate.
+# `frame_sample` becomes REAL in-sandbox for avi payloads. MJPEG-in-AVI
+# (biCompression 'MJPG', one baseline JPEG per '00dc' chunk) is ALSO real:
+# the container walk below composes with the engine's own JPEG codec
+# (functions/jpeg.py), so the most common legacy crawl video format
+# decodes end-to-end with zero external libraries. Other compressed
+# streams (mp4/webm) still require a shipped decoder and stay behind the
+# fake/gate.
+
+MJPG_FOURCC = 0x47504A4D  # "MJPG" as a little-endian biCompression int
 
 
 def _riff_chunks(data: bytes, pos: int, end: int):
@@ -227,15 +233,29 @@ def _riff_chunks(data: bytes, pos: int, end: int):
         pos += 8 + clen + (clen % 2)
 
 
-def encode_avi(frames: np.ndarray, fps: float = 30.0) -> bytes:
-    """Encode (n, h, w, 3) uint8 RGB frames as an uncompressed AVI
-    (BI_RGB 24-bit, bottom-up BGR rows padded to 4 bytes, one '00db'
-    chunk per frame)."""
+def encode_avi(
+    frames: np.ndarray,
+    fps: float = 30.0,
+    codec: str = "raw",
+    quality: int = 90,
+) -> bytes:
+    """Encode (n, h, w, 3) uint8 RGB frames as an AVI.
+
+    codec="raw":  BI_RGB 24-bit, bottom-up BGR rows padded to 4 bytes,
+                  one '00db' chunk per frame (lossless).
+    codec="mjpg": MJPEG — one baseline JPEG (functions/jpeg.py) per
+                  '00dc' chunk, biCompression='MJPG' (lossy; the engine's
+                  PSNR>=40dB @ quality 90 invariant applies per frame).
+    """
+    if codec not in ("raw", "mjpg"):
+        raise ValueError(f"unknown AVI codec {codec!r}")
     frames = np.asarray(frames, np.uint8)
     n, h, w, _ = frames.shape
     row_pad = (-(w * 3)) % 4
     frame_bytes = (w * 3 + row_pad) * h
     scale, rate = 1000, int(round(fps * 1000))
+    handler = b"DIB " if codec == "raw" else b"MJPG"
+    compression = 0 if codec == "raw" else MJPG_FOURCC
     avih = struct.pack(
         "<IIIIIIIIII4I",
         int(1e6 * scale / max(rate, 1)), frame_bytes * int(fps) + 1, 0,
@@ -243,11 +263,12 @@ def encode_avi(frames: np.ndarray, fps: float = 30.0) -> bytes:
     )
     strh = struct.pack(
         "<4s4sIHHIIIIIIIIhhhh",
-        b"vids", b"DIB ", 0, 0, 0, 0, scale, rate, 0, n,
+        b"vids", handler, 0, 0, 0, 0, scale, rate, 0, n,
         frame_bytes, 0xFFFFFFFF & -1, 0, 0, 0, int(w), int(h),
     )
     strf = struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0
+        "<IiiHHIIiiII",
+        40, w, h, 1, 24, compression, frame_bytes, 0, 0, 0, 0,
     )
 
     def chunk(cid: bytes, body: bytes) -> bytes:
@@ -260,16 +281,24 @@ def encode_avi(frames: np.ndarray, fps: float = 30.0) -> bytes:
 
     strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
-    movi_body = b"".join(
-        chunk(
-            b"00db",
-            np.pad(
-                frames[i, ::-1, :, ::-1].reshape(h, w * 3),  # bottom-up BGR
-                ((0, 0), (0, row_pad)),
-            ).tobytes(),
+    if codec == "mjpg":
+        from jirlbot_spark.functions.jpeg import encode_jpeg
+
+        movi_body = b"".join(
+            chunk(b"00dc", encode_jpeg(frames[i], quality=quality))
+            for i in range(n)
         )
-        for i in range(n)
-    )
+    else:
+        movi_body = b"".join(
+            chunk(
+                b"00db",
+                np.pad(
+                    frames[i, ::-1, :, ::-1].reshape(h, w * 3),  # bottom-up BGR
+                    ((0, 0), (0, row_pad)),
+                ).tobytes(),
+            )
+            for i in range(n)
+        )
     movi = lst(b"movi", movi_body)
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
@@ -280,9 +309,11 @@ def is_avi(data: bytes) -> bool:
 
 
 def decode_avi(data: bytes) -> tuple[np.ndarray, float]:
-    """Decode an uncompressed AVI to ((n, h, w, 3) uint8 RGB, fps).
-    Supports BI_RGB 24-bit bottom-up '00db'/'00dc' frames; compressed
-    streams raise NotImplementedError, malformed structure ValueError."""
+    """Decode an AVI to ((n, h, w, 3) uint8 RGB, fps).
+    Supports BI_RGB 24-bit bottom-up '00db'/'00dc' frames and MJPEG
+    ('MJPG' biCompression; one baseline JPEG per chunk, decoded by the
+    engine's own functions/jpeg.py); other compressed streams raise
+    NotImplementedError, malformed structure ValueError."""
     if not is_avi(data):
         raise ValueError("not a RIFF/AVI stream")
     end = min(len(data), 8 + struct.unpack("<I", data[4:8])[0])
@@ -316,6 +347,16 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, float]:
     walk(12, end)
     if w is None or h is None:
         raise ValueError("missing stream format (strf) chunk")
+    if compression == MJPG_FOURCC:
+        from jirlbot_spark.functions.jpeg import decode_jpeg
+
+        if not raw_frames:
+            return np.zeros((0, h, w, 3), np.uint8), float(fps)
+        decoded = [decode_jpeg(bytes(rf)) for rf in raw_frames]
+        shapes = {d.shape for d in decoded}
+        if len(shapes) != 1:
+            raise ValueError(f"inconsistent MJPEG frame shapes: {shapes}")
+        return np.stack(decoded), float(fps)
     if compression != 0:
         raise NotImplementedError(
             f"compressed AVI stream (fourcc {compression:#x})"

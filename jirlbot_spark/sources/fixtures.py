@@ -409,10 +409,12 @@ def gen_audio(seed: int, n: int) -> pd.DataFrame:
 def gen_video(seed: int, n: int) -> pd.DataFrame:
     """Deterministic video payload rows (media.VIDEO_SCHEMA shape).
 
-    "avi" rows carry REAL uncompressed-AVI bytes (deterministic moving-
-    gradient frames — decoded for real by media.decode_avi); "mp4"/"webm"
-    rows stay opaque seeded blobs for the gated fake-decoder path (no
-    compressed-video codec ships in-sandbox)."""
+    "avi" rows carry REAL uncompressed-AVI bytes and "mjpg" rows REAL
+    MJPEG-in-AVI bytes (deterministic moving-gradient frames — both
+    decoded for real by media.decode_avi, the MJPEG path through the
+    engine's own JPEG codec); "mp4"/"webm" rows stay opaque seeded blobs
+    for the gated fake-decoder path (no mp4/webm codec ships
+    in-sandbox)."""
     from jirlbot_spark.functions.media import encode_avi
 
     rng = np.random.default_rng(seed)
@@ -422,8 +424,8 @@ def gen_video(seed: int, n: int) -> pd.DataFrame:
         h = int(rng.choice([16, 32]))
         n_frames = int(rng.integers(5, 60))
         fps = float(rng.choice([24.0, 30.0]))
-        fmt = str(rng.choice(["avi", "mp4", "webm"]))
-        if fmt == "avi":
+        fmt = str(rng.choice(["avi", "mjpg", "mp4", "webm"]))
+        if fmt in ("avi", "mjpg"):
             f = np.arange(n_frames, dtype=np.int32)[:, None, None, None]
             y = np.arange(h, dtype=np.int32)[None, :, None, None]
             x = np.arange(w, dtype=np.int32)[None, None, :, None]
@@ -431,7 +433,11 @@ def gen_video(seed: int, n: int) -> pd.DataFrame:
             frames = ((x * 3 + y * 5 + f * 7 + c * 11 + idx) % 256).astype(
                 np.uint8
             )
-            blob = encode_avi(frames, fps=fps)
+            blob = encode_avi(
+                frames,
+                fps=fps,
+                codec="raw" if fmt == "avi" else "mjpg",
+            )
         else:
             blob = rng.bytes(int(rng.integers(500, 5000)))
         recs.append(

@@ -182,19 +182,39 @@ def test_avi_roundtrip_and_gates():
 
 
 def test_video_stub_marker(spark):
-    """allow_fake=False raises ONLY for compressed formats; avi rows
-    decode for real and never hit the gate."""
+    """allow_fake=False raises ONLY for codec-less formats (mp4/webm);
+    avi AND mjpg rows decode for real and never hit the gate."""
     pdf = gen_video(5, 12)
-    nonavi = pdf[pdf["fmt"] != "avi"]
-    assert len(nonavi), "fixture must include a codec-less format"
-    video = spark.createDataFrame(nonavi, schema=VIDEO_SCHEMA)
+    gated = pdf[pdf["fmt"].isin(["mp4", "webm"])]
+    assert len(gated), "fixture must include a codec-less format"
+    video = spark.createDataFrame(gated, schema=VIDEO_SCHEMA)
     with pytest.raises(Exception) as ei:
         frame_sample(video, allow_fake=False).collect()
     assert "STUB" in str(ei.value)
-    avi_only = spark.createDataFrame(
-        pdf[pdf["fmt"] == "avi"], schema=VIDEO_SCHEMA
+    real = spark.createDataFrame(
+        pdf[pdf["fmt"].isin(["avi", "mjpg"])], schema=VIDEO_SCHEMA
     )
-    assert frame_sample(avi_only, every_n=10, allow_fake=False).count() > 0
+    assert frame_sample(real, every_n=10, allow_fake=False).count() > 0
+
+
+def test_mjpeg_avi_roundtrip():
+    """MJPEG-in-AVI: container + the engine's own JPEG codec compose to a
+    REAL compressed-video decode. Lossy, so the invariant is the engine's
+    PSNR>=40dB @ quality 90 contract per frame, not bit-equality."""
+    from jirlbot_spark.functions.media import decode_avi, encode_avi, is_avi
+
+    y = np.arange(24, dtype=np.int32)[None, :, None, None]
+    x = np.arange(40, dtype=np.int32)[None, None, :, None]
+    f = np.arange(5, dtype=np.int32)[:, None, None, None]
+    c = np.arange(3, dtype=np.int32)[None, None, None, :]
+    frames = ((x * 3 + y * 5 + f * 7 + c * 11) % 256).astype(np.uint8)
+    blob = encode_avi(frames, fps=24.0, codec="mjpg", quality=90)
+    assert is_avi(blob)
+    dec, fps = decode_avi(blob)
+    assert dec.shape == frames.shape and abs(fps - 24.0) < 1e-9
+    mse = np.mean((dec.astype(np.float64) - frames) ** 2, axis=(1, 2, 3))
+    psnr = 10 * np.log10(255.0**2 / np.maximum(mse, 1e-12))
+    assert (psnr >= 40.0).all(), psnr
 
 
 def test_resize_pixels_real():
