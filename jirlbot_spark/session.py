@@ -25,6 +25,20 @@ from pyspark.sql import SparkSession
 DEFAULT_NUM_BUCKETS = 32
 
 
+def parse_env_conf(env_conf: str) -> dict[str, str]:
+    """Parse the JIRLBOT_SPARK_CONF deployment hook ("k=v;k2=v2").
+
+    Tolerant of stray semicolons/whitespace; entries without both a key
+    and a value are dropped (a truncated env var must not half-apply).
+    Values may themselves contain '=' (only the first splits)."""
+    out: dict[str, str] = {}
+    for pair in filter(None, (p.strip() for p in env_conf.split(";"))):
+        k, _, v = pair.partition("=")
+        if k.strip() and v.strip():
+            out[k.strip()] = v.strip()
+    return out
+
+
 def get_spark(
     app_name: str = "jirlbot-spark",
     master: str | None = None,
@@ -104,11 +118,10 @@ def get_spark(
     # store wants spark.sql.parquet.compression.codec=zstd (smaller bytes,
     # more parallel CPU), a CPU-constrained one wants snappy/lz4. Applied
     # before extra_conf so programmatic callers still win.
-    env_conf = os.environ.get("JIRLBOT_SPARK_CONF", "")
-    for pair in filter(None, (p.strip() for p in env_conf.split(";"))):
-        k, _, v = pair.partition("=")
-        if k and v:
-            b = b.config(k.strip(), v.strip())
+    for k, v in parse_env_conf(
+        os.environ.get("JIRLBOT_SPARK_CONF", "")
+    ).items():
+        b = b.config(k, v)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
