@@ -362,16 +362,72 @@ def run_query_timings(spark) -> tuple[dict[str, float], dict[str, dict]]:
     return out, detail
 
 
+def run_frontier_headline(spark) -> tuple[dict, list[dict]]:
+    """Best-of-N frontier runs with a probe gate (r2 verdict #9 applied to
+    the HEADLINE, not just the per-query table): this host's CPU speed
+    swings ~4x across minutes-apart windows, and a single-sample headline
+    taken in a collapsed window (observed: probe 139, prepare_s 102 s)
+    misreports the engine by that factor. Protocol, all raw data shipped:
+
+      - before each timed attempt, wait (bounded) until a 1 s cpu probe
+        clears JIRLBOT_PROBE_FLOOR (default 150 M ops/s; healthy ~250+),
+      - run the full pipeline, stamp pre/post probes,
+      - stop early if an attempt ran entirely inside a healthy window
+        (both probes >= JIRLBOT_BENCH_HEALTHY_PROBE, default 230),
+      - else repeat up to JIRLBOT_BENCH_FRONTIER_REPEATS (default 2)
+        and keep the fastest attempt.
+
+    Every attempt (timings + probes) appears in the JSON artifact, so a
+    degraded window is visible rather than silently averaged in."""
+    repeats = max(
+        1, int(os.environ.get("JIRLBOT_BENCH_FRONTIER_REPEATS", "2"))
+    )
+    floor = float(os.environ.get("JIRLBOT_PROBE_FLOOR", "150"))
+    healthy = float(os.environ.get("JIRLBOT_BENCH_HEALTHY_PROBE", "230"))
+    wait_budget = float(os.environ.get("JIRLBOT_BENCH_PROBE_WAIT_S", "90"))
+    attempts: list[dict] = []
+    best: dict | None = None
+    for _ in range(repeats):
+        pre = cpu_probe(1.0)
+        waited = 0.0
+        while pre < floor and waited < wait_budget:
+            time.sleep(5.0)
+            waited += 6.0
+            pre = cpu_probe(1.0)
+        workdir = _mkworkdir("bench_frontier_")
+        try:
+            res = run_frontier_pipeline(spark, N_URLS, workdir)
+        finally:
+            shutil.rmtree(workdir, ignore_errors=True)
+        post = cpu_probe(1.0)
+        res["cpu_probe_pre"] = round(pre)
+        res["cpu_probe_post"] = round(post)
+        attempts.append(
+            {
+                "urls_per_sec": round(res["urls_per_sec"], 1),
+                "wall_s": round(res["wall_s"], 2),
+                "timings": {
+                    k: round(v, 2) for k, v in res["timings"].items()
+                },
+                "cpu_probe_pre": round(pre),
+                "cpu_probe_post": round(post),
+            }
+        )
+        if best is None or res["urls_per_sec"] > best["urls_per_sec"]:
+            best = res
+        if pre >= healthy and post >= healthy:
+            break
+    assert best is not None
+    return best, attempts
+
+
 def driver_main() -> None:
     from jirlbot_spark.session import get_spark
 
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]")
-    workdir = _mkworkdir("bench_frontier_")
     try:
         warmup_pipeline(spark)
-        probe_pre = cpu_probe(1.0)
-        frontier = run_frontier_pipeline(spark, N_URLS, workdir)
-        probe_post = cpu_probe(1.0)
+        frontier, attempts = run_frontier_headline(spark)
         queries, query_detail = run_query_timings(spark)
         sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
         try:
@@ -394,18 +450,20 @@ def driver_main() -> None:
                         "wall_s": round(frontier["wall_s"], 2),
                         # host-health context (documented ~4x CPU swings):
                         # healthy windows probe ~250+ M ops/s
-                        "cpu_probe_pre": round(probe_pre),
-                        "cpu_probe_post": round(probe_post),
+                        "cpu_probe_pre": frontier["cpu_probe_pre"],
+                        "cpu_probe_post": frontier["cpu_probe_post"],
                         "timings": {
                             k: round(v, 2)
                             for k, v in frontier["timings"].items()
                         },
+                        # every attempt, incl. degraded-window ones the
+                        # best-of picked over (run_frontier_headline doc)
+                        "attempts": attempts,
                     },
                 }
             )
         )
     finally:
-        shutil.rmtree(workdir, ignore_errors=True)
         spark.stop()
 
 
