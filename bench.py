@@ -371,19 +371,29 @@ def run_frontier_headline(spark) -> tuple[dict, list[dict]]:
 
       - before each timed attempt, wait (bounded) until a 1 s cpu probe
         clears JIRLBOT_PROBE_FLOOR (default 150 M ops/s; healthy ~250+),
-      - run the full pipeline, stamp pre/post probes,
-      - stop early if an attempt ran entirely inside a healthy window
-        (both probes >= JIRLBOT_BENCH_HEALTHY_PROBE, default 230),
-      - else repeat up to JIRLBOT_BENCH_FRONTIER_REPEATS (default 2)
+      - run the full pipeline, stamp pre/post cpu probes AND an 8-proc
+        triad memory-bandwidth stamp (the engine is memory-bound and
+        this host's aggregate DRAM bandwidth is BIMODAL — ~29 vs ~112
+        GB/s across minutes-apart windows, SCALE.md — which an ALU
+        probe cannot see),
+      - stop early only if an attempt ran entirely inside a healthy
+        window: both cpu probes >= JIRLBOT_BENCH_HEALTHY_PROBE
+        (default 230) and the bandwidth stamp >= JIRLBOT_BENCH_HEALTHY_MEMBW
+        (default 60 GB/s, between the two observed modes),
+      - else repeat up to JIRLBOT_BENCH_FRONTIER_REPEATS (default 3)
         and keep the fastest attempt.
 
-    Every attempt (timings + probes) appears in the JSON artifact, so a
-    degraded window is visible rather than silently averaged in."""
+    Every attempt (timings + probes + bandwidth) appears in the JSON
+    artifact, so a degraded window is visible rather than silently
+    averaged in."""
     repeats = max(
-        1, int(os.environ.get("JIRLBOT_BENCH_FRONTIER_REPEATS", "2"))
+        1, int(os.environ.get("JIRLBOT_BENCH_FRONTIER_REPEATS", "3"))
     )
     floor = float(os.environ.get("JIRLBOT_PROBE_FLOOR", "150"))
     healthy = float(os.environ.get("JIRLBOT_BENCH_HEALTHY_PROBE", "230"))
+    healthy_bw = float(
+        os.environ.get("JIRLBOT_BENCH_HEALTHY_MEMBW", "60")
+    )
     wait_budget = float(os.environ.get("JIRLBOT_BENCH_PROBE_WAIT_S", "90"))
     attempts: list[dict] = []
     best: dict | None = None
@@ -400,8 +410,10 @@ def run_frontier_headline(spark) -> tuple[dict, list[dict]]:
         finally:
             shutil.rmtree(workdir, ignore_errors=True)
         post = cpu_probe(1.0)
+        membw = membw_probe(8, 1.5)
         res["cpu_probe_pre"] = round(pre)
         res["cpu_probe_post"] = round(post)
+        res["membw_gbs"] = round(membw, 1)
         attempts.append(
             {
                 "urls_per_sec": round(res["urls_per_sec"], 1),
@@ -411,11 +423,12 @@ def run_frontier_headline(spark) -> tuple[dict, list[dict]]:
                 },
                 "cpu_probe_pre": round(pre),
                 "cpu_probe_post": round(post),
+                "membw_gbs": round(membw, 1),
             }
         )
         if best is None or res["urls_per_sec"] > best["urls_per_sec"]:
             best = res
-        if pre >= healthy and post >= healthy:
+        if pre >= healthy and post >= healthy and membw >= healthy_bw:
             break
     assert best is not None
     return best, attempts
@@ -452,6 +465,9 @@ def driver_main() -> None:
                         # healthy windows probe ~250+ M ops/s
                         "cpu_probe_pre": frontier["cpu_probe_pre"],
                         "cpu_probe_post": frontier["cpu_probe_post"],
+                        # 8-proc triad stamp; this host's DRAM bandwidth
+                        # is bimodal ~29/112 GB/s (SCALE.md)
+                        "membw_gbs": frontier["membw_gbs"],
                         "timings": {
                             k: round(v, 2)
                             for k, v in frontier["timings"].items()

@@ -14,6 +14,9 @@ No PIL in this sandbox, so the codecs are self-contained numpy+stdlib:
     optimized Huffman, pure numpy) — LOSSY, activating the mandated
     PSNR>=40dB branch of the per-row invariant; default quality 98
     keeps fixture-content PSNR >= ~43 dB.
+  - gif: real GIF89a (functions/gif.py: variable-width LZW, global
+    color table, interlace-capable decoder) — lossless for palettized
+    content; fixture rows posterize first so the exact branch holds.
 
 phash: classic DCT hash — resize to 32x32 grayscale (area mean-pool),
 2D DCT-II, top-left 8x8 minus DC, median threshold -> 64-bit int. Pure
@@ -31,7 +34,7 @@ import zlib
 import numpy as np
 import pandas as pd
 
-LOSSLESS_FMTS = ("png", "bmp", "raw")
+LOSSLESS_FMTS = ("png", "bmp", "raw", "gif")
 LOSSY_FMTS = ("jpeg",)
 JPEG_QUALITY = 98  # fixture-content PSNR >= ~43 dB (invariant floor: 40)
 
@@ -158,6 +161,12 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
         from jirlbot_spark.functions.jpeg import encode_jpeg
 
         return encode_jpeg(pixels, quality=JPEG_QUALITY)
+    if fmt == "gif":
+        # lossless iff pixels are palettized (<=256 colors) — fixture
+        # rows are posterized before encode; see functions/gif.py
+        from jirlbot_spark.functions.gif import encode_gif
+
+        return encode_gif(pixels)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -172,6 +181,10 @@ def decode_image(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         from jirlbot_spark.functions.jpeg import decode_jpeg
 
         return decode_jpeg(data)
+    if fmt == "gif":
+        from jirlbot_spark.functions.gif import decode_gif
+
+        return decode_gif(data)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 

@@ -56,6 +56,13 @@ def gen_pages(seed: int, n: int) -> pd.DataFrame:
         h = int(rng.choice([16, 32, 64]))
         fmt = str(rng.choice(LOSSLESS_FMTS))
         px = gen_pixels(rng, w, h)
+        if fmt == "gif":
+            # GIF is palette-limited: posterize BEFORE storing so the
+            # row's pixels/phash describe exactly what the bytes carry
+            # and the lossless invariant holds (functions/gif.py)
+            from jirlbot_spark.functions.gif import posterize
+
+            px = posterize(px)
         words = " ".join(rng.choice(_WORDS, size=5))
         image_id = f"img{idx:010d}"
         recs.append(

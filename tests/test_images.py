@@ -2,6 +2,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from struct import error as struct_error
 import pytest
 
 from jirlbot_spark.functions.images import (
@@ -180,3 +181,102 @@ def test_jpeg_adversarial_content():
         assert dec.shape == (h, w, 3), (h, w)
         assert encode_jpeg(px, 98) == blob
         assert psnr(px, decode_jpeg(encode_jpeg(px, 100))) >= 40.0, (h, w)
+
+
+# ---------- GIF (functions/gif.py) ----------
+
+
+def test_gif_lzw_roundtrip_fuzz():
+    """Variable-width LZW incl. width-boundary end codes and 4096-entry
+    table resets (long streams force the clear-code path)."""
+    from jirlbot_spark.functions.gif import _lzw_decode, _lzw_encode
+
+    rng = np.random.default_rng(7)
+    for trial in range(120):
+        n_sym = int(rng.integers(1, 8))
+        n = int(rng.integers(1, 9000))
+        mcs = max(2, int(np.ceil(np.log2(max(n_sym, 2)))))
+        idx = rng.integers(0, n_sym, n).astype(np.int32)
+        dec = _lzw_decode(_lzw_encode(idx, mcs), mcs, n)
+        assert np.array_equal(dec, idx.astype(np.uint8)), (trial, n_sym, n)
+
+
+def test_gif_roundtrip_lossless_palettized():
+    from jirlbot_spark.functions.gif import decode_gif, encode_gif, posterize
+    from jirlbot_spark.sources.fixtures import gen_pixels
+
+    rng = np.random.default_rng(9)
+    for _ in range(12):
+        w, h = int(rng.integers(1, 80)), int(rng.integers(1, 80))
+        px = posterize(gen_pixels(rng, w, h))
+        back = decode_gif(encode_gif(px))
+        assert back.shape == (h, w, 3)
+        assert np.array_equal(back, px)
+    # tiny palettes exercise mcs=2 and power-of-two GCT padding
+    for ncol in (1, 2, 3, 4, 17, 255, 256):
+        pal = rng.integers(0, 256, (ncol, 3)).astype(np.uint8)
+        px = pal[rng.integers(0, ncol, (33, 29))]
+        assert np.array_equal(decode_gif(encode_gif(px)), px), ncol
+
+
+def test_gif_posterize_fallback_for_wide_palettes():
+    from jirlbot_spark.functions.gif import decode_gif, encode_gif, posterize
+    from jirlbot_spark.sources.fixtures import gen_pixels
+
+    px = gen_pixels(np.random.default_rng(3), 64, 64)
+    assert np.array_equal(decode_gif(encode_gif(px)), posterize(px))
+
+
+def test_gif_decodes_interlaced_extensions_and_local_color_table():
+    """Wild GIFs the encoder never emits: GIF87a, interlaced row order,
+    graphic-control extension blocks, local color table."""
+    import struct
+
+    from jirlbot_spark.functions import gif as G
+
+    rng = np.random.default_rng(3)
+    w, h = 23, 37
+    pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.integers(0, 16, (h, w))
+    px = pal[idx]
+    mcs = 4
+
+    def blocks(lzw: bytes) -> bytes:
+        out = bytearray()
+        for i in range(0, len(lzw), 255):
+            b = lzw[i : i + 255]
+            out.append(len(b))
+            out += b
+        return bytes(out) + b"\x00\x3b"
+
+    # interlaced + extension, global color table
+    order = np.concatenate(
+        [np.arange(s, h, st) for s, st in G._INTERLACE_PASSES]
+    )
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (7 << 4) | 3, 0, 0)
+    out += pal.tobytes()
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE (skipped)
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40)
+    out.append(mcs)
+    out += blocks(G._lzw_encode(idx[order].astype(np.int32), mcs))
+    assert np.array_equal(G.decode_gif(bytes(out)), px)
+
+    # GIF87a + local color table, no GCT
+    out2 = bytearray(b"GIF87a")
+    out2 += struct.pack("<HHBBB", w, h, 0, 0, 0)
+    out2 += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x80 | 3)
+    out2 += pal.tobytes()
+    out2.append(mcs)
+    out2 += blocks(G._lzw_encode(idx.astype(np.int32), mcs))
+    assert np.array_equal(G.decode_gif(bytes(out2)), px)
+
+
+def test_gif_truncated_stream_raises():
+    from jirlbot_spark.functions.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 4, (20, 20, 3)).astype(np.uint8) * 80
+    data = encode_gif(px)
+    with pytest.raises((ValueError, AssertionError, struct_error)):
+        decode_gif(data[: len(data) // 2])
