@@ -63,18 +63,36 @@ def shingle_hashes(
     k: int = 3,
 ) -> DataFrame:
     """(id, shingle_hash) — distinct word k-gram 64-bit hashes per doc,
-    built JVM-side: slice/concat_ws over the token array, then xxhash64."""
+    built JVM-side and fully codegen'd: explode the shingle-start index
+    sequence, then hash the k tokens with one multi-arg xxhash64 via
+    element_at.
+
+    NOT a higher-order `transform` with slice+concat_ws per element:
+    lambda functions are CodegenFallback in Spark (interpreted per
+    element, allocating a sliced array + concatenated string per
+    shingle) — measured 9x slower at sf0.1 (3.8 s vs 0.43 s for 260k
+    shingles). Hashing the k tokens directly (multi-arg xxhash64) is
+    set-equivalent to hashing their join: tokens come from a \\s+ split
+    so no two distinct k-tuples alias. The token array never reaches a
+    shuffle — (id, sh) is projected out inside the same codegen stage
+    before the distinct exchange."""
     toks = tokens_col(text_col)
     n_sh = F.size(toks) - F.lit(k - 1)
     # sequence(1, n) DESCENDS when n < 1 — guard short/empty docs explicitly
-    shingles = F.when(n_sh < 1, F.array().cast("array<long>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n_sh, F.lit(1))),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))),
-        )
+    starts = F.when(n_sh < 1, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(1), F.greatest(n_sh, F.lit(1)))
     )
+    i = F.col("__i")
     return (
-        docs.select(F.col(id_col), F.explode(shingles).alias("sh"))
+        docs.select(
+            F.col(id_col), toks.alias("__toks"), F.explode(starts).alias("__i")
+        )
+        .select(
+            F.col(id_col),
+            F.xxhash64(
+                *[F.element_at("__toks", i + j) for j in range(k)]
+            ).alias("sh"),
+        )
         .distinct()
     )
 
