@@ -7,12 +7,14 @@ frame-sample run as Arrow-batched mapInPandas operators.
 
 Decode backends, by format:
 
-  - RIFF/WAVE audio and uncompressed RIFF/AVI video decode for REAL with
-    the engine's own pure-numpy parsers below (encode_wav/decode_wav,
-    encode_avi/decode_avi) — no codec library involved, same move as
-    functions/jpeg.py for images;
-  - compressed formats (flac/mp3, mp4/webm) need libraries NOT in this
-    container and sit behind a capability gate: `audio_codec()` /
+  - RIFF/WAVE audio, FLAC audio, and uncompressed RIFF/AVI video decode
+    for REAL with the engine's own pure-numpy parsers
+    (encode_wav/decode_wav, functions/flac.py, encode_avi/decode_avi) —
+    no codec library involved, same move as functions/jpeg.py for
+    images; the FLAC decoder covers CONSTANT/VERBATIM/FIXED subframes +
+    rice/rice2 residuals and gates LPC/stereo-decorrelation loudly;
+  - remaining compressed formats (mp3, mp4/webm) need libraries NOT in
+    this container and sit behind a capability gate: `audio_codec()` /
     `video_codec()` try the real imports (soundfile / av) and return
     None here — a cluster image that ships the libs activates them with
     no other change;
@@ -402,6 +404,11 @@ def _decode_audio(row, allow_fake: bool) -> np.ndarray:
     data = bytes(row["bytes"])
     if is_wav(data):
         wave, _sr = decode_wav(data)
+        return wave.reshape(-1)
+    from jirlbot_spark.functions.flac import decode_flac, is_flac
+
+    if is_flac(data):
+        wave, _sr = decode_flac(data)
         return wave.reshape(-1)
     codec = audio_codec()
     if codec is not None:  # pragma: no cover - cluster-only path

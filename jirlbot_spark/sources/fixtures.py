@@ -377,8 +377,11 @@ def gen_audio(seed: int, n: int) -> pd.DataFrame:
 
     "wav" rows carry REAL RIFF/WAVE bytes (deterministic sine+noise
     mono waveforms across PCM 8/16/24/32-bit and float32 — decoded for
-    real by media.decode_wav); "flac" rows stay opaque seeded blobs for
-    the gated fake-decoder path (no flac codec ships in-sandbox)."""
+    real by media.decode_wav); "flac" rows carry REAL FLAC bitstreams
+    (the engine's own rice/fixed-predictor codec, functions/flac.py);
+    "mp3" rows stay opaque seeded blobs for the gated fake-decoder path
+    (no mp3 codec ships in-sandbox)."""
+    from jirlbot_spark.functions.flac import encode_flac
     from jirlbot_spark.functions.media import encode_wav
 
     rng = np.random.default_rng(seed)
@@ -387,17 +390,22 @@ def gen_audio(seed: int, n: int) -> pd.DataFrame:
     for idx in range(n):
         sr = int(rng.choice([8000, 16000, 44100]))
         n_samples = int(rng.integers(sr // 2, sr * 3))
-        fmt = str(rng.choice(["wav", "flac"]))
-        if fmt == "wav":
+        fmt = str(rng.choice(["wav", "flac", "mp3"]))
+        if fmt in ("wav", "flac"):
             t = np.arange(n_samples) / sr
             freq = float(rng.uniform(80.0, 2000.0))
             wave = 0.7 * np.sin(2 * np.pi * freq * t) + 0.1 * rng.standard_normal(
                 n_samples
             )
-            bits, f32 = depths[idx % len(depths)]
-            blob = encode_wav(
-                np.clip(wave, -1, 1), sr, bits=bits, float32=f32
-            )
+            if fmt == "flac":
+                blob = encode_flac(
+                    np.clip(wave, -1, 1), sr, bits=16 if idx % 2 else 8
+                )
+            else:
+                bits, f32 = depths[idx % len(depths)]
+                blob = encode_wav(
+                    np.clip(wave, -1, 1), sr, bits=bits, float32=f32
+                )
         else:
             blob = rng.bytes(int(rng.integers(200, 2000)))
         recs.append(

@@ -259,3 +259,105 @@ def test_media_queries_run(spark):
     assert af.count() > 0
     fs = qs["frame_sample"](spark, "/root/testdata/sf0.001")
     assert fs.count() > 0
+
+
+# ---------- FLAC (functions/flac.py) ----------
+
+
+def test_flac_roundtrip_exact():
+    """Encode->decode is exact at the quantized-sample level across
+    depths, channel counts, blocksize boundaries, and content types."""
+    from jirlbot_spark.functions.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(11)
+    cases = [
+        (5000, 16000, 16, 1),   # plain tone
+        (4096, 8000, 16, 1),    # exactly one block
+        (4097, 8000, 16, 1),    # one sample into block 2
+        (100, 8000, 8, 1),      # 8-bit
+        (9000, 22050, 16, 2),   # stereo (independent channels)
+        (1, 8000, 16, 1),       # single sample
+    ]
+    for n, sr, bits, ch in cases:
+        t = np.arange(n) / sr
+        wave = 0.7 * np.sin(2 * np.pi * 440 * t)
+        wave += 0.05 * rng.standard_normal(n)
+        if ch == 2:
+            wave = np.stack([wave, np.roll(wave, 5)], axis=1)
+        wave = np.clip(wave, -1, 1)
+        back, sr2 = decode_flac(encode_flac(wave, sr, bits=bits))
+        full = 1 << (bits - 1)
+        q = np.clip(
+            np.round((wave if ch == 2 else wave[:, None]) * full),
+            -full,
+            full - 1,
+        )
+        assert sr2 == sr
+        assert np.array_equal(np.round(back * full), q), (n, sr, bits, ch)
+    # silence -> CONSTANT subframes, noise -> verbatim/escape paths
+    back, _ = decode_flac(encode_flac(np.zeros(10000), 8000))
+    assert np.array_equal(back, np.zeros((10000, 1), np.float32))
+    noise = np.clip(rng.standard_normal(8192), -1, 1)
+    back, _ = decode_flac(encode_flac(noise, 8000))
+    assert np.array_equal(
+        np.round(back * 32768).reshape(-1),
+        np.clip(np.round(noise * 32768), -32768, 32767),
+    )
+
+
+def test_flac_compresses_tonal_content():
+    from jirlbot_spark.functions.flac import encode_flac
+
+    t = np.arange(44100) / 44100
+    blob = encode_flac(np.sin(2 * np.pi * 220 * t) * 0.8, 44100)
+    assert len(blob) < 44100 * 2 * 0.95  # beats raw 16-bit PCM
+
+
+def test_flac_crc_rejects_corruption():
+    from jirlbot_spark.functions.flac import decode_flac, encode_flac
+
+    blob = bytearray(encode_flac(np.sin(np.arange(5000) / 30.0), 8000))
+    blob[200] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_flac(bytes(blob))
+    with pytest.raises(ValueError):
+        decode_flac(bytes(blob[:60]))  # truncated
+
+
+def test_flac_gates_lpc_and_stereo_decorrelation():
+    """Wild-file features our encoder never emits raise the explicit
+    STUB error, not garbage output."""
+    from jirlbot_spark.functions.flac import decode_flac, encode_flac
+
+    blob = bytearray(encode_flac(np.sin(np.arange(3000) / 10.0), 8000))
+    # frame header starts right after 4(magic)+4(block hdr)+34(streaminfo);
+    # byte 3 of the frame holds [channel:4][bps:3][reserved:1]
+    frame0 = 42
+    ch_byte = frame0 + 3
+    orig = blob[ch_byte]
+    blob[ch_byte] = (0b1000 << 4) | (orig & 0x0F)  # left/side stereo
+    with pytest.raises(NotImplementedError):
+        decode_flac(bytes(blob))
+
+
+def test_gen_audio_flac_rows_decode_real():
+    """flac fixture rows are REAL bitstreams: the strict no-fake path
+    must decode them (and mp3 rows must still refuse without the fake)."""
+    from jirlbot_spark.functions.flac import is_flac
+    from jirlbot_spark.functions.media import _decode_audio
+    from jirlbot_spark.sources.fixtures import gen_audio
+
+    audio = gen_audio(7, 64)
+    fmts = set(audio["fmt"])
+    assert {"wav", "flac", "mp3"} <= fmts
+    n_flac = 0
+    for _, r in audio.iterrows():
+        if r["fmt"] == "flac":
+            assert is_flac(bytes(r["bytes"]))
+            wave = _decode_audio(r, allow_fake=False)
+            assert len(wave) == r["n_samples"]
+            n_flac += 1
+        elif r["fmt"] == "mp3":
+            with pytest.raises(NotImplementedError):
+                _decode_audio(r, allow_fake=False)
+    assert n_flac > 5

@@ -162,15 +162,18 @@ def golden_image_resize() -> str:
 
 
 def golden_audio_features() -> str:
+    from jirlbot_spark.functions.flac import decode_flac, is_flac
     from jirlbot_spark.functions.media import decode_wav, is_wav
 
     audio = gen_audio(7, 64)
     rows = []
     for r in audio.itertuples():
-        # mirrors media._decode_audio: real RIFF/WAVE parse for wav rows
+        # mirrors media._decode_audio: real RIFF/WAVE + FLAC parses
         # (flattened interleaved), gated fake for codec-less formats
         if is_wav(bytes(r.bytes)):
             wave = decode_wav(bytes(r.bytes))[0].reshape(-1)
+        elif is_flac(bytes(r.bytes)):
+            wave = decode_flac(bytes(r.bytes))[0].reshape(-1)
         else:
             wave = fake_decode_audio(bytes(r.bytes), r.n_samples)
         sr = max(int(r.sample_rate), 1)
