@@ -9,17 +9,20 @@ in-sandbox instead of through the deterministic fake.
 Encoder (subset, always spec-valid):
   - 8/16-bit PCM, mono or multi-channel INDEPENDENT channels,
     fixed 4096-sample blocks (last block short), frame-number coding
-  - per block/channel: best of CONSTANT / FIXED order 0-2 by exact
-    rice-cost, rice partition order 0, per-subframe rice parameter,
-    escape to verbatim-residual when rice would lose
+  - per block/channel: best of CONSTANT / FIXED order 0-2 / LPC order
+    4, 8 (Levinson-Durbin + error-feedback coefficient quantization,
+    12-bit precision) by exact rice-cost; rice partition order 0,
+    per-subframe rice parameter, escape to verbatim-residual when rice
+    would lose
   - STREAMINFO with the spec's MD5 of the interleaved little-endian
     samples; CRC-8 frame headers, CRC-16 frame footers
 
 Decoder (wider than the encoder):
-  - CONSTANT / VERBATIM / FIXED orders 0-4 subframes, RICE and RICE2
-    residual methods, any partition order, escaped partitions,
-    wasted-bits-per-sample, any blocksize/sample-rate/bps header code,
-    both blocking strategies; verifies both CRCs
+  - CONSTANT / VERBATIM / FIXED orders 0-4 / LPC orders 1-32
+    subframes, RICE and RICE2 residual methods, any partition order,
+    escaped partitions, wasted-bits-per-sample, any blocksize/
+    sample-rate/bps header code, both blocking strategies; verifies
+    both CRCs
   - stereo decorrelation modes (left/right/mid-side) raise
     NotImplementedError — the honest gate: this engine's encoder never
     emits them, and decoding wild files with them needs a codec this
@@ -225,6 +228,88 @@ def _rice_decode(br: _BitReader, n: int, k: int) -> np.ndarray:
     return (q << np.uint64(k)) | lo
 
 
+# ---------- LPC ----------
+
+_LPC_ORDERS = (4, 8)
+_LPC_PRECISION = 12
+
+
+def _levinson_durbin(r: np.ndarray, order: int) -> np.ndarray | None:
+    """Autocorrelation -> LPC prediction coefficients (x[n] ~= sum
+    c[j] * x[n-1-j]); None when the signal is degenerate."""
+    a = [0.0] * (order + 1)
+    a[0] = 1.0
+    err = float(r[0])
+    if err <= 0.0:
+        return None
+    for i in range(1, order + 1):
+        acc = float(r[i])
+        for j in range(1, i):
+            acc += a[j] * float(r[i - j])
+        k = -acc / err
+        new = a[:]
+        for j in range(1, i + 1):
+            new[j] = a[j] + k * a[i - j]
+        a = new
+        err *= 1.0 - k * k
+        if err <= 0.0:
+            return None
+    return -np.asarray(a[1 : order + 1])
+
+
+def _quantize_lpc(
+    lpc: np.ndarray, precision: int
+) -> tuple[np.ndarray, int] | None:
+    """(int coeffs, shift) with error-feedback rounding, libFLAC-style."""
+    cmax = float(np.max(np.abs(lpc)))
+    if cmax <= 0.0 or not np.isfinite(cmax):
+        return None
+    shift = precision - 1 - (int(np.floor(np.log2(cmax))) + 1)
+    shift = max(0, min(15, shift))
+    lim = 1 << (precision - 1)
+    q = np.zeros(len(lpc), np.int64)
+    e = 0.0
+    for i, c in enumerate(lpc):
+        v = c * (1 << shift) + e
+        qi = int(np.clip(round(v), -lim, lim - 1))
+        e = v - qi
+        q[i] = qi
+    if not np.any(q):
+        return None
+    return q, shift
+
+
+def _lpc_residual(
+    x: np.ndarray, q: np.ndarray, shift: int
+) -> np.ndarray:
+    """FIR prediction residual (encode side is non-recursive)."""
+    order = len(q)
+    n = len(x)
+    pred = np.zeros(n - order, np.int64)
+    for j in range(order):
+        pred += q[j] * x[order - 1 - j : n - 1 - j]
+    return x[order:] - (pred >> shift)
+
+
+def _lpc_restore(
+    res: np.ndarray, warm: np.ndarray, q: np.ndarray, shift: int
+) -> np.ndarray:
+    """Sequential IIR restore (each sample depends on reconstructed
+    predecessors — inherently serial; order is <=32 so the Python loop
+    is O(order · n) int ops)."""
+    order = len(q)
+    x = warm.astype(np.int64).tolist()
+    coeffs = q.tolist()
+    r = res.tolist()
+    for i in range(len(r)):
+        acc = 0
+        base = len(x) - 1
+        for j in range(order):
+            acc += coeffs[j] * x[base - j]
+        x.append(r[i] + (acc >> shift))
+    return np.asarray(x, np.int64)
+
+
 # ---------- fixed predictors ----------
 
 def _fixed_residual(x: np.ndarray, order: int) -> np.ndarray:
@@ -365,7 +450,7 @@ def _write_subframe(bw: _BitWriter, x: np.ndarray, bits: int) -> None:
         bw.put(0, 1)
         bw.put(int(x[0]) & ((1 << bits) - 1), bits)
         return
-    # best fixed order by exact rice cost (order capped by blocksize)
+    # candidates: fixed orders 0-2 and LPC(4, 8), by exact rice cost
     best = None
     for order in range(0, min(3, bs)):
         res = _fixed_residual(x, order)
@@ -373,8 +458,27 @@ def _write_subframe(bw: _BitWriter, x: np.ndarray, bits: int) -> None:
         k, cost = _best_rice_param(u)
         total = order * bits + cost
         if best is None or total < best[0]:
-            best = (total, order, k, u)
-    total, order, k, u = best
+            best = (total, ("fixed", order, None, None), k, u)
+    xf = x.astype(np.float64)
+    for order in _LPC_ORDERS:
+        if bs <= order * 2:
+            continue
+        autoc = np.array(
+            [float(np.dot(xf[: bs - lag], xf[lag:])) for lag in range(order + 1)]
+        )
+        lpc = _levinson_durbin(autoc, order)
+        if lpc is None:
+            continue
+        ql = _quantize_lpc(lpc, _LPC_PRECISION)
+        if ql is None:
+            continue
+        q, shift = ql
+        u = _zigzag(_lpc_residual(x, q, shift))
+        kk, cost = _best_rice_param(u)
+        total = order * bits + 4 + 5 + order * _LPC_PRECISION + cost
+        if total < best[0]:
+            best = (total, ("lpc", order, q, shift), kk, u)
+    total, (kind, order, q, shift), k, u = best
     if total >= bs * bits:
         bw.put(0, 1)
         bw.put(0b000001, 6)  # VERBATIM
@@ -384,11 +488,20 @@ def _write_subframe(bw: _BitWriter, x: np.ndarray, bits: int) -> None:
             bw.put(v & mask, bits)
         return
     bw.put(0, 1)
-    bw.put(0b001000 | order, 6)  # FIXED
+    if kind == "fixed":
+        bw.put(0b001000 | order, 6)  # FIXED
+    else:
+        bw.put(0b100000 | (order - 1), 6)  # LPC
     bw.put(0, 1)  # no wasted bits
     mask = (1 << bits) - 1
     for v in x[:order].tolist():  # warmup samples
         bw.put(v & mask, bits)
+    if kind == "lpc":
+        bw.put(_LPC_PRECISION - 1, 4)
+        bw.put(shift, 5)
+        pmask = (1 << _LPC_PRECISION) - 1
+        for c in q.tolist():
+            bw.put(c & pmask, _LPC_PRECISION)
     bw.put(0b00, 2)  # residual method: RICE (4-bit params)
     bw.put(0, 4)  # partition order 0
     max_res_bits = int(u.max()).bit_length() if len(u) else 1
@@ -546,11 +659,23 @@ def _read_subframe(br: _BitReader, bs: int, bits: int) -> np.ndarray:
         out = (
             _fixed_restore(res, warm, order) if order else res.astype(np.int64)
         )
-    elif stype >= 32:
-        raise NotImplementedError(
-            "STUB: LPC subframes need a full codec; this engine's "
-            "encoder emits CONSTANT/VERBATIM/FIXED only"
+    elif stype >= 32:  # LPC, order 1-32
+        order = stype - 31
+        warm = np.array(
+            [signed(br.read(eff), eff) for _ in range(order)], np.int64
         )
+        precision = br.read(4) + 1
+        if precision == 16:
+            raise ValueError("invalid LPC precision code 15")
+        shift = signed(br.read(5), 5)
+        if shift < 0:
+            raise ValueError("negative LPC shift")
+        q = np.array(
+            [signed(br.read(precision), precision) for _ in range(order)],
+            np.int64,
+        )
+        res = _read_residual(br, bs, order)
+        out = _lpc_restore(res, warm, q, shift)
     else:
         raise ValueError(f"reserved subframe type {stype}")
     return out << wasted if wasted else out

@@ -11,8 +11,9 @@ Decode backends, by format:
     for REAL with the engine's own pure-numpy parsers
     (encode_wav/decode_wav, functions/flac.py, encode_avi/decode_avi) —
     no codec library involved, same move as functions/jpeg.py for
-    images; the FLAC decoder covers CONSTANT/VERBATIM/FIXED subframes +
-    rice/rice2 residuals and gates LPC/stereo-decorrelation loudly;
+    images; the FLAC decoder covers CONSTANT/VERBATIM/FIXED/LPC
+    subframes + rice/rice2 residuals and gates stereo-decorrelation
+    loudly;
   - remaining compressed formats (mp3, mp4/webm) need libraries NOT in
     this container and sit behind a capability gate: `audio_codec()` /
     `video_codec()` try the real imports (soundfile / av) and return

@@ -324,7 +324,36 @@ def test_flac_crc_rejects_corruption():
         decode_flac(bytes(blob[:60]))  # truncated
 
 
-def test_flac_gates_lpc_and_stereo_decorrelation():
+def test_flac_lpc_roundtrip_and_compression():
+    """Tonal content picks the LPC candidate and round-trips exactly;
+    LPC beats the fixed-only formulation on compression."""
+    from jirlbot_spark.functions import flac as FL
+
+    n, sr = 44100, 44100
+    t = np.arange(n) / sr
+    wave = np.clip(
+        0.6 * np.sin(2 * np.pi * 220 * t)
+        + 0.2 * np.sin(2 * np.pi * 333 * t + 0.4),
+        -1,
+        1,
+    )
+    blob = FL.encode_flac(wave, sr)
+    back, _ = FL.decode_flac(blob)
+    q = np.clip(np.round(wave[:, None] * 32768), -32768, 32767)
+    assert np.array_equal(np.round(back * 32768), q)
+    # fixed-only encode for comparison (disable LPC candidates)
+    orders = FL._LPC_ORDERS
+    FL._LPC_ORDERS = ()
+    try:
+        fixed_blob = FL.encode_flac(wave, sr)
+    finally:
+        FL._LPC_ORDERS = orders
+    back2, _ = FL.decode_flac(fixed_blob)
+    assert np.array_equal(np.round(back2 * 32768), q)
+    assert len(blob) < len(fixed_blob), (len(blob), len(fixed_blob))
+
+
+def test_flac_gates_stereo_decorrelation():
     """Wild-file features our encoder never emits raise the explicit
     STUB error, not garbage output."""
     from jirlbot_spark.functions.flac import decode_flac, encode_flac
