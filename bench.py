@@ -379,7 +379,11 @@ def run_frontier_headline(spark) -> tuple[dict, list[dict]]:
       - stop early only if an attempt ran entirely inside a healthy
         window: both cpu probes >= JIRLBOT_BENCH_HEALTHY_PROBE
         (default 230) and the bandwidth stamp >= JIRLBOT_BENCH_HEALTHY_MEMBW
-        (default 60 GB/s, between the two observed modes),
+        (default 60 GB/s, between the two observed modes) — and never
+        before JIRLBOT_BENCH_FRONTIER_MIN (default 2) attempts ran:
+        endpoint probes cannot see a mid-run stall (observed: healthy
+        259/307-probe endpoints around a 101 s prepare phase that takes
+        5 s clean), but a second attempt exposes it,
       - else repeat up to JIRLBOT_BENCH_FRONTIER_REPEATS (default 3)
         and keep the fastest attempt.
 
@@ -428,7 +432,13 @@ def run_frontier_headline(spark) -> tuple[dict, list[dict]]:
         )
         if best is None or res["urls_per_sec"] > best["urls_per_sec"]:
             best = res
-        if pre >= healthy and post >= healthy and membw >= healthy_bw:
+        min_attempts = int(os.environ.get("JIRLBOT_BENCH_FRONTIER_MIN", "2"))
+        if (
+            len(attempts) >= min_attempts
+            and pre >= healthy
+            and post >= healthy
+            and membw >= healthy_bw
+        ):
             break
     assert best is not None
     return best, attempts

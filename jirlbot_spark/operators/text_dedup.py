@@ -75,17 +75,27 @@ def shingle_hashes(
     set-equivalent to hashing their join: tokens come from a \\s+ split
     so no two distinct k-tuples alias. The token array never reaches a
     shuffle — (id, sh) is projected out inside the same codegen stage
-    before the distinct exchange."""
-    toks = tokens_col(text_col)
-    n_sh = F.size(toks) - F.lit(k - 1)
+    before the distinct exchange.
+
+    Plan-shape load-bearing detail: the token split MUST live in its
+    own select below the explode, with the generator and element_at
+    referencing the `__toks` COLUMN — written as one select over
+    `tokens_col(text)`, the Generate only carries `text` through and
+    Catalyst re-derives `split(trim(text))` in the project ABOVE it,
+    i.e. one full tokenization PER SHINGLE ROW instead of per doc
+    (measured 4.7x: 2.6 s vs 0.56 s for 260k shingles at sf0.1). The
+    two-step form survives CollapseProject because the `__toks` alias
+    is non-cheap and referenced from multiple sites."""
+    step = docs.select(F.col(id_col), tokens_col(text_col).alias("__toks"))
+    n_sh = F.size("__toks") - F.lit(k - 1)
     # sequence(1, n) DESCENDS when n < 1 — guard short/empty docs explicitly
     starts = F.when(n_sh < 1, F.array().cast("array<int>")).otherwise(
         F.sequence(F.lit(1), F.greatest(n_sh, F.lit(1)))
     )
     i = F.col("__i")
     return (
-        docs.select(
-            F.col(id_col), toks.alias("__toks"), F.explode(starts).alias("__i")
+        step.select(
+            F.col(id_col), "__toks", F.explode(starts).alias("__i")
         )
         .select(
             F.col(id_col),

@@ -187,6 +187,41 @@ def main() -> None:
         )
     )
 
+    # --- shingle plan shape: tokenization must run ONCE PER DOC, in a
+    # project BELOW the Generate — if CollapseProject ever pulls the
+    # split above the explode it re-tokenizes per shingle row (4.7x,
+    # see shingle_hashes docstring)
+    from jirlbot_spark.operators.text_dedup import shingle_hashes
+
+    docs_df = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    shingle_df = shingle_hashes(docs_df)
+    shingle_df.collect()
+    # simple toString tree (expressions inline per operator line) — the
+    # formatted mode splits expressions into a details section, which
+    # breaks the above/below-Generate position test
+    shingle_plan = shingle_df._jdf.queryExecution().executedPlan().toString()
+    sections.append(
+        (
+            "Shingle hashing (shingle_hashes)",
+            "split(trim(text)) must appear below the Generate (computed "
+            "per doc); everything above the explode references the "
+            "__toks column only.",
+            shingle_plan,
+        )
+    )
+
+    def _split_below_generate(plan: str) -> bool:
+        lines = plan.splitlines()
+        gen_idx = [i for i, ln in enumerate(lines) if "Generate" in ln]
+        if not gen_idx:
+            return False
+        g = gen_idx[0]
+        above = "\n".join(lines[:g + 1])  # incl. the Generate line itself
+        below = "\n".join(lines[g + 1 :])
+        return "split(" not in above and "split(" in below
+
     checks = {
         "dedup_embed executes with NO CartesianProduct/NestedLoop":
         "CartesianProduct" not in embed_plan
@@ -223,6 +258,8 @@ def main() -> None:
         "BEAST budget join broadcasts": "BroadcastHashJoin" in sections[4][2]
         or "BroadcastExchange" in sections[4][2],
         "salted window before global window": "__salt" in sections[4][2],
+        "shingle tokenization below the Generate (once per doc)":
+        _split_below_generate(shingle_plan),
     }
 
     out = ["# PLANS — physical-plan audit (sf0.01, local[4])\n"]
