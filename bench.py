@@ -928,8 +928,17 @@ def loop_main() -> None:
     )
     n_sites = int(os.environ.get("JIRLBOT_LOOP_SITES", "20000"))
     n_batches = int(os.environ.get("JIRLBOT_LOOP_BATCHES", "5"))
+    # window-health stamps (same contract as the frontier headline):
+    # a 10-minute loop run spans multiple host windows, so the artifact
+    # must say what the box looked like around it
+    pre = cpu_probe(1.0)
+    bw_pre = membw_probe(8, 1.5)
     res = run_loop_bench(spark, n_sites=n_sites, n_batches=n_batches)
     res["metric"] = "loop_pages_per_sec"
+    res["cpu_probe_pre"] = round(pre)
+    res["cpu_probe_post"] = round(cpu_probe(1.0))
+    res["membw_gbs_pre"] = round(bw_pre, 1)
+    res["membw_gbs_post"] = round(membw_probe(8, 1.5), 1)
     print(json.dumps(res))
     spark.stop()
 
