@@ -334,7 +334,9 @@ def frontier_only_main() -> None:
         spark.stop()
 
 
-def run_query_timings(spark) -> tuple[dict[str, float], dict[str, dict]]:
+def run_query_timings(
+    spark, deadline: float | None = None
+) -> tuple[dict[str, float], dict[str, dict]]:
     """Per-key timings, noise-armored (r2 verdict #9): each key runs
     JIRLBOT_BENCH_QUERY_REPEATS times (default 3) and reports the MIN —
     on a host with documented ~4x CPU swings a single sample can
@@ -349,9 +351,16 @@ def run_query_timings(spark) -> tuple[dict[str, float], dict[str, dict]]:
     detail: dict[str, dict] = {}
     for key in BENCH_QUERY_KEYS:
         fn = qs[key]
+        # past the deadline, one run per remaining key (never zero —
+        # a missing key would look like a dropped operator)
+        n_runs = (
+            1
+            if deadline is not None and time.time() > deadline
+            else repeats
+        )
         runs = []
-        for r in range(repeats):
-            probe = cpu_probe(0.5) if repeats > 1 else 0.0
+        for r in range(n_runs):
+            probe = cpu_probe(0.5) if n_runs > 1 else 0.0
             t0 = time.time()
             fn(spark, SF_DIR).count()
             runs.append(
@@ -362,7 +371,9 @@ def run_query_timings(spark) -> tuple[dict[str, float], dict[str, dict]]:
     return out, detail
 
 
-def run_frontier_headline(spark) -> tuple[dict, list[dict]]:
+def run_frontier_headline(
+    spark, deadline: float | None = None
+) -> tuple[dict, list[dict]]:
     """Best-of-N frontier runs with a probe gate (r2 verdict #9 applied to
     the HEADLINE, not just the per-query table): this host's CPU speed
     swings ~4x across minutes-apart windows, and a single-sample headline
@@ -402,6 +413,11 @@ def run_frontier_headline(spark) -> tuple[dict, list[dict]]:
     attempts: list[dict] = []
     best: dict | None = None
     for _ in range(repeats):
+        # a degraded window can stretch one 8M attempt to minutes; the
+        # caller's deadline guarantees a valid JSON line lands before
+        # any outer (driver-side) timeout, best-effort armor beyond it
+        if best is not None and deadline is not None and time.time() > deadline:
+            break
         pre = cpu_probe(1.0)
         waited = 0.0
         while pre < floor and waited < wait_budget:
@@ -449,9 +465,18 @@ def driver_main() -> None:
 
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]")
     try:
+        # hard wall-clock budget for the whole driver-mode run: the
+        # retry/wait armor must never push past an outer harness
+        # timeout and lose the JSON line entirely
+        t0 = time.time()
+        budget = float(os.environ.get("JIRLBOT_BENCH_DEADLINE_S", "480"))
         warmup_pipeline(spark)
-        frontier, attempts = run_frontier_headline(spark)
-        queries, query_detail = run_query_timings(spark)
+        frontier, attempts = run_frontier_headline(
+            spark, deadline=t0 + budget * 0.6
+        )
+        queries, query_detail = run_query_timings(
+            spark, deadline=t0 + budget
+        )
         sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
         try:
             sf_val = float(sf)
