@@ -7,8 +7,11 @@ RFC 9639, so `audio_features` decodes "flac" payload rows for real
 in-sandbox instead of through the deterministic fake.
 
 Encoder (subset, always spec-valid):
-  - 8/16-bit PCM, mono or multi-channel INDEPENDENT channels,
-    fixed 4096-sample blocks (last block short), frame-number coding
+  - 8/16-bit PCM, mono or multi-channel; for STEREO input each frame
+    picks the cheapest of independent / left-side / right-side /
+    mid-side by exact bit cost (the side channel coded at bps+1 per
+    spec); fixed 4096-sample blocks (last block short), frame-number
+    coding
   - per block/channel: best of CONSTANT / FIXED order 0-2 / LPC order
     4, 8 (Levinson-Durbin + error-feedback coefficient quantization,
     12-bit precision) by exact rice-cost; rice partition order 0,
@@ -23,10 +26,11 @@ Decoder (wider than the encoder):
     escaped partitions, wasted-bits-per-sample, any blocksize/
     sample-rate/bps header code, both blocking strategies; verifies
     both CRCs
-  - stereo decorrelation modes (left/right/mid-side) raise
-    NotImplementedError — the honest gate: this engine's encoder never
-    emits them, and decoding wild files with them needs a codec this
-    sandbox doesn't ship
+  - stereo decorrelation (left-side / right-side / mid-side channel
+    assignments) reconstructed exactly; the decoded output is verified
+    against the STREAMINFO MD5 whenever the stream carries one and the
+    bit depth is byte-aligned — an end-to-end integrity check wild
+    files always satisfy
 
 Rice coding is bit-serial by nature; the hot loops are numpy-assisted
 (vectorized zigzag/cost/bit-scatter on encode; a precomputed
@@ -372,10 +376,20 @@ def _coded_number_decode(br: _BitReader) -> int:
 # ---------- encode ----------
 
 def encode_flac(
-    wave: np.ndarray, sample_rate: int, bits: int = 16
+    wave: np.ndarray,
+    sample_rate: int,
+    bits: int = 16,
+    stereo_mode: str = "auto",
 ) -> bytes:
     """Float samples in [-1, 1] ((n,) mono or (n, ch)) -> FLAC blob.
-    Quantization matches encode_wav: round(v * 2^(bits-1)) clipped."""
+    Quantization matches encode_wav: round(v * 2^(bits-1)) clipped.
+
+    For 2-channel input, `stereo_mode` picks the per-frame channel
+    assignment: "auto" (default) takes the cheapest of the four by
+    exact coded bit count; "independent" / "left_side" / "right_side" /
+    "mid_side" force one (tests use this to pin each decode path)."""
+    if stereo_mode != "auto" and stereo_mode not in _STEREO_FIELD:
+        raise ValueError(f"unknown stereo_mode {stereo_mode!r}")
     if bits not in (8, 16):
         raise ValueError(f"unsupported FLAC encode bit depth {bits}")
     arr = np.asarray(wave, np.float64)
@@ -417,13 +431,40 @@ def encode_flac(
         bs = len(block) if n else 0
         if bs == 0:
             break
+        # subframes FIRST (exact bit costs decide the channel field)
+        if n_ch == 2:
+            left, right = block[:, 0], block[:, 1]
+            mid = (left + right) >> 1
+            side = left - right
+            by_mode = {
+                "independent": (left, bits, right, bits),
+                "left_side": (left, bits, side, bits + 1),
+                "right_side": (side, bits + 1, right, bits),
+                "mid_side": (mid, bits, side, bits + 1),
+            }
+            if stereo_mode == "auto":
+                coded = {
+                    m: (_subframe_bits(a, ab), _subframe_bits(b, bb))
+                    for m, (a, ab, b, bb) in by_mode.items()
+                }
+                mode = min(coded, key=lambda m: len(coded[m][0]) + len(coded[m][1]))
+            else:
+                mode = stereo_mode
+                a, ab, b, bb = by_mode[mode]
+                coded = {mode: (_subframe_bits(a, ab), _subframe_bits(b, bb))}
+            ch_field = _STEREO_FIELD[mode]
+            subs = list(coded[mode])
+        else:
+            ch_field = n_ch - 1
+            subs = [_subframe_bits(block[:, ch], bits) for ch in range(n_ch)]
+
         bw = _BitWriter()
         bw.put(_SYNC, 14)
         bw.put(0, 1)  # reserved
         bw.put(0, 1)  # fixed blocksize strategy
         bw.put(0b0111, 4)  # blocksize: 16-bit value-1 at header end
         bw.put(0b0000, 4)  # sample rate: from STREAMINFO
-        bw.put(n_ch - 1, 4)  # independent channels
+        bw.put(ch_field, 4)
         bw.put({8: 0b001, 16: 0b100}[bits], 3)
         bw.put(0, 1)  # reserved
         _coded_number_encode(bw, f_idx)
@@ -433,13 +474,32 @@ def encode_flac(
         bw.put_bits(np.unpackbits(np.frombuffer(hdr, np.uint8)))
         bw.put(crc8(hdr), 8)
 
-        for ch in range(n_ch):
-            x = block[:, ch]
-            _write_subframe(bw, x, bits)
+        for sb in subs:
+            bw.put_bits(sb)
         bw.align_byte()
         frame = bw.to_bytes()
         out += frame + struct.pack(">H", crc16(frame))
     return bytes(out)
+
+
+# frame-header channel-assignment field per stereo mode (RFC 9639 §9.1.3)
+_STEREO_FIELD = {
+    "independent": 1,
+    "left_side": 0b1000,
+    "right_side": 0b1001,
+    "mid_side": 0b1010,
+}
+
+
+def _subframe_bits(x: np.ndarray, bits: int) -> np.ndarray:
+    """Code one subframe and return its bit array (uint8 of BITS) —
+    lets the frame encoder price channel assignments exactly before
+    committing a header."""
+    bw = _BitWriter()
+    _write_subframe(bw, x, bits)
+    return (
+        np.concatenate(bw.chunks) if bw.chunks else np.zeros(0, np.uint8)
+    )
 
 
 def _write_subframe(bw: _BitWriter, x: np.ndarray, bits: int) -> None:
@@ -571,6 +631,25 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
     )
     if total:
         full = full[:total]
+    md5_stored = bytes(streaminfo[18:34])
+    if md5_stored != b"\x00" * 16 and bits % 8 == 0:
+        inter = full.reshape(-1)
+        if bits == 8:
+            raw = inter.astype(np.int8).tobytes()
+        elif bits == 16:
+            raw = inter.astype("<i2").tobytes()
+        elif bits == 24:
+            raw = (
+                (inter & 0xFFFFFF)
+                .astype("<u4")
+                .view(np.uint8)
+                .reshape(-1, 4)[:, :3]
+                .tobytes()
+            )
+        else:
+            raw = inter.astype("<i4").tobytes()
+        if hashlib.md5(raw).digest() != md5_stored:
+            raise ValueError("FLAC STREAMINFO MD5 mismatch")
     scale = float(1 << (bits - 1))
     return (full / scale).astype(np.float32), sample_rate
 
@@ -607,13 +686,9 @@ def _read_frame(
         br.read(16)
     bps_map = {0: bits, 1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
     f_bits = bps_map[bps_code]
-    if ch_code >= 8:
-        raise NotImplementedError(
-            "STUB: stereo-decorrelated FLAC (left/right/mid-side) needs "
-            "a full codec; this engine's encoder emits independent "
-            "channels only"
-        )
-    f_nch = ch_code + 1
+    if ch_code > 0b1010:
+        raise ValueError(f"reserved channel assignment {ch_code}")
+    f_nch = 2 if ch_code >= 8 else ch_code + 1
     if f_nch != n_ch:
         raise ValueError("frame/STREAMINFO channel mismatch")
     # br.pos counts bits from byte 0 of `data` (pos_bytes seeds it), so
@@ -622,7 +697,19 @@ def _read_frame(
     if br.read(8) != crc8(hdr_bytes):
         raise ValueError("FLAC frame header CRC mismatch")
 
-    block = [_read_subframe(br, bs, f_bits) for _ in range(f_nch)]
+    if ch_code < 8:
+        block = [_read_subframe(br, bs, f_bits) for _ in range(f_nch)]
+    else:
+        # stereo decorrelation: the SIDE subframe is coded at bps+1
+        b0 = _read_subframe(br, bs, f_bits + (1 if ch_code == 0b1001 else 0))
+        b1 = _read_subframe(br, bs, f_bits + (1 if ch_code != 0b1001 else 0))
+        if ch_code == 0b1000:  # left/side: side = L - R
+            block = [b0, b0 - b1]
+        elif ch_code == 0b1001:  # right/side: side = L - R
+            block = [b1 + b0, b1]
+        else:  # mid/side: mid = (L + R) >> 1 (floor), side = L - R
+            mid2 = (b0 << 1) | (b1 & 1)  # (side & 1) carries (L+R)'s parity
+            block = [(mid2 + b1) >> 1, (mid2 - b1) >> 1]
     br.align_byte()
     end = br.pos // 8
     frame_bytes = data[pos:end]

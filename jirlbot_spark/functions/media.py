@@ -12,8 +12,8 @@ Decode backends, by format:
     (encode_wav/decode_wav, functions/flac.py, encode_avi/decode_avi) —
     no codec library involved, same move as functions/jpeg.py for
     images; the FLAC decoder covers CONSTANT/VERBATIM/FIXED/LPC
-    subframes + rice/rice2 residuals and gates stereo-decorrelation
-    loudly;
+    subframes, rice/rice2 residuals, and all three stereo-decorrelation
+    channel assignments, with STREAMINFO-MD5 output verification;
   - remaining compressed formats (mp3, mp4/webm) need libraries NOT in
     this container and sit behind a capability gate: `audio_codec()` /
     `video_codec()` try the real imports (soundfile / av) and return
@@ -396,27 +396,35 @@ def fake_decode_frame(
     return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
 
 
+def _mono(wave: np.ndarray) -> np.ndarray:
+    """(frames, ch) -> (frames,) by channel mean — the pinned contract:
+    features describe CLIP TIME, so a stereo clip of n frames yields n
+    samples (duration n/sr), not 2n interleaved ones."""
+    if wave.ndim == 2:
+        return wave.mean(axis=1, dtype=np.float64).astype(np.float32)
+    return wave.reshape(-1)
+
+
 def _decode_audio(row, allow_fake: bool) -> np.ndarray:
-    """Samples for one payload row, flattened interleaved (the pinned
-    contract: (frames, ch).reshape(-1), matching the soundfile path).
-    RIFF/WAVE payloads decode for REAL via the engine's own parser; other
-    formats use soundfile when shipped, else the gated deterministic
-    fake."""
+    """Mono samples for one payload row ((frames,), multi-channel
+    downmixed by `_mono`). RIFF/WAVE and FLAC payloads decode for REAL
+    via the engine's own parsers; other formats use soundfile when
+    shipped, else the gated deterministic fake."""
     data = bytes(row["bytes"])
     if is_wav(data):
         wave, _sr = decode_wav(data)
-        return wave.reshape(-1)
+        return _mono(wave)
     from jirlbot_spark.functions.flac import decode_flac, is_flac
 
     if is_flac(data):
         wave, _sr = decode_flac(data)
-        return wave.reshape(-1)
+        return _mono(wave)
     codec = audio_codec()
     if codec is not None:  # pragma: no cover - cluster-only path
         import io
 
         wave, _sr = codec.read(io.BytesIO(data))
-        return np.asarray(wave, dtype=np.float32).reshape(-1)
+        return _mono(np.asarray(wave, dtype=np.float32))
     if not allow_fake:
         raise NotImplementedError(
             "STUB: no codec for non-wav audio in this environment "

@@ -398,9 +398,14 @@ def gen_audio(seed: int, n: int) -> pd.DataFrame:
                 n_samples
             )
             if fmt == "flac":
-                blob = encode_flac(
-                    np.clip(wave, -1, 1), sr, bits=16 if idx % 2 else 8
-                )
+                w = np.clip(wave, -1, 1)
+                if idx % 3 == 0:
+                    # stereo rows: a correlated right channel (derived
+                    # from the same wave — no extra rng draws, so the
+                    # other rows' blobs are untouched) exercises the
+                    # codec's per-frame stereo-decorrelation choice
+                    w = np.stack([w, np.clip(np.roll(w, 7) * 0.8, -1, 1)], 1)
+                blob = encode_flac(w, sr, bits=16 if idx % 2 else 8)
             else:
                 bits, f32 = depths[idx % len(depths)]
                 blob = encode_wav(

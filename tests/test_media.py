@@ -353,20 +353,69 @@ def test_flac_lpc_roundtrip_and_compression():
     assert len(blob) < len(fixed_blob), (len(blob), len(fixed_blob))
 
 
-def test_flac_gates_stereo_decorrelation():
-    """Wild-file features our encoder never emits raise the explicit
-    STUB error, not garbage output."""
+def test_flac_stereo_decorrelation_roundtrip():
+    """All four channel assignments (independent, left/side, right/side,
+    mid/side) round-trip sample-exact — each mode forced so every decode
+    path is pinned, plus auto, which must never lose to any single mode."""
+    from jirlbot_spark.functions.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(23)
+    sr = 16000
+    t = np.arange(9001) / sr  # spans a blocksize boundary
+    left = 0.6 * np.sin(2 * np.pi * 440 * t) + 0.05 * rng.standard_normal(len(t))
+    right = 0.55 * np.sin(2 * np.pi * 440 * t + 0.2) + 0.05 * rng.standard_normal(
+        len(t)
+    )
+    st = np.clip(np.stack([left, right], axis=1), -1, 1)
+    modes = ("independent", "left_side", "right_side", "mid_side", "auto")
+    for bits in (8, 16):
+        full = 1 << (bits - 1)
+        q = np.clip(np.round(st * full), -full, full - 1)
+        sizes = {}
+        for mode in modes:
+            blob = encode_flac(st, sr, bits=bits, stereo_mode=mode)
+            back, sr2 = decode_flac(blob)
+            assert sr2 == sr
+            assert np.array_equal(np.round(back * full), q), (bits, mode)
+            sizes[mode] = len(blob)
+        assert sizes["auto"] <= min(sizes.values())
+
+
+def test_flac_stereo_decorrelation_compresses_correlated_channels():
+    """Highly correlated stereo content must choose a decorrelated mode
+    and beat the independent-channels coding by a real margin."""
+    from jirlbot_spark.functions.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(7)
+    sr = 16000
+    t = np.arange(8192) / sr
+    base = 0.6 * np.sin(2 * np.pi * 220 * t) + 0.1 * rng.standard_normal(len(t))
+    st = np.clip(
+        np.stack([base, base * 0.98 + 0.002 * np.sin(2 * np.pi * 5 * t)], 1),
+        -1,
+        1,
+    )
+    indep = encode_flac(st, sr, stereo_mode="independent")
+    auto = encode_flac(st, sr)
+    assert len(auto) < 0.9 * len(indep)
+    full = 1 << 15
+    q = np.clip(np.round(st * full), -full, full - 1)
+    assert np.array_equal(np.round(decode_flac(auto)[0] * full), q)
+
+
+def test_flac_md5_verifies_decoded_output():
+    """decode_flac checks the STREAMINFO MD5 of its own output — a
+    stream whose MD5 disagrees with the (CRC-valid) frames is rejected."""
     from jirlbot_spark.functions.flac import decode_flac, encode_flac
 
     blob = bytearray(encode_flac(np.sin(np.arange(3000) / 10.0), 8000))
-    # frame header starts right after 4(magic)+4(block hdr)+34(streaminfo);
-    # byte 3 of the frame holds [channel:4][bps:3][reserved:1]
-    frame0 = 42
-    ch_byte = frame0 + 3
-    orig = blob[ch_byte]
-    blob[ch_byte] = (0b1000 << 4) | (orig & 0x0F)  # left/side stereo
-    with pytest.raises(NotImplementedError):
+    # STREAMINFO MD5 lives at bytes 8+18 .. 8+34 (magic+block hdr = 8)
+    blob[8 + 18] ^= 0xFF
+    with pytest.raises(ValueError, match="MD5"):
         decode_flac(bytes(blob))
+    # all-zero MD5 means "unset" per spec: must decode fine
+    blob[8 + 18 : 8 + 34] = b"\x00" * 16
+    decode_flac(bytes(blob))
 
 
 def test_gen_audio_flac_rows_decode_real():

@@ -168,14 +168,17 @@ def golden_audio_features() -> str:
     audio = gen_audio(7, 64)
     rows = []
     for r in audio.itertuples():
-        # mirrors media._decode_audio: real RIFF/WAVE + FLAC parses
-        # (flattened interleaved), gated fake for codec-less formats
+        # mirrors media._decode_audio: real RIFF/WAVE + FLAC parses,
+        # multi-channel downmixed by channel mean (one sample per
+        # frame), gated fake for codec-less formats
         if is_wav(bytes(r.bytes)):
-            wave = decode_wav(bytes(r.bytes))[0].reshape(-1)
+            wave = decode_wav(bytes(r.bytes))[0]
         elif is_flac(bytes(r.bytes)):
-            wave = decode_flac(bytes(r.bytes))[0].reshape(-1)
+            wave = decode_flac(bytes(r.bytes))[0]
         else:
             wave = fake_decode_audio(bytes(r.bytes), r.n_samples)
+        if wave.ndim == 2:
+            wave = wave.mean(axis=1, dtype=np.float64).astype(np.float32)
         sr = max(int(r.sample_rate), 1)
         rows.append(
             (
