@@ -91,18 +91,51 @@ def decode_png(data: bytes) -> np.ndarray:
     arr = np.frombuffer(raw, np.uint8).reshape(h, stride)
     filters, rows = arr[:, 0], arr[:, 1:].copy()
     out = np.zeros_like(rows)
+    prev = np.zeros(w * 3, np.int32)
     for y in range(h):
         f = filters[y]
+        cur = rows[y].astype(np.int32)
         if f == 0:
-            out[y] = rows[y]
+            line = cur
         elif f == 1:  # Sub
-            line = rows[y].astype(np.int32).reshape(w, 3)
-            acc = np.cumsum(line, axis=0) % 256  # filter 1 = prefix sum mod 256
-            out[y] = acc.astype(np.uint8).reshape(-1)
+            line = np.cumsum(cur.reshape(w, 3), axis=0).reshape(-1) % 256
         elif f == 2:  # Up
-            out[y] = (rows[y].astype(np.int32) + out[y - 1]) % 256
+            line = (cur + prev) % 256
+        elif f == 3:  # Average — the left term forces a sequential pass,
+            # but per-PIXEL (3 channels at once), not per-byte
+            line = np.empty(w * 3, np.int32)
+            c3 = cur.reshape(w, 3)
+            p3 = prev.reshape(w, 3)
+            l3 = line.reshape(w, 3)
+            left = np.zeros(3, np.int32)
+            for x in range(w):
+                left = (c3[x] + ((left + p3[x]) >> 1)) & 255
+                l3[x] = left
+        elif f == 4:  # Paeth
+            line = np.empty(w * 3, np.int32)
+            c3 = cur.reshape(w, 3)
+            p3 = prev.reshape(w, 3)
+            l3 = line.reshape(w, 3)
+            left = np.zeros(3, np.int32)
+            upleft = np.zeros(3, np.int32)
+            for x in range(w):
+                up = p3[x]
+                p = left + up - upleft
+                pa, pb, pc = (
+                    np.abs(p - left),
+                    np.abs(p - up),
+                    np.abs(p - upleft),
+                )
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+                )
+                left = (c3[x] + pred) & 255
+                l3[x] = left
+                upleft = up
         else:
-            raise NotImplementedError(f"PNG filter {f} unsupported")
+            raise ValueError(f"invalid PNG filter {f}")
+        out[y] = line.astype(np.uint8)
+        prev = line
     return out.reshape(h, w, 3)
 
 

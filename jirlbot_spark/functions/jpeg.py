@@ -6,13 +6,15 @@ ships no image libraries. Everything here is from the public JPEG spec
 (ITU-T T.81): baseline sequential DCT, 8-bit, YCbCr 4:4:4, optimized
 (per-image canonical) Huffman tables written into DHT — so the files are
 ordinary JPEGs any decoder can read, and the decoder below reads any
-baseline 4:4:4 / grayscale JPEG without restart markers.
+baseline 4:4:4 / grayscale JPEG, with or without restart markers.
 
 Scope notes (honest gates, not silent wrongness):
   - encoder: 3-component 4:4:4 only (no chroma subsampling — simplest
-    correct variant; subsampling is a rate optimization, not a semantic)
-  - decoder: SOF0, 1 or 3 components, all sampling factors 1, no DRI;
-    anything else raises NotImplementedError
+    correct variant; subsampling is a rate optimization, not a semantic);
+    optional DRI/RSTn emission (`restart_interval=`)
+  - decoder: SOF0, 1 or 3 components, all sampling factors 1; restart
+    intervals and 8/16-bit quant tables handled; anything else raises
+    NotImplementedError
 
 Determinism: encode(pixels, quality) is a pure function (numpy round,
 canonical Huffman with stable tie-breaks), so fixture goldens replay.
@@ -253,11 +255,14 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
-def _destuff(data: bytes, pos: int) -> bytes:
-    """Entropy-coded segment starting at `pos` with 0xFF00 stuffing undone,
-    truncated at the first real marker (EOI etc.), padded with 0xFF bytes
-    so reads past the end see all-1 bits — the same semantics _BitReader
-    implements byte-at-a-time (feed 1-bits at a marker, never advance)."""
+def _destuff_segments(data: bytes, pos: int) -> list[bytes]:
+    """Entropy-coded data starting at `pos`, split at RST0-7 markers,
+    each segment with 0xFF00 stuffing undone and padded with 0xFF bytes
+    so reads past its end see all-1 bits — the same semantics _BitReader
+    implements byte-at-a-time (feed 1-bits at a marker, never advance).
+    A DRI-free scan yields exactly one segment (truncated at the first
+    real marker: EOI etc.)."""
+    segs: list[bytes] = []
     out = bytearray()
     n = len(data)
     start = pos
@@ -266,17 +271,23 @@ def _destuff(data: bytes, pos: int) -> bytes:
         if b == 0xFF:
             nxt = data[pos + 1] if pos + 1 < n else 0xD9
             if nxt == 0x00:
-                out += data[start:pos + 1]  # keep FF, drop stuffed 00
+                out += data[start : pos + 1]  # keep FF, drop stuffed 00
                 pos += 2
                 start = pos
                 continue
-            out += data[start:pos]  # marker: stop before the FF
-            break
+            out += data[start:pos]
+            if 0xD0 <= nxt <= 0xD7:  # restart marker: next segment
+                segs.append(bytes(out) + b"\xff" * 32)
+                out = bytearray()
+                pos += 2
+                start = pos
+                continue
+            break  # real marker: stop before the FF
         pos += 1
     else:
         out += data[start:n]
-    out += b"\xff" * 32
-    return bytes(out)
+    segs.append(bytes(out) + b"\xff" * 32)
+    return segs
 
 
 # bit masks for the inlined entropy-decode accumulator (index = width)
@@ -331,14 +342,18 @@ def _encode_channel_coefs(chan: np.ndarray, q: np.ndarray) -> np.ndarray:
     return np.round(coefs / q[None, :, :]).astype(np.int32)
 
 
-def _symbol_stream(coefs: np.ndarray):
+def _symbol_stream(coefs: np.ndarray, restart: int = 0):
     """(dc_symbols, ac_symbols, emit_block) for one component's blocks:
     the symbol lists feed the Huffman-table optimizer; emit_block(writer,
     bi, dc_codes, ac_codes) writes block bi's entropy-coded bits. DC is
-    differentially coded in block order (per T.81 F.1.1.5)."""
+    differentially coded in block order (per T.81 F.1.1.5); a nonzero
+    `restart` interval resets the predictor every `restart` MCUs."""
     zz = coefs.reshape(len(coefs), 64)[:, _ZZ_FLAT]
     dc = zz[:, 0].astype(np.int64)
-    diffs = np.diff(np.concatenate([[0], dc]))
+    prev = np.concatenate([[0], dc[:-1]])
+    if restart:
+        prev[::restart] = 0
+    diffs = dc - prev
     dc_syms = []
     ac_syms = []
     per_block_ac = []
@@ -382,8 +397,13 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">HH", marker, len(payload) + 2) + payload
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
-    """Baseline 4:4:4 JPEG of an (h, w, 3) uint8 RGB array."""
+def encode_jpeg(
+    pixels: np.ndarray, quality: int = 90, restart_interval: int = 0
+) -> bytes:
+    """Baseline 4:4:4 JPEG of an (h, w, 3) uint8 RGB array. A nonzero
+    `restart_interval` emits a DRI segment and RST0-7 markers every that
+    many MCUs (wild encoders do this for error resilience; ours mainly
+    round-trip-tests the decoder's restart path)."""
     h, w, _ = pixels.shape
     qy, qc = _quant_tables(quality)
     ycc = _rgb_to_ycbcr(pixels)
@@ -392,7 +412,7 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
         _encode_channel_coefs(ycc[..., 1], qc),
         _encode_channel_coefs(ycc[..., 2], qc),
     ]
-    streams = [_symbol_stream(c) for c in comps]
+    streams = [_symbol_stream(c, restart_interval) for c in comps]
     # optimized Huffman: luma tables from comp 0, chroma from comps 1+2
     def table(freq_lists):
         freqs: dict[int, int] = {}
@@ -430,20 +450,28 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
             + bytes(bits[1:17])
             + bytes(huffval),
         )
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     sos = bytes([3]) + bytes(
         b for cid, tds in ((1, 0x00), (2, 0x11), (3, 0x11)) for b in (cid, tds)
     ) + bytes([0, 63, 0])
     out += _seg(0xFFDA, sos)
 
-    # interleaved scan: MCU = one 8x8 block of each component (4:4:4)
-    wtr = _BitWriter()
+    # interleaved scan: MCU = one 8x8 block of each component (4:4:4);
+    # with DRI, each restart segment byte-aligns (1-padded) and an RSTn
+    # marker (n cycling 0-7) separates segments
     n_blocks = len(comps[0])
     tables = ((dc_y[2], ac_y[2]), (dc_c[2], ac_c[2]), (dc_c[2], ac_c[2]))
-    for bi in range(n_blocks):
-        for (_, _, emit_block), (dcc, acc) in zip(streams, tables):
-            emit_block(wtr, bi, dcc, acc)
-    wtr.flush()
-    out += bytes(wtr.buf)
+    seg_len = restart_interval or n_blocks
+    for s, start in enumerate(range(0, n_blocks, seg_len)):
+        wtr = _BitWriter()
+        for bi in range(start, min(start + seg_len, n_blocks)):
+            for (_, _, emit_block), (dcc, acc) in zip(streams, tables):
+                emit_block(wtr, bi, dcc, acc)
+        wtr.flush()
+        out += bytes(wtr.buf)
+        if restart_interval and start + seg_len < n_blocks:
+            out += bytes([0xFF, 0xD0 + (s % 8)])
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -461,6 +489,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     comps: list[dict] = []
     h = w = 0
     scan_comps: list[dict] = []
+    restart_interval = 0
     while pos < len(data):
         assert data[pos] == 0xFF, f"bad marker sync at {pos}"
         marker = data[pos + 1]
@@ -475,13 +504,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             p = 0
             while p < len(body):
                 pq, tq = body[p] >> 4, body[p] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
-                vals = np.frombuffer(body[p + 1 : p + 65], np.uint8)
+                if pq:  # 16-bit precision table
+                    vals = np.frombuffer(body[p + 1 : p + 129], ">u2")
+                    p += 129
+                else:
+                    vals = np.frombuffer(body[p + 1 : p + 65], np.uint8)
+                    p += 65
                 tbl = np.zeros(64, np.int32)
                 tbl[_ZZ_FLAT] = vals
                 qt[tq] = tbl.reshape(8, 8)
-                p += 65
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(body):
@@ -515,8 +546,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("non-baseline JPEG (not SOF0)")
-        elif marker == 0xDD:
-            raise NotImplementedError("restart intervals")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS
             ns = body[0]
             for si in range(ns):
@@ -551,82 +582,106 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     comp_luts = [
         (*luts[(0, c["td"])], *luts[(1, c["ta"])]) for c in scan_comps
     ]
-    buf = _destuff(data, pos)
-    nbuf = len(buf)
-    bpos = acc = nbits = 0
+    segments = _destuff_segments(data, pos)
+    if restart_interval == 0 and len(segments) > 1:
+        raise ValueError("RST marker in scan without a DRI segment")
     masks = _BIT_MASKS
-    for bi in range(n_blocks):
-        for ci in range(nsc):
-            dlut, dbits, alut, abits = comp_luts[ci]
-            # refill to >=32 bits: enough for one code (<=16) + one
-            # amplitude (<=11) without an intermediate check
-            if nbits < 32:
-                if bpos + 4 > nbuf:
-                    buf += b"\xff" * 4096  # exhausted: feed 1-bits
-                    nbuf = len(buf)
-                acc = (acc << 32) | int.from_bytes(
-                    buf[bpos : bpos + 4], "big"
-                )
-                bpos += 4
-                nbits += 32
-            packed = dlut[(acc >> (nbits - dbits)) & masks[dbits]]
-            if packed == 0:
-                raise ValueError("invalid Huffman code")
-            size = packed & 0xFF
-            nbits -= packed >> 8
-            if size:
-                nbits -= size
-                v = (acc >> nbits) & masks[size]
-                dc_diffs[ci].append(
-                    v if v >= (1 << (size - 1)) else v - (1 << size) + 1
-                )
-            else:
-                dc_diffs[ci].append(0)
-            acc &= masks[nbits]
-            k = 1
-            bis, ks, vs = ac_bi[ci], ac_k[ci], ac_v[ci]
-            while k < 64:
+    seg_starts: list[int] = []
+    seg_len = restart_interval or n_blocks
+    next_bi = 0
+    for buf in segments:
+        if next_bi >= n_blocks:
+            break  # trailing bytes after the last full segment
+        seg_starts.append(next_bi)
+        stop = min(next_bi + seg_len, n_blocks)
+        nbuf = len(buf)
+        bpos = acc = nbits = 0
+        for bi in range(next_bi, stop):
+            for ci in range(nsc):
+                dlut, dbits, alut, abits = comp_luts[ci]
+                # refill to >=32 bits: enough for one code (<=16) + one
+                # amplitude (<=11) without an intermediate check
                 if nbits < 32:
                     if bpos + 4 > nbuf:
-                        buf += b"\xff" * 4096
+                        buf += b"\xff" * 4096  # exhausted: feed 1-bits
                         nbuf = len(buf)
                     acc = (acc << 32) | int.from_bytes(
                         buf[bpos : bpos + 4], "big"
                     )
                     bpos += 4
                     nbits += 32
-                packed = alut[(acc >> (nbits - abits)) & masks[abits]]
+                packed = dlut[(acc >> (nbits - dbits)) & masks[dbits]]
                 if packed == 0:
                     raise ValueError("invalid Huffman code")
-                sym = packed & 0xFF
+                size = packed & 0xFF
                 nbits -= packed >> 8
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += sym >> 4
-                if k > 63:
-                    raise ValueError("AC index overflow")
-                sz = sym & 0xF
-                if sz:
-                    nbits -= sz
-                    v = (acc >> nbits) & masks[sz]
-                    acc &= masks[nbits]
-                    vs.append(
-                        v if v >= (1 << (sz - 1)) else v - (1 << sz) + 1
+                if size:
+                    nbits -= size
+                    v = (acc >> nbits) & masks[size]
+                    dc_diffs[ci].append(
+                        v if v >= (1 << (size - 1)) else v - (1 << size) + 1
                     )
                 else:
-                    vs.append(0)
-                bis.append(bi)
-                ks.append(k)
-                k += 1
-            acc &= masks[nbits]
+                    dc_diffs[ci].append(0)
+                acc &= masks[nbits]
+                k = 1
+                bis, ks, vs = ac_bi[ci], ac_k[ci], ac_v[ci]
+                while k < 64:
+                    if nbits < 32:
+                        if bpos + 4 > nbuf:
+                            buf += b"\xff" * 4096
+                            nbuf = len(buf)
+                        acc = (acc << 32) | int.from_bytes(
+                            buf[bpos : bpos + 4], "big"
+                        )
+                        bpos += 4
+                        nbits += 32
+                    packed = alut[(acc >> (nbits - abits)) & masks[abits]]
+                    if packed == 0:
+                        raise ValueError("invalid Huffman code")
+                    sym = packed & 0xFF
+                    nbits -= packed >> 8
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += sym >> 4
+                    if k > 63:
+                        raise ValueError("AC index overflow")
+                    sz = sym & 0xF
+                    if sz:
+                        nbits -= sz
+                        v = (acc >> nbits) & masks[sz]
+                        acc &= masks[nbits]
+                        vs.append(
+                            v if v >= (1 << (sz - 1)) else v - (1 << sz) + 1
+                        )
+                    else:
+                        vs.append(0)
+                    bis.append(bi)
+                    ks.append(k)
+                    k += 1
+                acc &= masks[nbits]
+
+        next_bi = stop
+    if next_bi < n_blocks:
+        raise ValueError("scan ended before all MCUs decoded")
 
     planes = []
     for ci, comp in enumerate(scan_comps):
         zz = np.zeros((n_blocks, 64), np.float64)
-        zz[:, 0] = np.cumsum(np.asarray(dc_diffs[ci], np.int64))
+        dc = np.cumsum(np.asarray(dc_diffs[ci], np.int64))
+        if len(seg_starts) > 1:
+            # DC predictor resets at each restart: subtract the running
+            # total at each segment boundary (one vectorized pass)
+            starts = np.asarray(seg_starts)
+            counts = np.diff(np.concatenate([starts, [len(dc)]]))
+            base = np.repeat(
+                np.concatenate([[0], dc[starts[1:] - 1]]), counts
+            )
+            dc = dc - base
+        zz[:, 0] = dc
         if ac_bi[ci]:
             zz[np.asarray(ac_bi[ci]), np.asarray(ac_k[ci])] = ac_v[ci]
         blocks = np.zeros((n_blocks, 64), np.float64)

@@ -280,3 +280,118 @@ def test_gif_truncated_stream_raises():
     data = encode_gif(px)
     with pytest.raises((ValueError, AssertionError, struct_error)):
         decode_gif(data[: len(data) // 2])
+
+
+def test_png_decodes_all_five_filter_types():
+    """Wild PNGs mix all five per-row filters (libpng picks per-row);
+    decode must invert each. The test applies the spec's ENCODE-side
+    filter transforms independently, builds the IDAT, and expects the
+    original pixels back — including filter runs that chain (Paeth row
+    above an Average row, etc.)."""
+    import struct
+    import zlib
+
+    from jirlbot_spark.functions.images import _PNG_SIG, _chunk, decode_png
+
+    rng = np.random.default_rng(31)
+    h, w = 23, 17
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+    def paeth(a, b, c):
+        p = a.astype(np.int32) + b - c
+        pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+        return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+    raw = bytearray()
+    prev = np.zeros((w, 3), np.int32)
+    for y in range(h):
+        f = y % 5
+        cur = px[y].astype(np.int32)
+        left = np.vstack([np.zeros((1, 3), np.int32), cur[:-1]])
+        upleft = np.vstack([np.zeros((1, 3), np.int32), prev[:-1]])
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - left
+        elif f == 2:
+            filt = cur - prev
+        elif f == 3:
+            filt = cur - ((left + prev) >> 1)
+        else:
+            filt = cur - paeth(left, prev, upleft)
+        raw.append(f)
+        raw += (filt % 256).astype(np.uint8).tobytes()
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    blob = (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(blob), px)
+
+
+def test_jpeg_restart_intervals_roundtrip():
+    """DRI/RSTn streams (wild encoders emit them for error resilience)
+    decode bit-identically to the same image without restarts, across
+    interval sizes that hit every RSTn cycle position; a stray RST
+    without DRI is rejected, not silently mis-decoded."""
+    from jirlbot_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(3)
+    y, x = np.mgrid[0:40, 0:56]
+    px = np.stack([(x * 3 + y) % 256, (x + y * 2) % 256, (x * 2) % 256], -1)
+    px = px.astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(px, 90))
+    for ri in (1, 3, 7, 100):
+        blob = encode_jpeg(px, 90, restart_interval=ri)
+        assert b"\xff\xdd" in blob
+        assert np.array_equal(decode_jpeg(blob), base), ri
+    noisy = rng.integers(0, 256, (33, 41, 3), dtype=np.uint8)
+    nbase = decode_jpeg(encode_jpeg(noisy, 75))
+    for ri in (1, 2, 5):
+        blob = encode_jpeg(noisy, 75, restart_interval=ri)
+        assert np.array_equal(decode_jpeg(blob), nbase), ri
+    blob = bytearray(encode_jpeg(px, 90, restart_interval=3))
+    dri = blob.index(b"\xff\xdd")
+    del blob[dri : dri + 6]
+    with pytest.raises(ValueError, match="RST"):
+        decode_jpeg(bytes(blob))
+
+
+def test_jpeg_16bit_quant_tables_decode():
+    """A DQT with pq=1 (16-bit entries) decodes identically to the same
+    table stored 8-bit — exercised by widening an encoded file's DQT."""
+    import struct
+
+    from jirlbot_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    y, x = np.mgrid[0:24, 0:24]
+    px = np.stack([(x * 5) % 256, (y * 7) % 256, (x + y) % 256], -1)
+    px = px.astype(np.uint8)
+    blob = encode_jpeg(px, 85)
+
+    out = bytearray(blob[:2])
+    pos = 2
+    while pos < len(blob):
+        marker = blob[pos + 1]
+        if marker == 0xDA:
+            out += blob[pos:]
+            break
+        (seglen,) = struct.unpack(">H", blob[pos + 2 : pos + 4])
+        body = blob[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:
+            nbdy = bytearray()
+            p = 0
+            while p < len(body):
+                nbdy.append(0x10 | (body[p] & 0xF))
+                nbdy += b"".join(
+                    struct.pack(">H", v) for v in body[p + 1 : p + 65]
+                )
+                p += 65
+            out += struct.pack(">HH", 0xFFDB, len(nbdy) + 2) + bytes(nbdy)
+        else:
+            out += blob[pos : pos + 2 + seglen]
+        pos += 2 + seglen
+    assert np.array_equal(decode_jpeg(bytes(out)), decode_jpeg(blob))
