@@ -9,12 +9,13 @@ ordinary JPEGs any decoder can read, and the decoder below reads any
 baseline 4:4:4 / grayscale JPEG, with or without restart markers.
 
 Scope notes (honest gates, not silent wrongness):
-  - encoder: 3-component 4:4:4 only (no chroma subsampling — simplest
-    correct variant; subsampling is a rate optimization, not a semantic);
-    optional DRI/RSTn emission (`restart_interval=`)
-  - decoder: SOF0, 1 or 3 components, all sampling factors 1; restart
-    intervals and 8/16-bit quant tables handled; anything else raises
-    NotImplementedError
+  - encoder: 3-component 4:4:4 (default — the fixtures' invariant path),
+    4:2:2, or 4:2:0 (box-downsampled chroma); optional DRI/RSTn emission
+    (`restart_interval=`)
+  - decoder: SOF0, 1 or 3 components, ANY integer-ratio sampling factors
+    (4:2:0/4:2:2/4:1:1/... — chroma upsampled by sample replication),
+    restart intervals, 8/16-bit quant tables; progressive (SOF2) and
+    other non-baseline frames raise NotImplementedError
 
 Determinism: encode(pixels, quality) is a pure function (numpy round,
 canonical Huffman with stable tie-breaks), so fixture goldens replay.
@@ -319,6 +320,22 @@ def _bitsize(v: int) -> int:
     return int(abs(v)).bit_length()
 
 
+@functools.lru_cache(maxsize=64)
+def _mcu_to_raster_perm(
+    mcux: int, mcuy: int, ch: int, cv: int
+) -> np.ndarray:
+    """Permutation p with blocks_raster = blocks_decode_order[p] for a
+    component coded ch x cv blocks per MCU (T.81 A.2.3 ordering)."""
+    m = np.arange(mcux * mcuy).reshape(mcuy, mcux)
+    by, bx = np.mgrid[0:cv, 0:ch]
+    i = (
+        m[:, :, None, None] * (ch * cv)
+        + by[None, None] * ch
+        + bx[None, None]
+    )
+    return i.transpose(0, 2, 1, 3).reshape(-1)
+
+
 # ---- encoder ----
 
 
@@ -398,21 +415,51 @@ def _seg(marker: int, payload: bytes) -> bytes:
 
 
 def encode_jpeg(
-    pixels: np.ndarray, quality: int = 90, restart_interval: int = 0
+    pixels: np.ndarray,
+    quality: int = 90,
+    restart_interval: int = 0,
+    subsample: str = "444",
 ) -> bytes:
-    """Baseline 4:4:4 JPEG of an (h, w, 3) uint8 RGB array. A nonzero
+    """Baseline JPEG of an (h, w, 3) uint8 RGB array. A nonzero
     `restart_interval` emits a DRI segment and RST0-7 markers every that
     many MCUs (wild encoders do this for error resilience; ours mainly
-    round-trip-tests the decoder's restart path)."""
+    round-trip-tests the decoder's restart path). `subsample` picks the
+    chroma layout: "444" (default — the fixtures' lossless-invariant
+    path), "422" (2x1) or "420" (2x2, the dominant wild-file layout;
+    chroma box-downsampled after edge-padding to whole MCUs)."""
+    hl, vl = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[subsample]
     h, w, _ = pixels.shape
     qy, qc = _quant_tables(quality)
     ycc = _rgb_to_ycbcr(pixels)
-    comps = [
-        _encode_channel_coefs(ycc[..., 0], qy),
-        _encode_channel_coefs(ycc[..., 1], qc),
-        _encode_channel_coefs(ycc[..., 2], qc),
+    if hl == vl == 1:
+        comps = [
+            _encode_channel_coefs(ycc[..., 0], qy),
+            _encode_channel_coefs(ycc[..., 1], qc),
+            _encode_channel_coefs(ycc[..., 2], qc),
+        ]
+    else:
+        mh, mw = 8 * vl, 8 * hl
+        ypad = np.pad(
+            ycc, ((0, -h % mh), (0, -w % mw), (0, 0)), mode="edge"
+        )
+        ph, pw = ypad.shape[:2]
+        mcuy, mcux = ph // mh, pw // mw
+        dsm = lambda c: c.reshape(ph // vl, vl, pw // hl, hl).mean((1, 3))
+        comps = [
+            _encode_channel_coefs(ypad[..., 0], qy),
+            _encode_channel_coefs(dsm(ypad[..., 1]), qc),
+            _encode_channel_coefs(dsm(ypad[..., 2]), qc),
+        ]
+        # luma blocks: raster -> MCU (decode) order
+        perm = _mcu_to_raster_perm(mcux, mcuy, hl, vl)
+        dec = np.empty_like(comps[0])
+        dec[perm] = comps[0]
+        comps[0] = dec
+    bpm = (hl * vl, 1, 1)
+    streams = [
+        _symbol_stream(c, restart_interval * bpm[k])
+        for k, c in enumerate(comps)
     ]
-    streams = [_symbol_stream(c, restart_interval) for c in comps]
     # optimized Huffman: luma tables from comp 0, chroma from comps 1+2
     def table(freq_lists):
         freqs: dict[int, int] = {}
@@ -435,8 +482,8 @@ def encode_jpeg(
             bytes([tid]) + bytes(int(q.flat[i]) for i in _ZZ_FLAT),
         )
     sof = struct.pack(">BHHB", 8, h, w, 3)
-    for cid, tq in ((1, 0), (2, 1), (3, 1)):
-        sof += bytes([cid, 0x11, tq])
+    for cid, hv, tq in ((1, (hl << 4) | vl, 0), (2, 0x11, 1), (3, 0x11, 1)):
+        sof += bytes([cid, hv, tq])
     out += _seg(0xFFC0, sof)
     for cls, tid, (bits, huffval, _) in (
         (0, 0, dc_y),
@@ -457,20 +504,24 @@ def encode_jpeg(
     ) + bytes([0, 63, 0])
     out += _seg(0xFFDA, sos)
 
-    # interleaved scan: MCU = one 8x8 block of each component (4:4:4);
-    # with DRI, each restart segment byte-aligns (1-padded) and an RSTn
-    # marker (n cycling 0-7) separates segments
-    n_blocks = len(comps[0])
+    # interleaved scan: MCU = bpm[k] 8x8 blocks of component k (luma in
+    # cv x ch raster order within the MCU); with DRI, each restart
+    # segment byte-aligns (1-padded) and an RSTn marker (n cycling 0-7)
+    # separates segments
+    n_mcus = len(comps[1])  # chroma codes one block per MCU
     tables = ((dc_y[2], ac_y[2]), (dc_c[2], ac_c[2]), (dc_c[2], ac_c[2]))
-    seg_len = restart_interval or n_blocks
-    for s, start in enumerate(range(0, n_blocks, seg_len)):
+    seg_len = restart_interval or n_mcus
+    for s, start in enumerate(range(0, n_mcus, seg_len)):
         wtr = _BitWriter()
-        for bi in range(start, min(start + seg_len, n_blocks)):
-            for (_, _, emit_block), (dcc, acc) in zip(streams, tables):
-                emit_block(wtr, bi, dcc, acc)
+        for mi in range(start, min(start + seg_len, n_mcus)):
+            for k, ((_, _, emit_block), (dcc, acc)) in enumerate(
+                zip(streams, tables)
+            ):
+                for r in range(bpm[k]):
+                    emit_block(wtr, mi * bpm[k] + r, dcc, acc)
         wtr.flush()
         out += bytes(wtr.buf)
-        if restart_interval and start + seg_len < n_blocks:
+        if restart_interval and start + seg_len < n_mcus:
             out += bytes([0xFF, 0xD0 + (s % 8)])
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -538,11 +589,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise NotImplementedError(f"{nc}-component JPEG")
             for ci in range(nc):
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if hv != 0x11:
-                    raise NotImplementedError(
-                        "subsampled JPEG (sampling factors != 1)"
-                    )
-                comps.append({"id": cid, "tq": tq})
+                hs, vs = hv >> 4, hv & 0xF
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError(f"invalid sampling factors {hv:#x}")
+                comps.append({"id": cid, "tq": tq, "h": hs, "v": vs})
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("non-baseline JPEG (not SOF0)")
@@ -560,9 +610,38 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         pos += seglen
 
     assert comps and scan_comps, "no SOS found"
-    bw = (w + 7) // 8
-    bh = (h + 7) // 8
-    n_blocks = bw * bh
+    nsc0 = len(scan_comps)
+    if len(comps) == 3 and nsc0 != 3:
+        raise NotImplementedError("non-interleaved multi-scan JPEG")
+    if nsc0 == 1:
+        # single-component scan: sampling factors are ignored (T.81
+        # A.2.2) — MCU is one data unit over the component's own grid
+        mcux = (w + 7) // 8
+        mcuy = (h + 7) // 8
+        blk_per_mcu = [1]
+        comp_grid = [(mcux, mcuy)]
+        up_factors = [(1, 1)]
+        comp_dims = [(w, h)]
+    else:
+        hmax = max(c["h"] for c in scan_comps)
+        vmax = max(c["v"] for c in scan_comps)
+        for c in scan_comps:
+            if hmax % c["h"] or vmax % c["v"]:
+                raise NotImplementedError(
+                    "non-integer chroma subsampling ratio"
+                )
+        mcux = (w + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+        blk_per_mcu = [c["h"] * c["v"] for c in scan_comps]
+        comp_grid = [(mcux * c["h"], mcuy * c["v"]) for c in scan_comps]
+        up_factors = [(hmax // c["h"], vmax // c["v"]) for c in scan_comps]
+        comp_dims = [
+            (-(-w * c["h"] // hmax), -(-h * c["v"] // vmax))
+            for c in scan_comps
+        ]
+    n_mcus = mcux * mcuy
+    # decode-order component sequence within one MCU (T.81 A.2.3)
+    mcu_seq = [ci for ci in range(nsc0) for _ in range(blk_per_mcu[ci])]
     luts = {
         key: _huff_lut(tuple(sorted(tbl.items())))
         for key, tbl in huff.items()
@@ -586,18 +665,20 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     if restart_interval == 0 and len(segments) > 1:
         raise ValueError("RST marker in scan without a DRI segment")
     masks = _BIT_MASKS
-    seg_starts: list[int] = []
-    seg_len = restart_interval or n_blocks
-    next_bi = 0
+    seg_starts: list[int] = []  # in MCU units
+    seg_len = restart_interval or n_mcus
+    next_mcu = 0
+    comp_bi = [0] * nsc  # per-component running block counter
     for buf in segments:
-        if next_bi >= n_blocks:
+        if next_mcu >= n_mcus:
             break  # trailing bytes after the last full segment
-        seg_starts.append(next_bi)
-        stop = min(next_bi + seg_len, n_blocks)
+        seg_starts.append(next_mcu)
+        stop = min(next_mcu + seg_len, n_mcus)
         nbuf = len(buf)
         bpos = acc = nbits = 0
-        for bi in range(next_bi, stop):
-            for ci in range(nsc):
+        for _mi in range(next_mcu, stop):
+            for ci in mcu_seq:
+                bi = comp_bi[ci]
                 dlut, dbits, alut, abits = comp_luts[ci]
                 # refill to >=32 bits: enough for one code (<=16) + one
                 # amplitude (<=11) without an intermediate check
@@ -663,19 +744,23 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     ks.append(k)
                     k += 1
                 acc &= masks[nbits]
+                comp_bi[ci] = bi + 1
 
-        next_bi = stop
-    if next_bi < n_blocks:
+        next_mcu = stop
+    if next_mcu < n_mcus:
         raise ValueError("scan ended before all MCUs decoded")
 
     planes = []
     for ci, comp in enumerate(scan_comps):
-        zz = np.zeros((n_blocks, 64), np.float64)
+        cbw, cbh = comp_grid[ci]
+        n_cblocks = cbw * cbh
+        zz = np.zeros((n_cblocks, 64), np.float64)
         dc = np.cumsum(np.asarray(dc_diffs[ci], np.int64))
         if len(seg_starts) > 1:
             # DC predictor resets at each restart: subtract the running
-            # total at each segment boundary (one vectorized pass)
-            starts = np.asarray(seg_starts)
+            # total at each segment boundary (one vectorized pass);
+            # seg_starts is in MCUs — scale to this component's blocks
+            starts = np.asarray(seg_starts) * blk_per_mcu[ci]
             counts = np.diff(np.concatenate([starts, [len(dc)]]))
             base = np.repeat(
                 np.concatenate([[0], dc[starts[1:] - 1]]), counts
@@ -684,17 +769,29 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         zz[:, 0] = dc
         if ac_bi[ci]:
             zz[np.asarray(ac_bi[ci]), np.asarray(ac_k[ci])] = ac_v[ci]
-        blocks = np.zeros((n_blocks, 64), np.float64)
+        blocks = np.zeros((n_cblocks, 64), np.float64)
         blocks[:, _ZZ_FLAT] = zz
-        blocks = blocks.reshape(n_blocks, 8, 8) * qt[comp["tq"]]
+        blocks = blocks.reshape(n_cblocks, 8, 8) * qt[comp["tq"]]
         px = _B8.T @ blocks @ _B8 + 128.0
-        planes.append(
-            px.reshape(bh, bw, 8, 8)
+        ch, cv = (comp["h"], comp["v"]) if nsc > 1 else (1, 1)
+        if ch * cv > 1:
+            # blocks arrive in MCU order (cv x ch raster per MCU):
+            # scatter into the component's block raster before assembly
+            px = px[_mcu_to_raster_perm(mcux, mcuy, ch, cv)]
+        plane = (
+            px.reshape(cbh, cbw, 8, 8)
             .transpose(0, 2, 1, 3)
-            .reshape(bh * 8, bw * 8)
+            .reshape(cbh * 8, cbw * 8)
         )
+        cw, chh = comp_dims[ci]
+        plane = plane[:chh, :cw]
+        uh, uv = up_factors[ci]
+        if uh > 1:
+            plane = np.repeat(plane, uh, axis=1)
+        if uv > 1:
+            plane = np.repeat(plane, uv, axis=0)
+        planes.append(plane[:h, :w])
 
-    planes = [p[:h, :w] for p in planes]
     if len(planes) == 1:
         y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         return np.stack([y, y, y], axis=-1)

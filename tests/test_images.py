@@ -395,3 +395,41 @@ def test_jpeg_16bit_quant_tables_decode():
             out += blob[pos : pos + 2 + seglen]
         pos += 2 + seglen
     assert np.array_equal(decode_jpeg(bytes(out)), decode_jpeg(blob))
+
+
+def test_jpeg_chroma_subsampling_roundtrip():
+    """4:2:2 and 4:2:0 (the dominant wild-file layouts) encode+decode:
+    right shape at odd dims (MCU padding cropped), PSNR >= 32 dB on
+    smooth content, smaller files than 4:4:4, and composing with
+    restart intervals changes nothing in the decoded pixels."""
+    from jirlbot_spark.functions.images import psnr
+    from jirlbot_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    y, x = np.mgrid[0:50, 0:70]
+    smooth = (
+        np.stack(
+            [
+                128 + 100 * np.sin(x / 12) * np.cos(y / 15),
+                128 + 80 * np.cos(x / 10),
+                128 + 60 * np.sin((x + y) / 20),
+            ],
+            -1,
+        )
+        .clip(0, 255)
+        .astype(np.uint8)
+    )
+    size444 = len(encode_jpeg(smooth, 90))
+    for sub in ("422", "420"):
+        blob = encode_jpeg(smooth, 90, subsample=sub)
+        out = decode_jpeg(blob)
+        assert out.shape == smooth.shape
+        assert psnr(smooth, out) >= 32.0, (sub, psnr(smooth, out))
+        assert len(blob) < size444
+        with_rst = encode_jpeg(smooth, 90, restart_interval=2, subsample=sub)
+        assert np.array_equal(decode_jpeg(with_rst), out)
+    for hw in ((17, 23), (8, 8), (9, 33)):
+        im = smooth[: hw[0], : hw[1]]
+        for sub in ("422", "420"):
+            out = decode_jpeg(encode_jpeg(im, 90, subsample=sub))
+            assert out.shape == im.shape
+            assert psnr(im, out) >= 30.0
