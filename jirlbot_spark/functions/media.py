@@ -241,6 +241,7 @@ def encode_avi(
     fps: float = 30.0,
     codec: str = "raw",
     quality: int = 90,
+    subsample: str = "444",
 ) -> bytes:
     """Encode (n, h, w, 3) uint8 RGB frames as an AVI.
 
@@ -248,7 +249,9 @@ def encode_avi(
                   one '00db' chunk per frame (lossless).
     codec="mjpg": MJPEG — one baseline JPEG (functions/jpeg.py) per
                   '00dc' chunk, biCompression='MJPG' (lossy; the engine's
-                  PSNR>=40dB @ quality 90 invariant applies per frame).
+                  PSNR>=40dB @ quality 90 invariant applies per frame at
+                  the default 4:4:4; `subsample` passes through to the
+                  JPEG encoder for 4:2:2/4:2:0 wild-shaped streams).
     """
     if codec not in ("raw", "mjpg"):
         raise ValueError(f"unknown AVI codec {codec!r}")
@@ -288,7 +291,10 @@ def encode_avi(
         from jirlbot_spark.functions.jpeg import encode_jpeg
 
         movi_body = b"".join(
-            chunk(b"00dc", encode_jpeg(frames[i], quality=quality))
+            chunk(
+                b"00dc",
+                encode_jpeg(frames[i], quality=quality, subsample=subsample),
+            )
             for i in range(n)
         )
     else:

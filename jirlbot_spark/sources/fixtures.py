@@ -457,6 +457,10 @@ def gen_video(seed: int, n: int) -> pd.DataFrame:
                 frames,
                 fps=fps,
                 codec="raw" if fmt == "avi" else "mjpg",
+                # every third mjpg row is 4:2:0 — the dominant wild
+                # chroma layout — so subsampled JPEG decode runs inside
+                # the Spark operator path, not just unit tests
+                subsample="420" if fmt == "mjpg" and idx % 3 == 0 else "444",
             )
         else:
             blob = rng.bytes(int(rng.integers(500, 5000)))
