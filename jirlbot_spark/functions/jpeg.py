@@ -11,11 +11,14 @@ baseline 4:4:4 / grayscale JPEG, with or without restart markers.
 Scope notes (honest gates, not silent wrongness):
   - encoder: 3-component 4:4:4 (default — the fixtures' invariant path),
     4:2:2, or 4:2:0 (box-downsampled chroma); optional DRI/RSTn emission
-    (`restart_interval=`)
-  - decoder: SOF0, 1 or 3 components, ANY integer-ratio sampling factors
-    (4:2:0/4:2:2/4:1:1/... — chroma upsampled by sample replication),
-    restart intervals, 8/16-bit quant tables; progressive (SOF2) and
-    other non-baseline frames raise NotImplementedError
+    (`restart_interval=`); optional progressive output (SOF2, the
+    classic libjpeg 10-scan spectral-selection + successive-
+    approximation script)
+  - decoder: SOF0 baseline AND SOF2 progressive, 1 or 3 components, ANY
+    integer-ratio sampling factors (4:2:0/4:2:2/4:1:1/... — chroma
+    upsampled by sample replication), restart intervals, 8/16-bit quant
+    tables; other frame types (lossless, arithmetic, hierarchical)
+    raise NotImplementedError
 
 Determinism: encode(pixels, quality) is a pure function (numpy round,
 canonical Huffman with stable tie-breaks), so fixture goldens replay.
@@ -262,7 +265,8 @@ def _destuff_segments(data: bytes, pos: int) -> list[bytes]:
     so reads past its end see all-1 bits — the same semantics _BitReader
     implements byte-at-a-time (feed 1-bits at a marker, never advance).
     A DRI-free scan yields exactly one segment (truncated at the first
-    real marker: EOI etc.)."""
+    real marker: EOI etc.). Returns (segments, offset of that marker's
+    0xFF — or len(data) when the stream just ends)."""
     segs: list[bytes] = []
     out = bytearray()
     n = len(data)
@@ -287,8 +291,9 @@ def _destuff_segments(data: bytes, pos: int) -> list[bytes]:
         pos += 1
     else:
         out += data[start:n]
+        pos = n
     segs.append(bytes(out) + b"\xff" * 32)
-    return segs
+    return segs, pos
 
 
 # bit masks for the inlined entropy-decode accumulator (index = width)
@@ -419,14 +424,18 @@ def encode_jpeg(
     quality: int = 90,
     restart_interval: int = 0,
     subsample: str = "444",
+    progressive: bool = False,
 ) -> bytes:
-    """Baseline JPEG of an (h, w, 3) uint8 RGB array. A nonzero
-    `restart_interval` emits a DRI segment and RST0-7 markers every that
-    many MCUs (wild encoders do this for error resilience; ours mainly
-    round-trip-tests the decoder's restart path). `subsample` picks the
-    chroma layout: "444" (default — the fixtures' lossless-invariant
-    path), "422" (2x1) or "420" (2x2, the dominant wild-file layout;
-    chroma box-downsampled after edge-padding to whole MCUs)."""
+    """Baseline (or progressive) JPEG of an (h, w, 3) uint8 RGB array.
+    A nonzero `restart_interval` emits a DRI segment and RST0-7 markers
+    every that many MCUs (wild encoders do this for error resilience;
+    ours mainly round-trip-tests the decoder's restart path).
+    `subsample` picks the chroma layout: "444" (default — the fixtures'
+    lossless-invariant path), "422" (2x1) or "420" (2x2, the dominant
+    wild-file layout; chroma box-downsampled after edge-padding to
+    whole MCUs). `progressive` emits SOF2 with the classic libjpeg
+    10-scan script — the SAME quantized coefficients in a different
+    transmission order, so it decodes bit-identically to baseline."""
     hl, vl = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[subsample]
     h, w, _ = pixels.shape
     qy, qc = _quant_tables(quality)
@@ -450,7 +459,11 @@ def encode_jpeg(
             _encode_channel_coefs(dsm(ypad[..., 1]), qc),
             _encode_channel_coefs(dsm(ypad[..., 2]), qc),
         ]
-        # luma blocks: raster -> MCU (decode) order
+    if progressive:
+        # progressive scans index blocks in raster order themselves
+        return _encode_progressive(h, w, qy, qc, comps, hl, vl)
+    if not (hl == vl == 1):
+        # baseline interleaved scan: luma blocks raster -> MCU order
         perm = _mcu_to_raster_perm(mcux, mcuy, hl, vl)
         dec = np.empty_like(comps[0])
         dec[perm] = comps[0]
@@ -530,8 +543,43 @@ def encode_jpeg(
 # ---- decoder ----
 
 
+def _parse_dqt(body: bytes, qt: dict) -> None:
+    p = 0
+    while p < len(body):
+        pq, tq = body[p] >> 4, body[p] & 0xF
+        if pq:  # 16-bit precision table
+            vals = np.frombuffer(body[p + 1 : p + 129], ">u2")
+            p += 129
+        else:
+            vals = np.frombuffer(body[p + 1 : p + 65], np.uint8)
+            p += 65
+        tbl = np.zeros(64, np.int32)
+        tbl[_ZZ_FLAT] = vals
+        qt[tq] = tbl.reshape(8, 8)
+
+
+def _parse_dht(body: bytes, huff: dict) -> None:
+    p = 0
+    while p < len(body):
+        cls, tid = body[p] >> 4, body[p] & 0xF
+        bits = list(body[p + 1 : p + 17])
+        nv = sum(bits)
+        vals = list(body[p + 17 : p + 17 + nv])
+        table: dict[tuple[int, int], int] = {}
+        code = 0
+        vi = 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                table[(ln, code)] = vals[vi]
+                code += 1
+                vi += 1
+            code <<= 1
+        huff[(cls, tid)] = table
+        p += 17 + nv
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline JPEG (SOF0, sampling factors all 1, no DRI) to an
+    """Decode a baseline (SOF0) or progressive (SOF2) JPEG to an
     (h, w, 3) uint8 RGB array (grayscale replicates into 3 channels)."""
     assert data[:2] == b"\xff\xd8", "not a JPEG"
     pos = 2
@@ -541,6 +589,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     h = w = 0
     scan_comps: list[dict] = []
     restart_interval = 0
+    progressive = False
     while pos < len(data):
         assert data[pos] == 0xFF, f"bad marker sync at {pos}"
         marker = data[pos + 1]
@@ -552,37 +601,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         (seglen,) = struct.unpack(">H", data[pos : pos + 2])
         body = data[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
-            p = 0
-            while p < len(body):
-                pq, tq = body[p] >> 4, body[p] & 0xF
-                if pq:  # 16-bit precision table
-                    vals = np.frombuffer(body[p + 1 : p + 129], ">u2")
-                    p += 129
-                else:
-                    vals = np.frombuffer(body[p + 1 : p + 65], np.uint8)
-                    p += 65
-                tbl = np.zeros(64, np.int32)
-                tbl[_ZZ_FLAT] = vals
-                qt[tq] = tbl.reshape(8, 8)
+            _parse_dqt(body, qt)
         elif marker == 0xC4:  # DHT
-            p = 0
-            while p < len(body):
-                cls, tid = body[p] >> 4, body[p] & 0xF
-                bits = list(body[p + 1 : p + 17])
-                nv = sum(bits)
-                vals = list(body[p + 17 : p + 17 + nv])
-                table: dict[tuple[int, int], int] = {}
-                code = 0
-                vi = 0
-                for ln in range(1, 17):
-                    for _ in range(bits[ln - 1]):
-                        table[(ln, code)] = vals[vi]
-                        code += 1
-                        vi += 1
-                    code <<= 1
-                huff[(cls, tid)] = table
-                p += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+            _parse_dht(body, huff)
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             assert prec == 8, "8-bit only"
             if nc not in (1, 3):
@@ -593,12 +616,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 if not (1 <= hs <= 4 and 1 <= vs <= 4):
                     raise ValueError(f"invalid sampling factors {hv:#x}")
                 comps.append({"id": cid, "tq": tq, "h": hs, "v": vs})
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("non-baseline JPEG (not SOF0)")
+            raise NotImplementedError("non-baseline JPEG (not SOF0/SOF2)")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS
+            if progressive:
+                return _decode_progressive(
+                    data, pos - 2, qt, huff, comps, h, w, restart_interval
+                )
             ns = body[0]
             for si in range(ns):
                 cid, tds = body[1 + 2 * si : 3 + 2 * si]
@@ -661,7 +688,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     comp_luts = [
         (*luts[(0, c["td"])], *luts[(1, c["ta"])]) for c in scan_comps
     ]
-    segments = _destuff_segments(data, pos)
+    segments, _scan_end = _destuff_segments(data, pos)
     if restart_interval == 0 and len(segments) > 1:
         raise ValueError("RST marker in scan without a DRI segment")
     masks = _BIT_MASKS
@@ -792,6 +819,612 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             plane = np.repeat(plane, uv, axis=0)
         planes.append(plane[:h, :w])
 
+    if len(planes) == 1:
+        y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.stack([y, y, y], axis=-1)
+    return _ycbcr_to_rgb(np.stack(planes, axis=-1))
+
+
+# ---- progressive (SOF2) ----
+#
+# Wild web JPEGs are a large minority progressive (libjpeg/mozjpeg
+# multi-scan output). Encode follows the classic libjpeg scan script
+# (spectral selection + successive approximation); decode mirrors
+# T.81 G.2 / libjpeg jdphuff semantics exactly: DC first/refine, AC
+# first with EOB runs, AC refinement with buffered correction bits.
+# Progressive transmits the SAME quantized coefficients as baseline,
+# so decode(progressive(px)) == decode(baseline(px)) bit-for-bit —
+# the round-trip tests pin that equality.
+
+# (comp_indices, Ss, Se, Ah, Al) — libjpeg's default 10-scan script
+_PROG_SCRIPT_3 = (
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+)
+
+
+def _prog_geometry(comps: list[dict], h: int, w: int) -> dict:
+    """Shared scan geometry: MCU grid, per-component raster grids,
+    MCU-order raster indices, and the non-interleaved sub-grid."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    for c in comps:
+        if hmax % c["h"] or vmax % c["v"]:
+            raise NotImplementedError("non-integer chroma subsampling ratio")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    per = []
+    for c in comps:
+        ch, cv = c["h"], c["v"]
+        cbw, cbh = mcux * ch, mcuy * cv
+        cw = -(-w * ch // hmax)
+        chh = -(-h * cv // vmax)
+        perm = _mcu_to_raster_perm(mcux, mcuy, ch, cv)
+        dec_order = np.empty(cbw * cbh, np.int64)
+        dec_order[perm] = np.arange(cbw * cbh)
+        # dec_order maps raster->decode; we want decode-order raster ids
+        dec_order = np.argsort(dec_order, kind="stable")
+        per.append(
+            {
+                "cbw": cbw,
+                "cbh": cbh,
+                "bpm": ch * cv,
+                "dec_order": dec_order,  # raster index of i-th decoded block
+                "nbw": -(-cw // 8),
+                "nbh": -(-chh // 8),
+                "cw": cw,
+                "chh": chh,
+                "up": (hmax // ch, vmax // cv),
+            }
+        )
+    return {"mcux": mcux, "mcuy": mcuy, "n_mcus": mcux * mcuy, "per": per}
+
+
+def _noninterleaved_raster(g: dict) -> np.ndarray:
+    """Raster block index of the b-th block in a non-interleaved scan."""
+    b = np.arange(g["nbw"] * g["nbh"], dtype=np.int64)
+    return (b // g["nbw"]) * g["cbw"] + (b % g["nbw"])
+
+
+# -- encoder --
+
+
+def _ops_emit(ops: list, codes_by_tbl: dict, wtr: _BitWriter) -> None:
+    for op in ops:
+        if op[0] == 0:  # (0, tbl_key, symbol)
+            code, ln = codes_by_tbl[op[1]][op[2]]
+            wtr.put(code, ln)
+        else:  # (1, value, nbits)
+            wtr.put(op[1], op[2])
+
+
+def _ops_freqs(ops: list) -> dict:
+    freqs: dict = {}
+    for op in ops:
+        if op[0] == 0:
+            freqs.setdefault(op[1], {})
+            freqs[op[1]][op[2]] = freqs[op[1]].get(op[2], 0) + 1
+    return freqs
+
+
+def _prog_dc_first_ops(
+    zz: list[np.ndarray], geom: dict, members: tuple, al: int
+) -> list:
+    ops = []
+    prev = {ci: 0 for ci in members}
+    if len(members) > 1:
+        for mi in range(geom["n_mcus"]):
+            for ci in members:
+                g = geom["per"][ci]
+                tbl = ("dc", 0 if ci == 0 else 1)
+                for r in range(g["bpm"]):
+                    ridx = int(g["dec_order"][mi * g["bpm"] + r])
+                    dcv = int(zz[ci][ridx, 0]) >> al
+                    diff = dcv - prev[ci]
+                    prev[ci] = dcv
+                    size = _bitsize(diff)
+                    ops.append((0, tbl, size))
+                    if size:
+                        ops.append(
+                            (1, diff if diff >= 0 else diff + (1 << size) - 1, size)
+                        )
+    else:
+        ci = members[0]
+        g = geom["per"][ci]
+        tbl = ("dc", 0 if ci == 0 else 1)
+        for ridx in _noninterleaved_raster(g).tolist():
+            dcv = int(zz[ci][ridx, 0]) >> al
+            diff = dcv - prev[ci]
+            prev[ci] = dcv
+            size = _bitsize(diff)
+            ops.append((0, tbl, size))
+            if size:
+                ops.append(
+                    (1, diff if diff >= 0 else diff + (1 << size) - 1, size)
+                )
+    return ops
+
+
+def _prog_dc_refine_ops(
+    zz: list[np.ndarray], geom: dict, members: tuple, al: int
+) -> list:
+    ops = []
+    if len(members) > 1:
+        for mi in range(geom["n_mcus"]):
+            for ci in members:
+                g = geom["per"][ci]
+                for r in range(g["bpm"]):
+                    ridx = int(g["dec_order"][mi * g["bpm"] + r])
+                    ops.append((1, (int(zz[ci][ridx, 0]) >> al) & 1, 1))
+    else:
+        g = geom["per"][members[0]]
+        for ridx in _noninterleaved_raster(g).tolist():
+            ops.append((1, (int(zz[members[0]][ridx, 0]) >> al) & 1, 1))
+    return ops
+
+
+def _flush_eobrun(ops: list, tbl, eobrun: int, be_bits: list) -> int:
+    if eobrun > 0:
+        nb = eobrun.bit_length() - 1
+        ops.append((0, tbl, nb << 4))
+        if nb:
+            ops.append((1, eobrun - (1 << nb), nb))
+        for b in be_bits:
+            ops.append((1, b, 1))
+        be_bits.clear()
+    return 0
+
+
+def _prog_ac_first_ops(
+    zz: np.ndarray, rasters: np.ndarray, tbl, ss: int, se: int, al: int
+) -> list:
+    ops = []
+    eobrun = 0
+    band = zz[rasters][:, ss : se + 1]
+    av = np.where(band >= 0, band >> al, -((-band) >> al))
+    for row in av:
+        nz = np.nonzero(row)[0]
+        if len(nz) == 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun = _flush_eobrun(ops, tbl, eobrun, [])
+            continue
+        eobrun = _flush_eobrun(ops, tbl, eobrun, [])
+        prev = -1
+        for idx in nz.tolist():
+            run = idx - prev - 1
+            prev = idx
+            while run > 15:
+                ops.append((0, tbl, 0xF0))
+                run -= 16
+            v = int(row[idx])
+            size = _bitsize(v)
+            ops.append((0, tbl, (run << 4) | size))
+            ops.append((1, v if v >= 0 else v + (1 << size) - 1, size))
+        if prev < se - ss:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun = _flush_eobrun(ops, tbl, eobrun, [])
+    _flush_eobrun(ops, tbl, eobrun, [])
+    return ops
+
+
+def _prog_ac_refine_ops(
+    zz: np.ndarray, rasters: np.ndarray, tbl, ss: int, se: int, al: int
+) -> list:
+    ops = []
+    eobrun = 0
+    be_bits: list[int] = []
+    band = zz[rasters][:, ss : se + 1]
+    signs = band >= 0
+    av = np.abs(band) >> al
+    for bi in range(len(av)):
+        row = av[bi]
+        srow = signs[bi]
+        new_nz = np.nonzero(row == 1)[0]
+        eob = int(new_nz[-1]) + 1 if len(new_nz) else 0
+        r = 0
+        br: list[int] = []
+        for k in range(se - ss + 1):
+            t = int(row[k])
+            if t == 0:
+                r += 1
+                continue
+            # ZRLs flush at ANY nonzero (history or new) once the
+            # zero-history run exceeds 15 — the decoder consumes the
+            # buffered correction bits DURING its 16-zero skip, so
+            # letting them pile past a ZRL's span would reorder the
+            # stream (libjpeg jcphuff does the same)
+            while r > 15 and k < eob:
+                eobrun = _flush_eobrun(ops, tbl, eobrun, be_bits)
+                ops.append((0, tbl, 0xF0))
+                r -= 16
+                for b in br:
+                    ops.append((1, b, 1))
+                br = []
+            if t > 1:  # history-nonzero: correction bit
+                br.append(t & 1)
+                continue
+            eobrun = _flush_eobrun(ops, tbl, eobrun, be_bits)
+            ops.append((0, tbl, (r << 4) | 1))
+            ops.append((1, 1 if srow[k] else 0, 1))
+            for b in br:
+                ops.append((1, b, 1))
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            be_bits.extend(br)
+            if eobrun == 0x7FFF:
+                eobrun = _flush_eobrun(ops, tbl, eobrun, be_bits)
+    _flush_eobrun(ops, tbl, eobrun, be_bits)
+    return ops
+
+
+def _emit_progressive_scans(
+    out: bytearray, zz: list[np.ndarray], geom: dict
+) -> None:
+    for members, ss, se, ah, al in _PROG_SCRIPT_3:
+        if ss == 0:
+            cls = "dc"
+            if ah == 0:
+                ops = _prog_dc_first_ops(zz, geom, members, al)
+            else:
+                ops = _prog_dc_refine_ops(zz, geom, members, al)
+        else:
+            cls = "ac"
+            ci = members[0]
+            g = geom["per"][ci]
+            tbl = ("ac", 0 if ci == 0 else 1)
+            rasters = _noninterleaved_raster(g)
+            if ah == 0:
+                ops = _prog_ac_first_ops(zz[ci], rasters, tbl, ss, se, al)
+            else:
+                ops = _prog_ac_refine_ops(zz[ci], rasters, tbl, ss, se, al)
+        # per-scan optimized tables (DC refine scans carry no symbols)
+        codes_by_tbl = {}
+        for tbl_key, freqs in _ops_freqs(ops).items():
+            bits, huffval, codes = _canonical_codes(_huffman_lengths(freqs))
+            codes_by_tbl[tbl_key] = codes
+            kls = 0 if tbl_key[0] == "dc" else 1
+            out += _seg(
+                0xFFC4,
+                bytes([(kls << 4) | tbl_key[1]])
+                + bytes(bits[1:17])
+                + bytes(huffval),
+            )
+        sos = bytes([len(members)])
+        for ci in members:
+            tid = 0 if ci == 0 else 1
+            td = tid if cls == "dc" else 0
+            ta = tid if cls == "ac" else 0
+            sos += bytes([ci + 1, (td << 4) | ta])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xFFDA, sos)
+        wtr = _BitWriter()
+        _ops_emit(ops, codes_by_tbl, wtr)
+        wtr.flush()
+        out += bytes(wtr.buf)
+
+
+def _encode_progressive(
+    h: int,
+    w: int,
+    qy: np.ndarray,
+    qc: np.ndarray,
+    comps: list[np.ndarray],
+    hl: int,
+    vl: int,
+) -> bytes:
+    """Assemble a full SOF2 file from raster-order per-component
+    quantized coefficients (same coefficients a baseline encode of the
+    same pixels would carry)."""
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tid, q in ((0, qy), (1, qc)):
+        out += _seg(
+            0xFFDB, bytes([tid]) + bytes(int(q.flat[i]) for i in _ZZ_FLAT)
+        )
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, hv, tq in ((1, (hl << 4) | vl, 0), (2, 0x11, 1), (3, 0x11, 1)):
+        sof += bytes([cid, hv, tq])
+    out += _seg(0xFFC2, sof)
+    cdicts = [{"h": hl, "v": vl}, {"h": 1, "v": 1}, {"h": 1, "v": 1}]
+    geom = _prog_geometry(cdicts, h, w)
+    zz = [c.reshape(len(c), 64)[:, _ZZ_FLAT].astype(np.int64) for c in comps]
+    _emit_progressive_scans(out, zz, geom)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# -- decoder --
+
+
+class _PReader:
+    """MSB-first bit reader over one destuffed entropy segment (padded
+    with 0xFF by _destuff_segments, so overreads see all-1 bits)."""
+
+    __slots__ = ("buf", "nbuf", "pos", "acc", "n")
+
+    def __init__(self, buf: bytes) -> None:
+        self.buf = buf
+        self.nbuf = len(buf)
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self, need: int) -> None:
+        while self.n < need:
+            if self.pos + 4 <= self.nbuf:
+                self.acc = (self.acc << 32) | int.from_bytes(
+                    self.buf[self.pos : self.pos + 4], "big"
+                )
+                self.pos += 4
+                self.n += 32
+            else:
+                b = self.buf[self.pos] if self.pos < self.nbuf else 0xFF
+                self.acc = (self.acc << 8) | b
+                self.pos += 1
+                self.n += 8
+
+    def bits(self, width: int) -> int:
+        if width == 0:
+            return 0
+        self._fill(width)
+        self.n -= width
+        v = (self.acc >> self.n) & ((1 << width) - 1)
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def huff(self, lut: list[int], maxlen: int) -> int:
+        self._fill(maxlen)
+        packed = lut[(self.acc >> (self.n - maxlen)) & ((1 << maxlen) - 1)]
+        if packed == 0:
+            raise ValueError("invalid Huffman code")
+        self.n -= packed >> 8
+        self.acc &= (1 << self.n) - 1
+        return packed & 0xFF
+
+
+def _refine_band(rd: _PReader, row: np.ndarray, k0: int, se: int, p1: int):
+    """AC refinement correction bits for already-nonzero coefficients
+    in band positions k0..se (T.81 G.2 / libjpeg decode_mcu_AC_refine)."""
+    for k in range(k0, se + 1):
+        c = int(row[k])
+        if c != 0 and rd.bits(1) and (c & p1) == 0:
+            row[k] = c + (p1 if c >= 0 else -p1)
+
+
+def _decode_prog_scan(
+    data: bytes,
+    pos: int,
+    zz: list[np.ndarray],
+    geom: dict,
+    scomps: list[tuple[int, int, int]],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    huff: dict,
+    ri: int,
+) -> int:
+    """Decode one progressive scan's entropy data into the coefficient
+    state; returns the byte offset of the next marker."""
+    segments, end = _destuff_segments(data, pos)
+    interleaved = len(scomps) > 1
+    if interleaved:
+        units_total = geom["n_mcus"]
+    else:
+        g0 = geom["per"][scomps[0][0]]
+        units_total = g0["nbw"] * g0["nbh"]
+        rasters = _noninterleaved_raster(g0)
+    if ri == 0 and len(segments) > 1:
+        raise ValueError("RST marker in scan without a DRI segment")
+    seg_units = ri or units_total
+    luts = {}
+    for ci, td, ta in scomps:
+        key = (0, td) if ss == 0 else (1, ta)
+        if ss == 0 and ah != 0:
+            continue  # DC refinement reads raw bits, no Huffman
+        if key not in huff:
+            raise ValueError(f"scan references missing Huffman table {key}")
+        luts[ci] = _huff_lut(tuple(sorted(huff[key].items())))
+    unit = 0
+    p1 = 1 << al
+    for seg in segments:
+        if unit >= units_total:
+            break
+        rd = _PReader(seg)
+        stop = min(unit + seg_units, units_total)
+        if ss == 0 and ah == 0:  # DC first
+            prev = {ci: 0 for ci, _, _ in scomps}
+            for u in range(unit, stop):
+                for ci, _, _ in scomps:
+                    g = geom["per"][ci]
+                    lut, maxlen = luts[ci]
+                    reps = g["bpm"] if interleaved else 1
+                    for r in range(reps):
+                        ridx = (
+                            int(g["dec_order"][u * g["bpm"] + r])
+                            if interleaved
+                            else int(rasters[u])
+                        )
+                        size = rd.huff(lut, maxlen)
+                        diff = _extend(rd.bits(size), size) if size else 0
+                        prev[ci] += diff
+                        zz[ci][ridx, 0] = prev[ci] << al
+        elif ss == 0:  # DC refinement: one raw bit per block
+            for u in range(unit, stop):
+                for ci, _, _ in scomps:
+                    g = geom["per"][ci]
+                    reps = g["bpm"] if interleaved else 1
+                    for r in range(reps):
+                        ridx = (
+                            int(g["dec_order"][u * g["bpm"] + r])
+                            if interleaved
+                            else int(rasters[u])
+                        )
+                        if rd.bits(1):
+                            zz[ci][ridx, 0] |= p1
+        elif ah == 0:  # AC first
+            ci = scomps[0][0]
+            lut, maxlen = luts[ci]
+            zzc = zz[ci]
+            eobrun = 0
+            for u in range(unit, stop):
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                row = zzc[int(rasters[u])]
+                k = ss
+                while k <= se:
+                    sym = rd.huff(lut, maxlen)
+                    r_, sz = sym >> 4, sym & 15
+                    if sz == 0:
+                        if r_ == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r_) + (rd.bits(r_) if r_ else 0) - 1
+                        break
+                    k += r_
+                    if k > se:
+                        raise ValueError("AC band index overflow")
+                    row[k] = _extend(rd.bits(sz), sz) << al
+                    k += 1
+        else:  # AC refinement
+            ci = scomps[0][0]
+            lut, maxlen = luts[ci]
+            zzc = zz[ci]
+            eobrun = 0
+            for u in range(unit, stop):
+                row = zzc[int(rasters[u])]
+                if eobrun:
+                    _refine_band(rd, row, ss, se, p1)
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    sym = rd.huff(lut, maxlen)
+                    r_, sz = sym >> 4, sym & 15
+                    newval = 0
+                    if sz == 0:
+                        if r_ != 15:  # EOBn
+                            eobrun = (1 << r_) + (rd.bits(r_) if r_ else 0)
+                            break
+                        # ZRL: skip 16 zero-history positions below
+                    elif sz == 1:
+                        newval = p1 if rd.bits(1) else -p1
+                    else:
+                        raise ValueError("bad refinement magnitude")
+                    while k <= se:
+                        c = int(row[k])
+                        if c != 0:
+                            if rd.bits(1) and (c & p1) == 0:
+                                row[k] = c + (p1 if c >= 0 else -p1)
+                        else:
+                            if r_ == 0:
+                                break
+                            r_ -= 1
+                        k += 1
+                    if newval:
+                        row[k] = newval
+                    k += 1
+                if eobrun:
+                    _refine_band(rd, row, k, se, p1)
+                    eobrun -= 1
+        unit = stop
+    if unit < units_total:
+        raise ValueError("progressive scan ended before all units decoded")
+    return end
+
+
+def _decode_progressive(
+    data: bytes,
+    pos: int,
+    qt: dict,
+    huff: dict,
+    comps: list[dict],
+    h: int,
+    w: int,
+    restart_interval: int,
+) -> np.ndarray:
+    """Multi-scan SOF2 decode: accumulate coefficient state across scans
+    (DHT/DQT/DRI may be redefined between them), then one batched
+    dequant + IDCT, mirroring the baseline tail."""
+    geom = _prog_geometry(comps, h, w)
+    zz = [
+        np.zeros((g["cbw"] * g["cbh"], 64), np.int64) for g in geom["per"]
+    ]
+    while pos < len(data):
+        assert data[pos] == 0xFF, f"bad marker sync at {pos}"
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        body = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:
+            _parse_dqt(body, qt)
+        elif marker == 0xC4:
+            _parse_dht(body, huff)
+        elif marker == 0xDD:
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:
+            ns = body[0]
+            scomps = []
+            for si in range(ns):
+                cid, tds = body[1 + 2 * si : 3 + 2 * si]
+                ci = next(
+                    i for i, c in enumerate(comps) if c["id"] == cid
+                )
+                scomps.append((ci, tds >> 4, tds & 0xF))
+            sss, sse, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            pos = _decode_prog_scan(
+                data,
+                pos + seglen,
+                zz,
+                geom,
+                scomps,
+                sss,
+                sse,
+                ahal >> 4,
+                ahal & 0xF,
+                huff,
+                restart_interval,
+            )
+            continue
+        pos += seglen
+
+    planes = []
+    for ci, comp in enumerate(comps):
+        g = geom["per"][ci]
+        n_cblocks = g["cbw"] * g["cbh"]
+        blocks = np.zeros((n_cblocks, 64), np.float64)
+        blocks[:, _ZZ_FLAT] = zz[ci]
+        blocks = blocks.reshape(n_cblocks, 8, 8) * qt[comp["tq"]]
+        px = _B8.T @ blocks @ _B8 + 128.0
+        plane = (
+            px.reshape(g["cbh"], g["cbw"], 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(g["cbh"] * 8, g["cbw"] * 8)
+        )
+        plane = plane[: g["chh"], : g["cw"]]
+        uh, uv = g["up"]
+        if uh > 1:
+            plane = np.repeat(plane, uh, axis=1)
+        if uv > 1:
+            plane = np.repeat(plane, uv, axis=0)
+        planes.append(plane[:h, :w])
     if len(planes) == 1:
         y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         return np.stack([y, y, y], axis=-1)

@@ -433,3 +433,62 @@ def test_jpeg_chroma_subsampling_roundtrip():
             out = decode_jpeg(encode_jpeg(im, 90, subsample=sub))
             assert out.shape == im.shape
             assert psnr(im, out) >= 30.0
+
+
+def test_jpeg_progressive_decodes_identical_to_baseline():
+    """SOF2 transmits the same quantized coefficients as SOF0 in a
+    different order, so decode(progressive) must equal decode(baseline)
+    BIT-FOR-BIT. Covers EOB runs with buffered correction bits, ZRL
+    inside refinement scans, all three chroma layouts, and odd dims."""
+    from jirlbot_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(99)
+    flat = np.full((64, 64, 3), 130, np.uint8)
+    flat[10, 10] = 255
+    y, x = np.mgrid[0:61, 0:83]
+    cases = [
+        rng.integers(0, 256, (48, 64, 3), dtype=np.uint8),  # refine-heavy
+        flat,  # EOB-run-heavy
+        np.stack([(x + y) % 256, x % 256, y % 256], -1).astype(np.uint8),
+        rng.integers(0, 256, (9, 11, 3), dtype=np.uint8),
+        (np.cumsum(np.cumsum(rng.integers(-2, 3, (120, 150, 3)), 0), 1) % 256)
+        .astype(np.uint8),  # large: ZRL + padding-block columns
+    ]
+    for q in (30, 75, 95):
+        for im in cases:
+            for sub in ("444", "420", "422"):
+                blob = encode_jpeg(im, q, subsample=sub, progressive=True)
+                assert blob[2:4] != b"\xff\xc0" and b"\xff\xc2" in blob
+                assert np.array_equal(
+                    decode_jpeg(blob),
+                    decode_jpeg(encode_jpeg(im, q, subsample=sub)),
+                ), (q, im.shape, sub)
+
+
+def test_jpeg_progressive_fuzz_identity():
+    """Randomized sizes/content/quality/subsampling: the progressive ==
+    baseline decode identity is structural, not fixture luck."""
+    from jirlbot_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    for trial in range(25):
+        h = int(rng.integers(1, 97))
+        w = int(rng.integers(1, 97))
+        kind = trial % 4
+        if kind == 0:
+            im = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        elif kind == 1:
+            im = (np.cumsum(rng.integers(-4, 5, (h, w, 3)), 1) % 256).astype(
+                np.uint8
+            )
+        elif kind == 2:
+            im = np.full((h, w, 3), int(rng.integers(0, 256)), np.uint8)
+        else:
+            im = np.zeros((h, w, 3), np.uint8)
+            im[rng.integers(0, h), rng.integers(0, w)] = 255
+        q = int(rng.choice([10, 40, 80, 97]))
+        sub = str(rng.choice(["444", "420", "422"]))
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(im, q, subsample=sub, progressive=True)),
+            decode_jpeg(encode_jpeg(im, q, subsample=sub)),
+        ), (trial, h, w, q, sub)
