@@ -96,10 +96,20 @@ def gen_pages_lossy(seed: int, n: int) -> pd.DataFrame:
         px = gen_pixels(rng, w, h)
         words = " ".join(rng.choice(_WORDS, size=5))
         image_id = f"img{idx:010d}"
+        if fmt == "jpeg" and idx % 6 == 1:
+            # every few jpeg rows are PROGRESSIVE (SOF2) — same quantized
+            # coefficients, so the PSNR>=40dB invariant is untouched, but
+            # the multi-scan decode path runs inside the Spark contract
+            from jirlbot_spark.functions.images import JPEG_QUALITY
+            from jirlbot_spark.functions.jpeg import encode_jpeg
+
+            blob = encode_jpeg(px, quality=JPEG_QUALITY, progressive=True)
+        else:
+            blob = encode_image(px, fmt)
         recs.append(
             {
                 "image_id": image_id,
-                "bytes": encode_image(px, fmt),
+                "bytes": blob,
                 "w": w,
                 "h": h,
                 "fmt": fmt,

@@ -492,3 +492,37 @@ def test_jpeg_progressive_fuzz_identity():
             decode_jpeg(encode_jpeg(im, q, subsample=sub, progressive=True)),
             decode_jpeg(encode_jpeg(im, q, subsample=sub)),
         ), (trial, h, w, q, sub)
+
+
+def test_lossy_fixture_includes_progressive_rows():
+    """gen_pages_lossy mixes SOF2 rows among the jpegs so the
+    progressive decode path runs inside the Spark operator contract;
+    the PSNR>=40dB invariant must hold for them identically."""
+    import struct
+
+    from jirlbot_spark.functions.images import decode_image, psnr
+    from jirlbot_spark.sources.fixtures import gen_pages_lossy
+
+    def sof_marker(blob: bytes) -> int:
+        pos = 2
+        while pos < len(blob):
+            marker = blob[pos + 1]
+            if marker in (0xC0, 0xC2):
+                return marker
+            (seglen,) = struct.unpack(">H", blob[pos + 2 : pos + 4])
+            pos += 2 + seglen
+        raise AssertionError("no SOF marker")
+
+    pages = gen_pages_lossy(43, 24)
+    markers = {
+        sof_marker(bytes(r.bytes))
+        for r in pages.itertuples()
+        if r.fmt == "jpeg"
+    }
+    assert markers == {0xC0, 0xC2}  # both baseline and progressive rows
+    for r in pages.itertuples():
+        if r.fmt != "jpeg":
+            continue
+        px = decode_image(bytes(r.bytes), r.fmt, r.w, r.h)
+        ref = np.frombuffer(r.ref_pixels, np.uint8).reshape(r.h, r.w, 3)
+        assert psnr(px, ref) >= 40.0
