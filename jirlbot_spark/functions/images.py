@@ -69,74 +69,174 @@ def encode_png(pixels: np.ndarray) -> bytes:
     )
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    assert data[:8] == _PNG_SIG, "not a PNG"
-    pos = 8
-    w = h = None
-    idat = b""
-    while pos < len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        typ = data[pos + 4 : pos + 8]
-        body = data[pos + 8 : pos + 8 + length]
-        if typ == b"IHDR":
-            w, h, bitd, color = struct.unpack(">IIBB", body[:10])
-            assert bitd == 8 and color == 2, "only 8-bit RGB supported"
-        elif typ == b"IDAT":
-            idat += body
-        elif typ == b"IEND":
-            break
-        pos += 12 + length
-    raw = zlib.decompress(idat)
-    stride = w * 3 + 1
-    arr = np.frombuffer(raw, np.uint8).reshape(h, stride)
-    filters, rows = arr[:, 0], arr[:, 1:].copy()
-    out = np.zeros_like(rows)
-    prev = np.zeros(w * 3, np.int32)
+def _png_unfilter(
+    raw: memoryview, w: int, h: int, channels: int, bitd: int
+) -> tuple[np.ndarray, int]:
+    """Undo per-scanline filtering for one (sub-)image: returns the
+    (h, stride) byte matrix and the number of raw bytes consumed.
+    Filters operate on BYTES at distance bpp = max(1, channels*bitd//8)
+    (PNG spec 4.5.4), so every color type / depth shares this kernel."""
+    if w == 0 or h == 0:
+        return np.zeros((h, 0), np.uint8), 0
+    stride = (w * channels * bitd + 7) // 8
+    bpp = max(1, channels * bitd // 8)
+    need = h * (stride + 1)
+    arr = np.frombuffer(raw[:need], np.uint8).reshape(h, stride + 1)
+    filters, rows = arr[:, 0], arr[:, 1:]
+    # pad stride to a multiple of bpp so rows reshape into (units, bpp)
+    pad = -stride % bpp
+    units = (stride + pad) // bpp
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride + pad, np.int32)
     for y in range(h):
         f = filters[y]
-        cur = rows[y].astype(np.int32)
+        cur = np.zeros(stride + pad, np.int32)
+        cur[:stride] = rows[y]
         if f == 0:
             line = cur
         elif f == 1:  # Sub
-            line = np.cumsum(cur.reshape(w, 3), axis=0).reshape(-1) % 256
+            line = np.cumsum(cur.reshape(units, bpp), axis=0).reshape(-1) % 256
         elif f == 2:  # Up
             line = (cur + prev) % 256
         elif f == 3:  # Average — the left term forces a sequential pass,
-            # but per-PIXEL (3 channels at once), not per-byte
-            line = np.empty(w * 3, np.int32)
-            c3 = cur.reshape(w, 3)
-            p3 = prev.reshape(w, 3)
-            l3 = line.reshape(w, 3)
-            left = np.zeros(3, np.int32)
-            for x in range(w):
-                left = (c3[x] + ((left + p3[x]) >> 1)) & 255
-                l3[x] = left
+            # but per-UNIT (bpp bytes at once), not per-byte
+            line = np.empty(stride + pad, np.int32)
+            cb = cur.reshape(units, bpp)
+            pb = prev.reshape(units, bpp)
+            lb = line.reshape(units, bpp)
+            left = np.zeros(bpp, np.int32)
+            for x in range(units):
+                left = (cb[x] + ((left + pb[x]) >> 1)) & 255
+                lb[x] = left
         elif f == 4:  # Paeth
-            line = np.empty(w * 3, np.int32)
-            c3 = cur.reshape(w, 3)
-            p3 = prev.reshape(w, 3)
-            l3 = line.reshape(w, 3)
-            left = np.zeros(3, np.int32)
-            upleft = np.zeros(3, np.int32)
-            for x in range(w):
-                up = p3[x]
+            line = np.empty(stride + pad, np.int32)
+            cb = cur.reshape(units, bpp)
+            pb = prev.reshape(units, bpp)
+            lb = line.reshape(units, bpp)
+            left = np.zeros(bpp, np.int32)
+            upleft = np.zeros(bpp, np.int32)
+            for x in range(units):
+                up = pb[x]
                 p = left + up - upleft
-                pa, pb, pc = (
+                pa, pb_, pc = (
                     np.abs(p - left),
                     np.abs(p - up),
                     np.abs(p - upleft),
                 )
                 pred = np.where(
-                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+                    (pa <= pb_) & (pa <= pc),
+                    left,
+                    np.where(pb_ <= pc, up, upleft),
                 )
-                left = (c3[x] + pred) & 255
-                l3[x] = left
+                left = (cb[x] + pred) & 255
+                lb[x] = left
                 upleft = up
         else:
             raise ValueError(f"invalid PNG filter {f}")
-        out[y] = line.astype(np.uint8)
+        out[y] = line[:stride].astype(np.uint8)
         prev = line
-    return out.reshape(h, w, 3)
+    return out, need
+
+
+def _png_samples(
+    rows: np.ndarray, w: int, channels: int, bitd: int
+) -> np.ndarray:
+    """(h, stride) filtered-out bytes -> (h, w, channels) uint8 samples
+    (16-bit takes the high byte; 1/2/4-bit unpack MSB-first and scale
+    to full 8-bit range — except palette indices, scaled by caller)."""
+    h = len(rows)
+    if bitd == 8:
+        return rows.reshape(h, -1)[:, : w * channels].reshape(h, w, channels)
+    if bitd == 16:
+        return (
+            rows.reshape(h, -1, 2)[:, : w * channels, 0]
+            .reshape(h, w, channels)
+        )
+    # sub-byte depths: only valid for 1-channel color types
+    bits = np.unpackbits(rows, axis=1)
+    vals = np.zeros((h, rows.shape[1] * 8 // bitd), np.uint8)
+    for b in range(bitd):
+        vals = (vals << 1) | bits[:, b :: bitd][:, : vals.shape[1]]
+    return vals[:, :w].reshape(h, w, 1)
+
+
+# Adam7 pass origins/steps (PNG spec 8.2)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode a PNG to (h, w, 3) uint8 RGB. Wild-capable: color types
+    0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA); bit
+    depths 1/2/4/8/16; Adam7 interlacing; all five row filters. Alpha
+    is dropped (payload pipelines carry RGB24); 16-bit samples take the
+    high byte."""
+    assert data[:8] == _PNG_SIG, "not a PNG"
+    pos = 8
+    w = h = None
+    idat = b""
+    plte = None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        typ = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if typ == b"IHDR":
+            w, h, bitd, color, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", body[:13]
+            )
+            if comp or filt:
+                raise ValueError("bad PNG compression/filter method")
+        elif typ == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"invalid PNG color type {color}")
+    if bitd not in (1, 2, 4, 8, 16) or (
+        bitd < 8 and color not in (0, 3)
+    ) or (bitd == 16 and color == 3):
+        raise ValueError(f"invalid bit depth {bitd} for color type {color}")
+    raw = memoryview(zlib.decompress(idat))
+    if inter == 0:
+        rows, _ = _png_unfilter(raw, w, h, channels, bitd)
+        samples = _png_samples(rows, w, channels, bitd)
+    elif inter == 1:  # Adam7
+        samples = np.zeros((h, w, channels), np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue
+            rows, used = _png_unfilter(raw[off:], pw, ph, channels, bitd)
+            off += used
+            samples[y0::dy, x0::dx] = _png_samples(rows, pw, channels, bitd)
+    else:
+        raise ValueError(f"invalid PNG interlace method {inter}")
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        return plte[samples[..., 0]]
+    if bitd < 8 and color == 0:  # scale 1/2/4-bit gray to full range
+        samples = (
+            samples.astype(np.uint16) * (255 // ((1 << bitd) - 1))
+        ).astype(np.uint8)
+    if color == 0:
+        return np.repeat(samples, 3, axis=2)
+    if color == 4:  # gray + alpha: drop alpha
+        return np.repeat(samples[..., :1], 3, axis=2)
+    return samples[..., :3]  # RGB / RGBA (alpha dropped)
 
 
 # ---------- BMP ----------

@@ -174,14 +174,18 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             if clen < 16:
                 raise ValueError("truncated fmt chunk")
             fmt = struct.unpack("<HHIIHH", body[:16])
+            if fmt[0] == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+                # the real format tag is the first word of the SubFormat
+                # GUID (offset 24: 16 base + cbSize + wValidBits + mask)
+                if len(body) < 26:
+                    raise ValueError("truncated EXTENSIBLE fmt chunk")
+                fmt = (struct.unpack("<H", body[24:26])[0],) + fmt[1:]
         elif cid == b"data":
             payload = body
         pos += 8 + clen + (clen % 2)
     if fmt is None or payload is None:
         raise ValueError("missing fmt/data chunk")
     tag, n_ch, sr, _brate, _balign, bits = fmt
-    if tag == 0xFFFE:
-        raise NotImplementedError("WAVE_FORMAT_EXTENSIBLE")
     if tag not in (_PCM_TAG, _FLOAT_TAG):
         raise NotImplementedError(f"compressed WAVE format tag {tag}")
     if n_ch < 1:

@@ -526,3 +526,119 @@ def test_lossy_fixture_includes_progressive_rows():
         px = decode_image(bytes(r.bytes), r.fmt, r.w, r.h)
         ref = np.frombuffer(r.ref_pixels, np.uint8).reshape(r.h, r.w, 3)
         assert psnr(px, ref) >= 40.0
+
+
+def _build_png(w, h, bitd, color, scanlines, plte=None, inter=0):
+    import struct
+    import zlib
+
+    from jirlbot_spark.functions.images import _PNG_SIG, _chunk
+
+    ihdr = struct.pack(">IIBBBBB", w, h, bitd, color, 0, 0, inter)
+    out = _PNG_SIG + _chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+    return (
+        out
+        + _chunk(b"IDAT", zlib.compress(b"".join(scanlines)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _png_rows(samples, bitd, channels, filters=None):
+    """Filter-0 (or per-row filtered) scanlines from (h, w, ch) samples,
+    applying the spec's ENCODE-side transforms at byte distance bpp."""
+    h, w, _ = samples.shape
+    if bitd == 8:
+        mat = samples.reshape(h, w * channels)
+    elif bitd == 16:
+        sw = np.zeros((h, w, channels, 2), np.uint8)
+        sw[..., 0] = samples
+        mat = sw.reshape(h, -1)
+    else:
+        cols = []
+        for y in range(h):
+            vals = samples[y, :, 0]
+            bits = np.zeros(w * bitd, np.uint8)
+            for b in range(bitd):
+                bits[b::bitd] = (vals >> (bitd - 1 - b)) & 1
+            bits = np.concatenate([bits, np.zeros(-len(bits) % 8, np.uint8)])
+            cols.append(np.packbits(bits))
+        mat = np.stack(cols)
+    bpp = max(1, channels * bitd // 8)
+    stride = mat.shape[1]
+    rows = []
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        f = (filters[y % len(filters)]) if filters else 0
+        cur = mat[y].astype(np.int32)
+        left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - left
+        elif f == 2:
+            filt = cur - prev
+        elif f == 3:
+            filt = cur - ((left + prev) >> 1)
+        else:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            filt = cur - pred
+        rows.append(bytes([f]) + (filt % 256).astype(np.uint8).tobytes())
+        prev = cur
+    return rows
+
+
+def test_png_wild_color_types_and_depths():
+    """Wild PNG shapes decode to the documented RGB24 projection:
+    grayscale replicates, palette maps through PLTE, alpha drops,
+    16-bit takes the high byte, 1/2/4-bit gray scales to full range —
+    each ALSO under mixed per-row filters (filter distance bpp != 3)."""
+    from jirlbot_spark.functions.images import decode_png
+
+    rng = np.random.default_rng(3)
+    filters = [0, 1, 2, 3, 4]
+    g = rng.integers(0, 256, (9, 7, 1), dtype=np.uint8)
+    blob = _build_png(7, 9, 8, 0, _png_rows(g, 8, 1, filters))
+    assert np.array_equal(decode_png(blob), np.repeat(g, 3, 2))
+    rgba = rng.integers(0, 256, (12, 5, 4), dtype=np.uint8)
+    blob = _build_png(5, 12, 8, 6, _png_rows(rgba, 8, 4, filters))
+    assert np.array_equal(decode_png(blob), rgba[..., :3])
+    ga = rng.integers(0, 256, (4, 8, 2), dtype=np.uint8)
+    blob = _build_png(8, 4, 8, 4, _png_rows(ga, 8, 2, filters))
+    assert np.array_equal(decode_png(blob), np.repeat(ga[..., :1], 3, 2))
+    plte = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (10, 11, 1), dtype=np.uint8)
+    blob = _build_png(11, 10, 8, 3, _png_rows(idx, 8, 1, filters), plte=plte)
+    assert np.array_equal(decode_png(blob), plte[idx[..., 0]])
+    blob = _build_png(11, 10, 4, 3, _png_rows(idx, 4, 1), plte=plte)
+    assert np.array_equal(decode_png(blob), plte[idx[..., 0]])
+    bw = rng.integers(0, 2, (5, 19, 1), dtype=np.uint8)
+    blob = _build_png(19, 5, 1, 0, _png_rows(bw, 1, 1))
+    assert np.array_equal(decode_png(blob), np.repeat(bw * 255, 3, 2))
+    px16 = rng.integers(0, 256, (7, 6, 3), dtype=np.uint8)
+    blob = _build_png(6, 7, 16, 2, _png_rows(px16, 16, 3, filters))
+    assert np.array_equal(decode_png(blob), px16)
+
+
+def test_png_adam7_interlace():
+    """Adam7: seven filtered sub-images reassemble exactly, across
+    dims that empty some passes (1x1 uses only pass 1)."""
+    from jirlbot_spark.functions.images import _ADAM7, decode_png
+
+    rng = np.random.default_rng(5)
+    for w, h in [(20, 13), (8, 8), (3, 2), (1, 1), (9, 17)]:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        passes = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            passes.extend(_png_rows(sub, 8, 3, [0, 1, 2, 3, 4]))
+        blob = _build_png(w, h, 8, 2, passes, inter=1)
+        assert np.array_equal(decode_png(blob), px), (w, h)

@@ -477,3 +477,39 @@ def test_wav_codec_cross_validated_by_stdlib_wave():
             assert np.array_equal(
                 theirs, np.round(ours * 32768).astype(np.int16)
             )
+
+
+def test_wav_extensible_format_decodes():
+    """WAVE_FORMAT_EXTENSIBLE (the layout most >2ch / 24-bit writers
+    emit) decodes: the real tag comes from the SubFormat GUID's first
+    word. Built by rewriting a plain PCM file's fmt chunk."""
+    import struct
+
+    from jirlbot_spark.functions.media import decode_wav, encode_wav
+
+    wave = np.clip(
+        0.5 * np.sin(np.arange(4000) / 7.0)
+        + 0.1 * np.sin(np.arange(4000) / 3.0),
+        -1,
+        1,
+    )
+    for bits in (16, 24):
+        plain = encode_wav(wave, 16000, bits=bits)
+        want, sr = decode_wav(plain)
+        # rebuild with an EXTENSIBLE fmt chunk (cbSize=22, GUID=PCM)
+        base = struct.unpack("<HHIIHH", plain[20:36])
+        guid = struct.pack("<H", 1) + bytes(14)  # KSDATAFORMAT PCM
+        ext = struct.pack(
+            "<HHIIHHHHI", 0xFFFE, *base[1:], 22, bits, 0x4
+        ) + guid
+        payload = plain[44:]
+        chunks = (
+            b"fmt " + struct.pack("<I", len(ext)) + ext
+            + b"data" + struct.pack("<I", len(payload)) + payload
+        )
+        blob = (
+            b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+        )
+        got, sr2 = decode_wav(blob)
+        assert sr2 == sr
+        assert np.array_equal(got, want)
