@@ -257,18 +257,92 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
 
 
 def decode_bmp(data: bytes) -> np.ndarray:
+    """Decode a BITMAPINFOHEADER BMP to (h, w, 3) RGB. Wild-capable:
+    24/32-bit BI_RGB (alpha dropped), 1/4/8-bit paletted, BI_RLE8,
+    top-down (negative height) rows."""
     assert data[:2] == b"BM", "not a BMP"
     (offset,) = struct.unpack("<I", data[10:14])
+    (hdr_size,) = struct.unpack("<I", data[14:18])
     w, h = struct.unpack("<ii", data[18:26])
     (bpp,) = struct.unpack("<H", data[28:30])
-    assert bpp == 24, "only 24-bit BMP supported"
-    row_size = (w * 3 + 3) & ~3
+    (compression,) = struct.unpack("<I", data[30:34])
+    ah = abs(h)
+    if compression not in (0, 1):
+        raise NotImplementedError(f"BMP compression {compression}")
+    if bpp in (1, 4, 8):
+        (ncolors,) = struct.unpack("<I", data[46:50])
+        ncolors = ncolors or (1 << bpp)
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(
+            data, np.uint8, count=ncolors * 4, offset=pal_off
+        ).reshape(ncolors, 4)[:, 2::-1]  # BGRX -> RGB
+        if compression == 1:  # BI_RLE8
+            if bpp != 8:
+                raise ValueError("RLE8 requires 8-bit pixels")
+            idx = _bmp_rle8(data[offset:], w, ah)
+        else:
+            row_bits = w * bpp
+            row_size = ((row_bits + 31) // 32) * 4
+            arr = np.frombuffer(
+                data, np.uint8, count=row_size * ah, offset=offset
+            ).reshape(ah, row_size)
+            if bpp == 8:
+                idx = arr[:, :w]
+            else:
+                bits = np.unpackbits(arr, axis=1)
+                vals = np.zeros((ah, row_size * 8 // bpp), np.uint8)
+                for b in range(bpp):
+                    vals = (vals << 1) | bits[:, b::bpp][:, : vals.shape[1]]
+                idx = vals[:, :w]
+        rgb = pal[idx]
+        return rgb[::-1] if h > 0 else rgb
+    if compression == 1:
+        raise ValueError("RLE8 requires 8-bit pixels")
+    if bpp not in (24, 32):
+        raise NotImplementedError(f"{bpp}-bit BMP")
+    nb = bpp // 8
+    row_size = (w * nb + 3) & ~3
     arr = np.frombuffer(
-        data, np.uint8, count=row_size * abs(h), offset=offset
-    ).reshape(abs(h), row_size)
-    bgr = arr[:, : w * 3].reshape(abs(h), w, 3)
-    rgb = bgr[:, :, ::-1]
-    return rgb[::-1] if h > 0 else rgb
+        data, np.uint8, count=row_size * ah, offset=offset
+    ).reshape(ah, row_size)
+    bgr = arr[:, : w * nb].reshape(ah, w, nb)[:, :, 2::-1]  # drop alpha
+    return bgr[::-1] if h > 0 else bgr
+
+
+def _bmp_rle8(data: bytes, w: int, h: int) -> np.ndarray:
+    """BI_RLE8 -> (h, w) palette indices, bottom-up row order (the
+    caller flips). Handles encoded runs, absolute mode with word
+    padding, end-of-line (0,0), end-of-bitmap (0,1), delta (0,2)."""
+    out = np.zeros((h, w), np.uint8)
+    x = y = pos = 0
+    n = len(data)
+    while pos + 1 < n:
+        cnt, val = data[pos], data[pos + 1]
+        pos += 2
+        if cnt:  # encoded run
+            end = min(x + cnt, w)
+            out[y, x:end] = val
+            x = end
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+            if y >= h:
+                break
+        elif val == 1:  # end of bitmap
+            break
+        elif val == 2:  # delta
+            x += data[pos]
+            y += data[pos + 1]
+            pos += 2
+            if y >= h:
+                break
+        else:  # absolute mode: val literal bytes, word-aligned
+            end = min(x + val, w)
+            out[y, x:end] = np.frombuffer(
+                data, np.uint8, count=end - x, offset=pos
+            )
+            x = end
+            pos += val + (val % 2)
+    return out
 
 
 # ---------- RAW ----------

@@ -642,3 +642,79 @@ def test_png_adam7_interlace():
             passes.extend(_png_rows(sub, 8, 3, [0, 1, 2, 3, 4]))
         blob = _build_png(w, h, 8, 2, passes, inter=1)
         assert np.array_equal(decode_png(blob), px), (w, h)
+
+
+def test_bmp_wild_variants():
+    """Wild BMP shapes: 32-bit BI_RGB (alpha dropped), top-down rows
+    (negative height), 1/4/8-bit palettes, and BI_RLE8 (runs, absolute
+    mode with word padding, EOL/EOB/delta escapes)."""
+    import struct
+
+    from jirlbot_spark.functions.images import decode_bmp
+
+    rng = np.random.default_rng(4)
+
+    def hdr(w, h, bpp, comp, img_size, ncolors=0, pal=b""):
+        off = 54 + len(pal)
+        return (
+            struct.pack("<2sIHHI", b"BM", off + img_size, 0, 0, off)
+            + struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, bpp, comp, img_size,
+                2835, 2835, ncolors, 0,
+            )
+            + pal
+        )
+
+    px = rng.integers(0, 256, (7, 9, 3), dtype=np.uint8)
+    h, w = px.shape[:2]
+    # 32-bit BGRA, bottom-up
+    rows = np.zeros((h, w, 4), np.uint8)
+    rows[..., :3] = px[..., ::-1]
+    rows[..., 3] = 200
+    body = rows[::-1].tobytes()
+    assert np.array_equal(decode_bmp(hdr(w, h, 32, 0, len(body)) + body), px)
+    # top-down 24-bit
+    row_size = (w * 3 + 3) & ~3
+    padded = np.zeros((h, row_size), np.uint8)
+    padded[:, : w * 3] = px[..., ::-1].reshape(h, -1)
+    blob = hdr(w, -h, 24, 0, padded.size) + padded.tobytes()
+    assert np.array_equal(decode_bmp(blob), px)
+    # 8-bit palette
+    pal_rgb = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    pal = np.zeros((256, 4), np.uint8)
+    pal[:, :3] = pal_rgb[:, ::-1]
+    idx = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    row_size = (w + 3) & ~3
+    padded = np.zeros((h, row_size), np.uint8)
+    padded[:, :w] = idx[::-1]
+    blob = hdr(w, h, 8, 0, padded.size, 256, pal.tobytes()) + padded.tobytes()
+    assert np.array_equal(decode_bmp(blob), pal_rgb[idx])
+    # 1-bit palette
+    pal2_rgb = np.array([[10, 20, 30], [250, 240, 230]], np.uint8)
+    pal2 = np.zeros((2, 4), np.uint8)
+    pal2[:, :3] = pal2_rgb[:, ::-1]
+    bw = rng.integers(0, 2, (h, w), dtype=np.uint8)
+    row_size = ((w + 31) // 32) * 4
+    mat = np.zeros((h, row_size), np.uint8)
+    for y in range(h):
+        mat[y] = np.packbits(
+            np.concatenate([bw[h - 1 - y], np.zeros(row_size * 8 - w, np.uint8)])
+        )
+    blob = hdr(w, h, 1, 0, mat.size, 2, pal2.tobytes()) + mat.tobytes()
+    assert np.array_equal(decode_bmp(blob), pal2_rgb[bw])
+    # RLE8: run / EOL / absolute+pad / delta / EOB
+    rle = bytes(
+        [6, 5, 0, 0, 0, 3, 1, 2, 3, 0, 3, 9, 0, 0, 0, 2, 2, 1, 2, 7, 0, 1]
+    )
+    blob = hdr(6, 4, 8, 1, len(rle), 256, pal.tobytes()) + rle
+    exp_idx = np.zeros((4, 6), np.uint8)
+    exp_idx[0] = 5
+    exp_idx[1, :3] = [1, 2, 3]
+    exp_idx[1, 3:] = 9
+    exp_idx[3, 2:4] = 7
+    assert np.array_equal(decode_bmp(blob), pal_rgb[exp_idx][::-1])
+    # gates stay loud
+    with pytest.raises(NotImplementedError):
+        decode_bmp(hdr(4, 4, 16, 0, 32) + b"\x00" * 32)
+    with pytest.raises(NotImplementedError):
+        decode_bmp(hdr(4, 4, 24, 4, 48) + b"\x00" * 48)  # BI_RLE4/JPEG
