@@ -34,7 +34,7 @@ import zlib
 import numpy as np
 import pandas as pd
 
-LOSSLESS_FMTS = ("png", "bmp", "raw", "gif")
+LOSSLESS_FMTS = ("png", "bmp", "raw", "gif", "tiff")
 LOSSY_FMTS = ("jpeg",)
 JPEG_QUALITY = 98  # fixture-content PSNR >= ~43 dB (invariant floor: 40)
 
@@ -374,6 +374,10 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
         from jirlbot_spark.functions.gif import encode_gif
 
         return encode_gif(pixels)
+    if fmt == "tiff":
+        from jirlbot_spark.functions.tiff import encode_tiff
+
+        return encode_tiff(pixels)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -392,6 +396,10 @@ def decode_image(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         from jirlbot_spark.functions.gif import decode_gif
 
         return decode_gif(data)
+    if fmt == "tiff":
+        from jirlbot_spark.functions.tiff import decode_tiff
+
+        return decode_tiff(data)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
