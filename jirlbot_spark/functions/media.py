@@ -14,11 +14,15 @@ Decode backends, by format:
     images; the FLAC decoder covers CONSTANT/VERBATIM/FIXED/LPC
     subframes, rice/rice2 residuals, and all three stereo-decorrelation
     channel assignments, with STREAMINFO-MD5 output verification;
-  - remaining compressed formats (mp3, mp4/webm) need libraries NOT in
-    this container and sit behind a capability gate: `audio_codec()` /
-    `video_codec()` try the real imports (soundfile / av) and return
-    None here — a cluster image that ships the libs activates them with
-    no other change;
+  - mp3 and mp4 are CONTAINER-REAL: the engine's own header/box walkers
+    (functions/mp3.py frame walk, functions/mp4.py ISO-BMFF walk) read
+    true duration / sample rate / frame count / dimensions from the
+    bytes, so audio_features' duration and frame_sample's cardinality
+    are measured, not metadata-trusted — while SAMPLE decode still
+    needs libraries NOT in this container and sits behind a capability
+    gate: `audio_codec()` / `video_codec()` try the real imports
+    (soundfile / av) and return None here — a cluster image that ships
+    the libs activates them with no other change;
   - the gated fallback is a DETERMINISTIC FAKE decoder (seeded from the
     payload bytes): wrong waveforms/frames, right SHAPES — so the
     Spark-side contract (schemas, batch shapes, explode cardinality,
@@ -415,33 +419,50 @@ def _mono(wave: np.ndarray) -> np.ndarray:
     return wave.reshape(-1)
 
 
-def _decode_audio(row, allow_fake: bool) -> np.ndarray:
-    """Mono samples for one payload row ((frames,), multi-channel
-    downmixed by `_mono`). RIFF/WAVE and FLAC payloads decode for REAL
-    via the engine's own parsers; other formats use soundfile when
-    shipped, else the gated deterministic fake."""
+def _decode_audio(row, allow_fake: bool) -> tuple[np.ndarray, int | None]:
+    """(mono samples, stream sample rate or None) for one payload row
+    ((frames,), multi-channel downmixed by `_mono`). RIFF/WAVE and FLAC
+    payloads decode for REAL via the engine's own parsers; mp3 payloads
+    get a REAL frame-header walk (true n_samples + sample rate) with
+    gated fake SAMPLES; other formats use soundfile when shipped, else
+    the gated deterministic fake sized from row metadata."""
     data = bytes(row["bytes"])
     if is_wav(data):
-        wave, _sr = decode_wav(data)
-        return _mono(wave)
+        wave, sr = decode_wav(data)
+        return _mono(wave), sr
     from jirlbot_spark.functions.flac import decode_flac, is_flac
 
     if is_flac(data):
-        wave, _sr = decode_flac(data)
-        return _mono(wave)
+        wave, sr = decode_flac(data)
+        return _mono(wave), sr
     codec = audio_codec()
     if codec is not None:  # pragma: no cover - cluster-only path
         import io
 
-        wave, _sr = codec.read(io.BytesIO(data))
-        return _mono(np.asarray(wave, dtype=np.float32))
+        wave, sr = codec.read(io.BytesIO(data))
+        return _mono(np.asarray(wave, dtype=np.float32)), int(sr)
+    from jirlbot_spark.functions.mp3 import is_mp3, mp3_info
+
+    if is_mp3(data):
+        if not allow_fake:
+            raise NotImplementedError(
+                "STUB: mp3 SAMPLE decode needs a codec library "
+                "(soundfile absent); the frame-header walk is real — "
+                "pass allow_fake=True for fake samples at the walked "
+                "length"
+            )
+        info = mp3_info(data)
+        return (
+            fake_decode_audio(data, info["n_samples"]),
+            info["sample_rate"],
+        )
     if not allow_fake:
         raise NotImplementedError(
-            "STUB: no codec for non-wav audio in this environment "
+            "STUB: no codec for this audio format in this environment "
             "(soundfile absent); pass allow_fake=True for the "
             "deterministic fake backend"
         )
-    return fake_decode_audio(data, row["n_samples"])
+    return fake_decode_audio(data, row["n_samples"]), None
 
 
 AUDIO_FEATURES_FIELDS = [
@@ -463,8 +484,10 @@ def audio_features(audio: DataFrame, allow_fake: bool = True) -> DataFrame:
                 continue
             rows = []
             for _, row in pdf.iterrows():
-                wave = _decode_audio(row, allow_fake)
-                sr = max(int(row["sample_rate"]), 1)
+                wave, stream_sr = _decode_audio(row, allow_fake)
+                # prefer the rate measured from the bytes over the
+                # metadata column — features describe the STREAM
+                sr = stream_sr or max(int(row["sample_rate"]), 1)
                 rows.append(
                     {
                         "audio_id": row["audio_id"],
@@ -500,6 +523,7 @@ def frame_sample(
     task (no shuffle); downstream repartitions only if it must."""
     out_schema = StructType(FRAME_FIELDS)
     codec = video_codec()
+    from jirlbot_spark.functions.mp4 import is_mp4, mp4_info
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -510,19 +534,32 @@ def frame_sample(
                 data = bytes(row["bytes"])
                 w, h = int(row["w"]), int(row["h"])
                 decoded = None
+                meta = None
                 if is_avi(data):
                     # REAL decode: uncompressed AVI via the engine's own
                     # RIFF parser — no codec library involved
                     decoded, _fps = decode_avi(data)
-                elif codec is None and not allow_fake:
-                    raise NotImplementedError(
-                        "STUB: no codec for non-avi video in this "
-                        "environment (av absent); pass allow_fake=True "
-                        "for the deterministic fake backend"
-                    )
+                else:
+                    if is_mp4(data):
+                        # container-REAL: frame count and dimensions
+                        # come from the box walk, not the metadata row
+                        try:
+                            meta = mp4_info(data)
+                        except ValueError:
+                            meta = None
+                    if codec is None and not allow_fake:
+                        raise NotImplementedError(
+                            "STUB: no codec for non-avi video frames in "
+                            "this environment (av absent); pass "
+                            "allow_fake=True for the deterministic fake "
+                            "backend"
+                        )
+                if meta is not None and meta.get("w") and meta.get("h"):
+                    w, h = int(meta["w"]), int(meta["h"])
                 n_frames = (
-                    len(decoded) if decoded is not None
-                    else int(row["n_frames"])
+                    len(decoded)
+                    if decoded is not None
+                    else (meta or {}).get("n_frames") or int(row["n_frames"])
                 )
                 for idx in range(0, n_frames, every_n):
                     frame = (

@@ -1,0 +1,223 @@
+"""MPEG audio (MP3) frame-header walker — container-real metadata
+without a sample decoder.
+
+Full MP3 sample decode needs a polyphase filterbank + Huffman tables
+that no in-sandbox library provides, and media.py keeps that behind its
+capability gate. But the FRAME STRUCTURE is trivial public spec
+(ISO/IEC 11172-3 / 13818-3 headers), and duration / sample-rate /
+channel-mode / bitrate are what a 100 TB training-data pipeline
+actually extracts from mp3 payloads before deciding whether to decode
+at all. This module walks the frame headers for real:
+
+  - mp3_info: skips ID3v2 (syncsafe size) and trailing ID3v1, then
+    walks consecutive frame headers across MPEG 1/2/2.5 x Layer I/II/III
+    with per-frame bitrate (VBR streams sum exactly), returning sample
+    rate, channels, frame/sample counts, duration and mean bitrate.
+  - encode_mp3_stub: a syntactically VALID CBR/VBR frame stream whose
+    payloads are deterministic junk — NOT decodable audio, and loudly
+    named so. It exists to make fixture mp3 rows container-real: the
+    header walk over stub bytes measures true duration/layout while the
+    sample path stays honestly gated (media.fake_decode_audio).
+
+"Free format" (bitrate index 0) frames have no in-header length and
+raise the explicit NotImplementedError gate.
+
+No reference counterpart: RovoMe/JIRLbot never decodes payloads; this
+serves the graft's training-data mandate (audio payload columns).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+# bitrate tables in kbps, index 1..14 (0 = free format, 15 = invalid);
+# keyed (is_mpeg1, layer) with layer in (1, 2, 3)
+_BR_V1 = {
+    1: (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    2: (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    3: (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+}
+_BR_V2 = {
+    1: (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    2: (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    3: (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+# sample rates by version bits (0=MPEG2.5, 2=MPEG2, 3=MPEG1)
+_SR = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def _parse_header(b0: int, b1: int, b2: int, b3: int):
+    """4 header bytes -> (frame_len, samples_per_frame, sample_rate,
+    channels, bitrate_kbps) or None if not a valid frame header.
+    Free-format frames raise NotImplementedError."""
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        return None
+    version = (b1 >> 3) & 3  # 0=2.5, 1=reserved, 2=MPEG2, 3=MPEG1
+    layer_bits = (b1 >> 1) & 3  # 3=I, 2=II, 1=III, 0=reserved
+    if version == 1 or layer_bits == 0:
+        return None
+    layer = 4 - layer_bits  # -> 1, 2, 3
+    br_idx = b2 >> 4
+    sr_idx = (b2 >> 2) & 3
+    padding = (b2 >> 1) & 1
+    if br_idx == 15 or sr_idx == 3:
+        return None
+    if br_idx == 0:
+        raise NotImplementedError("free-format MPEG audio frame")
+    mpeg1 = version == 3
+    br = (_BR_V1 if mpeg1 else _BR_V2)[layer][br_idx - 1] * 1000
+    sr = _SR[version][sr_idx]
+    channels = 1 if (b3 >> 6) == 3 else 2
+    if layer == 1:
+        frame_len = (12 * br // sr + padding) * 4
+        spf = 384
+    elif layer == 2:
+        frame_len = 144 * br // sr + padding
+        spf = 1152
+    else:  # layer III
+        if mpeg1:
+            frame_len = 144 * br // sr + padding
+            spf = 1152
+        else:
+            frame_len = 72 * br // sr + padding
+            spf = 576
+    return frame_len, spf, sr, channels, br
+
+
+def _skip_id3v2(data: bytes) -> int:
+    if data[:3] != b"ID3" or len(data) < 10:
+        return 0
+    flags = data[5]
+    size = (
+        (data[6] & 0x7F) << 21
+        | (data[7] & 0x7F) << 14
+        | (data[8] & 0x7F) << 7
+        | (data[9] & 0x7F)
+    )
+    return 10 + size + (10 if flags & 0x10 else 0)  # footer flag
+
+
+_SCAN_LIMIT = 4096  # bytes searched for the first sync word
+
+
+def mp3_info(data: bytes) -> dict:
+    """Walk the MPEG audio frames of `data`. Returns {sample_rate,
+    channels, n_frames, n_samples, duration_s, bitrate_kbps, vbr}.
+    Raises ValueError when no frame sequence exists."""
+    pos = _skip_id3v2(data)
+    end = len(data)
+    if end >= 128 and data[-128:-125] == b"TAG":  # ID3v1 trailer
+        end -= 128
+    # scan to the first header that is followed by a SECOND valid header
+    start = None
+    limit = min(pos + _SCAN_LIMIT, end - 4)
+    p = pos
+    while p <= limit:
+        hdr = _parse_header(*data[p : p + 4]) if p + 4 <= end else None
+        if hdr is not None:
+            nxt = p + hdr[0]
+            if nxt == end or (
+                nxt + 4 <= end and _parse_header(*data[nxt : nxt + 4])
+            ):
+                start = p
+                break
+        p += 1
+    if start is None:
+        raise ValueError("no MPEG audio frame sequence found")
+    n_frames = n_samples = total_bits = 0
+    sr = channels = None
+    bitrates = set()
+    p = start
+    while p + 4 <= end:
+        hdr = _parse_header(*data[p : p + 4])
+        if hdr is None:
+            break  # trailing garbage after the last full frame
+        frame_len, spf, fsr, fch, br = hdr
+        if p + frame_len > end:
+            break  # truncated final frame: exclude it
+        if sr is None:
+            sr, channels = fsr, fch
+        n_frames += 1
+        n_samples += spf
+        total_bits += frame_len * 8  # measured, not nominal
+        bitrates.add(br)
+        p += frame_len
+    if n_frames == 0:
+        raise ValueError("no complete MPEG audio frame")
+    duration = n_samples / sr
+    return {
+        "sample_rate": sr,
+        "channels": channels,
+        "n_frames": n_frames,
+        "n_samples": n_samples,
+        "duration_s": duration,
+        "bitrate_kbps": (total_bits / duration) / 1000.0,
+        "vbr": len(bitrates) > 1,
+    }
+
+
+def is_mp3(data: bytes) -> bool:
+    """True when a consecutive-frame sequence exists (two valid headers
+    in a row, or one frame ending exactly at EOF) — random bytes with an
+    accidental sync word do not qualify."""
+    try:
+        mp3_info(data)
+        return True
+    except (ValueError, NotImplementedError, IndexError):
+        return False
+
+
+def encode_mp3_stub(
+    sample_rate: int,
+    n_samples: int,
+    channels: int = 1,
+    bitrate_kbps: int = 128,
+    vbr_cycle: tuple[int, ...] = (),
+    seed: int = 0,
+    id3_bytes: int = 0,
+) -> bytes:
+    """STUB ENCODER: emits a syntactically valid MPEG1/2/2.5 Layer III
+    frame stream whose payloads are deterministic junk — header-walkable
+    (mp3_info reads true duration/layout) but NOT decodable audio.
+    `vbr_cycle` rotates bitrate (kbps) per frame for VBR-shaped streams;
+    `id3_bytes` prepends an ID3v2 header of that body size."""
+    for vbits, rates in _SR.items():
+        if sample_rate in rates:
+            version = vbits
+            sr_idx = rates.index(sample_rate)
+            break
+    else:
+        raise ValueError(f"no MPEG sample-rate slot for {sample_rate}")
+    mpeg1 = version == 3
+    spf = 1152 if mpeg1 else 576
+    table = (_BR_V1 if mpeg1 else _BR_V2)[3]
+    rates_cycle = vbr_cycle or (bitrate_kbps,)
+    for r in rates_cycle:
+        if r not in table:
+            raise ValueError(f"bitrate {r} not in the Layer III table")
+    out = bytearray()
+    if id3_bytes:
+        body = hashlib.blake2b(
+            struct.pack("<qi", seed, -1), digest_size=64
+        ).digest()
+        body = (body * (id3_bytes // 64 + 1))[:id3_bytes]
+        out += b"ID3\x04\x00\x00" + bytes(
+            [(id3_bytes >> s) & 0x7F for s in (21, 14, 7, 0)]
+        )
+        out += body
+    n_frames = max(1, -(-n_samples // spf))
+    for i in range(n_frames):
+        kbps = rates_cycle[i % len(rates_cycle)]
+        br_idx = table.index(kbps) + 1
+        frame_len = (144 if mpeg1 else 72) * (kbps * 1000) // sample_rate
+        b1 = 0xE0 | (version << 3) | (1 << 1) | 1  # layer III, no CRC
+        b2 = (br_idx << 4) | (sr_idx << 2)
+        b3 = (0xC0 if channels == 1 else 0x00)
+        out += bytes([0xFF, b1, b2, b3])
+        junk = hashlib.blake2b(
+            struct.pack("<qi", seed, i), digest_size=64
+        ).digest()
+        need = frame_len - 4
+        out += (junk * (need // 64 + 1))[:need]
+    return bytes(out)

@@ -389,10 +389,14 @@ def gen_audio(seed: int, n: int) -> pd.DataFrame:
     mono waveforms across PCM 8/16/24/32-bit and float32 — decoded for
     real by media.decode_wav); "flac" rows carry REAL FLAC bitstreams
     (the engine's own rice/fixed-predictor codec, functions/flac.py);
-    "mp3" rows stay opaque seeded blobs for the gated fake-decoder path
-    (no mp3 codec ships in-sandbox)."""
+    "mp3" rows carry CONTAINER-REAL stub streams (functions/mp3.py
+    encode_mp3_stub: valid MPEG frame headers + junk payloads — the
+    header walk measures true duration/rate while sample decode stays
+    honestly gated behind media's fake backend). Every 4th mp3 row is
+    VBR-shaped so the per-frame-length walk is exercised."""
     from jirlbot_spark.functions.flac import encode_flac
     from jirlbot_spark.functions.media import encode_wav
+    from jirlbot_spark.functions.mp3 import encode_mp3_stub, mp3_info
 
     rng = np.random.default_rng(seed)
     depths = [(8, False), (16, False), (24, False), (32, False), (32, True)]
@@ -422,7 +426,18 @@ def gen_audio(seed: int, n: int) -> pd.DataFrame:
                     np.clip(wave, -1, 1), sr, bits=bits, float32=f32
                 )
         else:
-            blob = rng.bytes(int(rng.integers(200, 2000)))
+            blob = encode_mp3_stub(
+                sr,
+                n_samples,
+                channels=1 + idx % 2,
+                bitrate_kbps=int(rng.choice([64, 96, 128])),
+                vbr_cycle=(64, 112, 128) if idx % 4 == 0 else (),
+                seed=idx,
+                id3_bytes=120 if idx % 5 == 0 else 0,
+            )
+            # metadata matches the stream (the walk rounds up to a
+            # whole MPEG frame)
+            n_samples = mp3_info(blob)["n_samples"]
         recs.append(
             {
                 "audio_id": f"aud{idx:08d}",
@@ -442,10 +457,13 @@ def gen_video(seed: int, n: int) -> pd.DataFrame:
     "avi" rows carry REAL uncompressed-AVI bytes and "mjpg" rows REAL
     MJPEG-in-AVI bytes (deterministic moving-gradient frames — both
     decoded for real by media.decode_avi, the MJPEG path through the
-    engine's own JPEG codec); "mp4"/"webm" rows stay opaque seeded blobs
-    for the gated fake-decoder path (no mp4/webm codec ships
-    in-sandbox)."""
+    engine's own JPEG codec); "mp4" rows carry CONTAINER-REAL stub boxes
+    (functions/mp4.py encode_mp4_stub: valid ISO-BMFF structure + junk
+    mdat — the box walk measures true n_frames/dimensions while frame
+    pixels stay honestly gated); "webm" rows stay opaque seeded blobs
+    (no matroska walker in-tree)."""
     from jirlbot_spark.functions.media import encode_avi
+    from jirlbot_spark.functions.mp4 import encode_mp4_stub
 
     rng = np.random.default_rng(seed)
     recs = []
@@ -472,6 +490,8 @@ def gen_video(seed: int, n: int) -> pd.DataFrame:
                 # the Spark operator path, not just unit tests
                 subsample="420" if fmt == "mjpg" and idx % 3 == 0 else "444",
             )
+        elif fmt == "mp4":
+            blob = encode_mp4_stub(w, h, n_frames, fps=fps, seed=idx)
         else:
             blob = rng.bytes(int(rng.integers(500, 5000)))
         recs.append(

@@ -432,8 +432,9 @@ def test_gen_audio_flac_rows_decode_real():
     for _, r in audio.iterrows():
         if r["fmt"] == "flac":
             assert is_flac(bytes(r["bytes"]))
-            wave = _decode_audio(r, allow_fake=False)
+            wave, sr = _decode_audio(r, allow_fake=False)
             assert len(wave) == r["n_samples"]
+            assert sr == r["sample_rate"]
             n_flac += 1
         elif r["fmt"] == "mp3":
             with pytest.raises(NotImplementedError):

@@ -164,22 +164,29 @@ def golden_image_resize() -> str:
 def golden_audio_features() -> str:
     from jirlbot_spark.functions.flac import decode_flac, is_flac
     from jirlbot_spark.functions.media import decode_wav, is_wav
+    from jirlbot_spark.functions.mp3 import is_mp3, mp3_info
 
     audio = gen_audio(7, 64)
     rows = []
     for r in audio.itertuples():
         # mirrors media._decode_audio: real RIFF/WAVE + FLAC parses,
         # multi-channel downmixed by channel mean (one sample per
-        # frame), gated fake for codec-less formats
+        # frame), container-real mp3 frame walk (true length + rate,
+        # fake samples), gated fake for the rest
+        sr = None
         if is_wav(bytes(r.bytes)):
-            wave = decode_wav(bytes(r.bytes))[0]
+            wave, sr = decode_wav(bytes(r.bytes))
         elif is_flac(bytes(r.bytes)):
-            wave = decode_flac(bytes(r.bytes))[0]
+            wave, sr = decode_flac(bytes(r.bytes))
+        elif is_mp3(bytes(r.bytes)):
+            info = mp3_info(bytes(r.bytes))
+            wave = fake_decode_audio(bytes(r.bytes), info["n_samples"])
+            sr = info["sample_rate"]
         else:
             wave = fake_decode_audio(bytes(r.bytes), r.n_samples)
         if wave.ndim == 2:
             wave = wave.mean(axis=1, dtype=np.float64).astype(np.float32)
-        sr = max(int(r.sample_rate), 1)
+        sr = sr or max(int(r.sample_rate), 1)
         rows.append(
             (
                 r.audio_id,
@@ -195,22 +202,34 @@ def golden_audio_features() -> str:
 
 def golden_frame_sample() -> str:
     from jirlbot_spark.functions.media import decode_avi, is_avi
+    from jirlbot_spark.functions.mp4 import is_mp4, mp4_info
 
     video = gen_video(9, 32)
     rows = []
     for r in video.itertuples():
         # mirrors media.frame_sample: real AVI decode for avi rows,
-        # content-seeded fake for codec-less formats; px_sum pins the
+        # container-real mp4 box walk (true n_frames/dims, fake
+        # pixels), content-seeded fake for the rest; px_sum pins the
         # actual emitted pixel CONTENT, not just cardinality
         decoded = (
             decode_avi(bytes(r.bytes))[0] if is_avi(bytes(r.bytes)) else None
         )
-        n_frames = len(decoded) if decoded is not None else int(r.n_frames)
+        w, h = int(r.w), int(r.h)
+        meta = None
+        if decoded is None and is_mp4(bytes(r.bytes)):
+            meta = mp4_info(bytes(r.bytes))
+            if meta.get("w") and meta.get("h"):
+                w, h = int(meta["w"]), int(meta["h"])
+        n_frames = (
+            len(decoded)
+            if decoded is not None
+            else (meta or {}).get("n_frames") or int(r.n_frames)
+        )
         for idx in range(0, n_frames, 10):
             frame = (
                 decoded[idx]
                 if decoded is not None
-                else fake_decode_frame(bytes(r.bytes), idx, int(r.w), int(r.h))
+                else fake_decode_frame(bytes(r.bytes), idx, w, h)
             )
             h, w = frame.shape[:2]
             rows.append(
