@@ -524,6 +524,7 @@ def frame_sample(
     out_schema = StructType(FRAME_FIELDS)
     codec = video_codec()
     from jirlbot_spark.functions.mp4 import is_mp4, mp4_info
+    from jirlbot_spark.functions.webm import is_webm, webm_info
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -540,11 +541,16 @@ def frame_sample(
                     # RIFF parser — no codec library involved
                     decoded, _fps = decode_avi(data)
                 else:
-                    if is_mp4(data):
-                        # container-REAL: frame count and dimensions
-                        # come from the box walk, not the metadata row
+                    # container-REAL: frame count and dimensions come
+                    # from the box/element walk, not the metadata row
+                    walker = (
+                        mp4_info
+                        if is_mp4(data)
+                        else webm_info if is_webm(data) else None
+                    )
+                    if walker is not None:
                         try:
-                            meta = mp4_info(data)
+                            meta = walker(data)
                         except ValueError:
                             meta = None
                     if codec is None and not allow_fake:

@@ -459,11 +459,13 @@ def gen_video(seed: int, n: int) -> pd.DataFrame:
     decoded for real by media.decode_avi, the MJPEG path through the
     engine's own JPEG codec); "mp4" rows carry CONTAINER-REAL stub boxes
     (functions/mp4.py encode_mp4_stub: valid ISO-BMFF structure + junk
-    mdat — the box walk measures true n_frames/dimensions while frame
-    pixels stay honestly gated); "webm" rows stay opaque seeded blobs
-    (no matroska walker in-tree)."""
+    mdat) and "webm" rows CONTAINER-REAL stub EBML (functions/webm.py:
+    valid Segment/Tracks/Cluster structure + junk SimpleBlocks) — the
+    box/element walks measure true n_frames/dimensions while frame
+    pixels stay honestly gated."""
     from jirlbot_spark.functions.media import encode_avi
     from jirlbot_spark.functions.mp4 import encode_mp4_stub
+    from jirlbot_spark.functions.webm import encode_webm_stub
 
     rng = np.random.default_rng(seed)
     recs = []
@@ -493,7 +495,7 @@ def gen_video(seed: int, n: int) -> pd.DataFrame:
         elif fmt == "mp4":
             blob = encode_mp4_stub(w, h, n_frames, fps=fps, seed=idx)
         else:
-            blob = rng.bytes(int(rng.integers(500, 5000)))
+            blob = encode_webm_stub(w, h, n_frames, fps=fps, seed=idx)
         recs.append(
             {
                 "video_id": f"vid{idx:08d}",

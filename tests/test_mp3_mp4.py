@@ -140,3 +140,45 @@ def test_frame_sample_mp4_cardinality_is_real(spark):
     assert sorted(r.frame_idx for r in out) == [0, 10, 20]
     assert all((r.w, r.h) == (24, 16) for r in out)
     assert all(len(r.pixels) == 24 * 16 * 3 for r in out)
+
+
+# ---------- webm walk ----------
+
+def test_webm_stub_walk():
+    from jirlbot_spark.functions.webm import encode_webm_stub, is_webm, webm_info
+
+    b = encode_webm_stub(640, 360, 75, fps=25.0, seed=2)
+    assert is_webm(b)
+    i = webm_info(b)
+    assert (i["w"], i["h"], i["n_frames"]) == (640, 360, 75)
+    assert abs(i["duration_s"] - 3.0) < 1e-9
+    assert abs(i["fps"] - 25.0) < 1e-9
+    assert i["codec"] == "V_VP8" and i["n_tracks"] == 1
+
+
+def test_webm_codec_and_errors():
+    from jirlbot_spark.functions.webm import encode_webm_stub, is_webm, webm_info
+
+    i = webm_info(encode_webm_stub(16, 16, 3, fps=30.0, codec="V_VP9", seed=1))
+    assert (i["n_frames"], i["codec"]) == (3, "V_VP9")
+    with pytest.raises(ValueError):
+        webm_info(b"not ebml at all")
+    rng = np.random.default_rng(3)
+    assert not any(
+        is_webm(rng.bytes(int(rng.integers(100, 2000)))) for _ in range(200)
+    )
+
+
+def test_frame_sample_webm_cardinality_is_real(spark):
+    from jirlbot_spark.functions.media import VIDEO_SCHEMA, frame_sample
+    from jirlbot_spark.functions.webm import encode_webm_stub
+
+    blob = encode_webm_stub(20, 12, 31, fps=30.0, seed=6)
+    row = {
+        "video_id": "v1", "bytes": blob, "fmt": "webm", "w": 8, "h": 8,
+        "n_frames": 5, "fps": 30.0, "caption": "x",
+    }
+    df = spark.createDataFrame(pd.DataFrame([row]), schema=VIDEO_SCHEMA)
+    out = frame_sample(df, every_n=10).collect()
+    assert sorted(r.frame_idx for r in out) == [0, 10, 20, 30]
+    assert all((r.w, r.h) == (20, 12) for r in out)

@@ -203,23 +203,30 @@ def golden_audio_features() -> str:
 def golden_frame_sample() -> str:
     from jirlbot_spark.functions.media import decode_avi, is_avi
     from jirlbot_spark.functions.mp4 import is_mp4, mp4_info
+    from jirlbot_spark.functions.webm import is_webm, webm_info
 
     video = gen_video(9, 32)
     rows = []
     for r in video.itertuples():
         # mirrors media.frame_sample: real AVI decode for avi rows,
-        # container-real mp4 box walk (true n_frames/dims, fake
-        # pixels), content-seeded fake for the rest; px_sum pins the
-        # actual emitted pixel CONTENT, not just cardinality
+        # container-real mp4 box / webm element walks (true
+        # n_frames/dims, fake pixels), content-seeded fake for the
+        # rest; px_sum pins the actual emitted pixel CONTENT, not just
+        # cardinality
         decoded = (
             decode_avi(bytes(r.bytes))[0] if is_avi(bytes(r.bytes)) else None
         )
         w, h = int(r.w), int(r.h)
         meta = None
-        if decoded is None and is_mp4(bytes(r.bytes)):
-            meta = mp4_info(bytes(r.bytes))
-            if meta.get("w") and meta.get("h"):
-                w, h = int(meta["w"]), int(meta["h"])
+        if decoded is None:
+            blob = bytes(r.bytes)
+            walker = (
+                mp4_info if is_mp4(blob) else webm_info if is_webm(blob) else None
+            )
+            if walker is not None:
+                meta = walker(blob)
+                if meta.get("w") and meta.get("h"):
+                    w, h = int(meta["w"]), int(meta["h"])
         n_frames = (
             len(decoded)
             if decoded is not None
