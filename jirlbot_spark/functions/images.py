@@ -257,9 +257,10 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
 
 
 def decode_bmp(data: bytes) -> np.ndarray:
-    """Decode a BITMAPINFOHEADER BMP to (h, w, 3) RGB. Wild-capable:
-    24/32-bit BI_RGB (alpha dropped), 1/4/8-bit paletted, BI_RLE8,
-    top-down (negative height) rows."""
+    """Decode a BITMAPINFOHEADER-family BMP to (h, w, 3) RGB.
+    Wild-capable: 24/32-bit BI_RGB (alpha dropped), 1/4/8-bit paletted,
+    BI_RLE8, 16/32-bit BI_BITFIELDS with arbitrary channel masks
+    (V3 appended masks and V4/V5 in-header masks), top-down rows."""
     assert data[:2] == b"BM", "not a BMP"
     (offset,) = struct.unpack("<I", data[10:14])
     (hdr_size,) = struct.unpack("<I", data[14:18])
@@ -267,6 +268,35 @@ def decode_bmp(data: bytes) -> np.ndarray:
     (bpp,) = struct.unpack("<H", data[28:30])
     (compression,) = struct.unpack("<I", data[30:34])
     ah = abs(h)
+    if compression == 3:  # BI_BITFIELDS
+        if bpp not in (16, 32):
+            raise NotImplementedError(f"BI_BITFIELDS at {bpp} bpp")
+        # masks live in the header for V4/V5 (size >= 52) and directly
+        # after a 40-byte V3 header otherwise — byte 54 either way
+        masks = struct.unpack("<III", data[54:66])
+        dt = "<u2" if bpp == 16 else "<u4"
+        row_size = (w * bpp // 8 + 3) & ~3
+        arr = np.frombuffer(
+            data, np.uint8, count=row_size * ah, offset=offset
+        ).reshape(ah, row_size)
+        pix = arr[:, : w * bpp // 8].reshape(ah * w, bpp // 8).copy().view(
+            dt
+        ).reshape(ah, w).astype(np.uint32)
+        chans = []
+        for m in masks:
+            if m == 0:
+                chans.append(np.zeros((ah, w), np.uint8))
+                continue
+            shift = (m & -m).bit_length() - 1
+            width = int(m).bit_count()
+            v = (pix & m) >> shift
+            if width < 8:
+                v = v * 255 // ((1 << width) - 1)
+            elif width > 8:
+                v = v >> (width - 8)
+            chans.append(v.astype(np.uint8))
+        rgb = np.stack(chans, axis=-1)
+        return rgb[::-1] if h > 0 else rgb
     if compression not in (0, 1):
         raise NotImplementedError(f"BMP compression {compression}")
     if bpp in (1, 4, 8):

@@ -1,0 +1,163 @@
+"""Cross-validation of the image codec family against INDEPENDENT,
+third-party-encoded files.
+
+CPython ships a 16x16 logo encoded by external tools (ImageMagick et
+al.) in several formats under `test/imghdrdata/`. These are the only
+wild-encoder image files available in this sandbox, and they close the
+independence gap the in-tree goldens cannot: a decoder bug shared with
+the in-tree encoder CANNOT pass here.
+
+Ground truth is the PPM (P6) file, parsed by the inline `_read_ppm`
+below — a format so trivial the parser is its own proof.
+
+Observed file facts pinned here:
+  - python.png: libpng-produced RGBA -> our decoder matches EXACTLY.
+  - python.tiff: LZW TIFF -> EXACT.
+  - python.bmp: BITMAPV5, 32-bit BI_BITFIELDS -> EXACT.
+  - python.gif: ImageMagick, 64-color quantized palette + transparency
+    index 63 -> all pixels match the palette-quantized content; the 9
+    transparent-index pixels legitimately decode to palette[63] (we
+    return RGB, alpha semantics documented in gif.py).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+_CANDIDATES = [
+    os.path.join(sys.prefix, f"lib/python3.{m}/test/imghdrdata")
+    for m in range(9, 15)
+]
+_DIR = next((p for p in _CANDIDATES if os.path.isdir(p)), None)
+
+pytestmark = pytest.mark.skipif(
+    _DIR is None, reason="CPython imghdrdata test files not found"
+)
+
+
+def _load(name: str) -> bytes:
+    with open(os.path.join(_DIR, name), "rb") as f:
+        return f.read()
+
+
+def _read_ppm(data: bytes) -> np.ndarray:
+    """Minimal independent P6 parser (binary RGB, maxval 255)."""
+    tok, i = [], 0
+    while len(tok) < 4:
+        while data[i : i + 1].isspace():
+            i += 1
+        if data[i : i + 1] == b"#":
+            while data[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while not data[j : j + 1].isspace():
+            j += 1
+        tok.append(data[i:j])
+        i = j
+    assert tok[0] == b"P6" and tok[3] == b"255"
+    w, h = int(tok[1]), int(tok[2])
+    return np.frombuffer(data, np.uint8, w * h * 3, i + 1).reshape(h, w, 3)
+
+
+@pytest.fixture(scope="module")
+def truth():
+    return _read_ppm(_load("python.ppm"))
+
+
+def test_wild_png_exact(truth):
+    from jirlbot_spark.functions.images import decode_png
+
+    assert np.array_equal(decode_png(_load("python.png")), truth)
+
+
+def test_wild_tiff_exact(truth):
+    from jirlbot_spark.functions.tiff import decode_tiff
+
+    assert np.array_equal(decode_tiff(_load("python.tiff")), truth)
+
+
+def test_wild_bmp_bitfields_exact(truth):
+    from jirlbot_spark.functions.images import decode_bmp
+
+    assert np.array_equal(decode_bmp(_load("python.bmp")), truth)
+
+
+def test_wild_gif_quantized(truth):
+    from jirlbot_spark.functions.gif import decode_gif
+
+    data = _load("python.gif")
+    px = decode_gif(data)
+    # the file's own 64-color global table; transparency index 63
+    pal = np.frombuffer(data, np.uint8, 64 * 3, 13).reshape(64, 3)
+    transparent = np.all(px == pal[63], axis=2) & (
+        np.abs(px.astype(np.int32) - truth.astype(np.int32)).max(axis=2) > 20
+    )
+    assert int(transparent.sum()) == 9  # the file's transparent pixels
+    rest = ~transparent
+    diff = np.abs(px.astype(np.int32) - truth.astype(np.int32))[rest]
+    assert diff.max() <= 8  # 64-color quantization bound, not our loss
+    # and our decode must be internally palette-consistent
+    flat = px.reshape(-1, 3)
+    pal_set = {tuple(c) for c in pal}
+    assert all(tuple(c) in pal_set for c in flat)
+
+
+def test_wild_pgm_gray_consistency(truth):
+    """python.pgm is the same logo as luma; parse it independently and
+    check it is a plausible grayscale of the PPM (exercises nothing of
+    ours — documents the fixture family's internal consistency)."""
+    data = _load("python.pgm")
+    tok, i = [], 0
+    while len(tok) < 4:
+        while data[i : i + 1].isspace():
+            i += 1
+        j = i
+        while not data[j : j + 1].isspace():
+            j += 1
+        tok.append(data[i:j])
+        i = j
+    assert tok[0] == b"P5"
+    g = np.frombuffer(data, np.uint8, 16 * 16, i + 1).reshape(16, 16)
+    luma = truth.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    assert np.abs(g.astype(np.float64) - luma).mean() < 16.0
+
+
+def test_bmp_bitfields_565_synthetic():
+    """16-bit RGB565 BI_BITFIELDS with a V3 header + appended masks."""
+    import struct
+
+    from jirlbot_spark.functions.images import decode_bmp
+
+    rng = np.random.default_rng(1)
+    px0 = rng.integers(0, 256, (5, 7, 3), np.uint8).astype(np.int32)
+    h, w, _ = px0.shape
+    p16 = (
+        ((px0[..., 0] >> 3) << 11)
+        | ((px0[..., 1] >> 2) << 5)
+        | (px0[..., 2] >> 3)
+    ).astype("<u2")
+    row_size = (w * 2 + 3) & ~3
+    rows = np.zeros((h, row_size), np.uint8)
+    rows[:, : w * 2] = p16.view(np.uint8).reshape(h, w * 2)
+    blob = (
+        struct.pack("<2sIHHI", b"BM", 66 + rows.nbytes, 0, 0, 66)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 16, 3, rows.nbytes, 0, 0, 0, 0
+        )
+        + struct.pack("<III", 0xF800, 0x07E0, 0x001F)
+        + rows[::-1].tobytes()
+    )
+    exp = np.stack(
+        [
+            (px0[..., 0] >> 3) * 255 // 31,
+            (px0[..., 1] >> 2) * 255 // 63,
+            (px0[..., 2] >> 3) * 255 // 31,
+        ],
+        -1,
+    ).astype(np.uint8)
+    assert np.array_equal(decode_bmp(blob), exp)
