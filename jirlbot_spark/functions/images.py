@@ -34,7 +34,7 @@ import zlib
 import numpy as np
 import pandas as pd
 
-LOSSLESS_FMTS = ("png", "bmp", "raw", "gif", "tiff")
+LOSSLESS_FMTS = ("png", "bmp", "raw", "gif", "tiff", "webp")
 LOSSY_FMTS = ("jpeg",)
 JPEG_QUALITY = 98  # fixture-content PSNR >= ~43 dB (invariant floor: 40)
 
@@ -408,6 +408,10 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
         from jirlbot_spark.functions.tiff import encode_tiff
 
         return encode_tiff(pixels)
+    if fmt == "webp":
+        from jirlbot_spark.functions.webp import encode_webp
+
+        return encode_webp(pixels)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -430,6 +434,10 @@ def decode_image(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         from jirlbot_spark.functions.tiff import decode_tiff
 
         return decode_tiff(data)
+    if fmt == "webp":
+        from jirlbot_spark.functions.webp import decode_webp
+
+        return decode_webp(data)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
