@@ -97,6 +97,22 @@ class _BR:
             got += take
         return val
 
+    def peek(self, nbits: int) -> int:
+        """read() without consuming and without the end-of-stream check
+        (past-the-end bits read as 0 — callers rewind to a valid pos)."""
+        p = self.pos
+        val = 0
+        got = 0
+        nbytes = len(self.d)
+        while got < nbits:
+            bidx = (p + got) >> 3
+            byte = self.d[bidx] if bidx < nbytes else 0
+            bit_off = (p + got) & 7
+            take = min(8 - bit_off, nbits - got)
+            val |= ((byte >> bit_off) & ((1 << take) - 1)) << got
+            got += take
+        return val
+
 
 class _BW:
     def __init__(self) -> None:
@@ -163,19 +179,33 @@ class _Prefix:
         self.firsts = firsts
         self.syms = syms
         self.maxlen = maxlen
+        # table-driven fast path: peek maxlen LSB-first bits, one dict
+        # lookup -> (symbol, length), rewind the unused bits. The
+        # stream carries code bits MSB-of-code-first, so the peeked
+        # value holds the code bit-reversed in its LOW `length` bits.
+        table: dict[int, tuple[int, int]] = {}
+        idx_base = 0
+        for ln in range(1, maxlen + 1):
+            for k in range(counts[ln]):
+                c = firsts[ln] + k
+                rev = int(f"{c:0{ln}b}"[::-1], 2)
+                sym = syms[idx_base + k]
+                for pad in range(1 << (maxlen - ln)):
+                    table[rev | (pad << ln)] = (sym, ln)
+            idx_base += counts[ln]
+        self.table = table
 
     def read(self, br: _BR) -> int:
         if self.single is not None:
             return self.single
-        code = 0
-        idx_base = 0
-        for ln in range(1, self.maxlen + 1):
-            code = (code << 1) | br.read(1)
-            c = self.counts[ln]
-            if code - self.firsts[ln] < c:
-                return self.syms[idx_base + code - self.firsts[ln]]
-            idx_base += c
-        raise ValueError("bad prefix code in VP8L stream")
+        hit = self.table.get(br.peek(self.maxlen))
+        if hit is None:
+            raise ValueError("bad prefix code in VP8L stream")
+        sym, ln = hit
+        if br.pos + ln > br.n:
+            raise ValueError("truncated VP8L stream")
+        br.pos += ln
+        return sym
 
 
 def _read_prefix_code(br: _BR, alphabet: int) -> _Prefix:
