@@ -161,3 +161,27 @@ def test_bmp_bitfields_565_synthetic():
         -1,
     ).astype(np.uint8)
     assert np.array_equal(decode_bmp(blob), exp)
+
+
+def test_wild_jpeg_psnr(truth):
+    """python.jpg / python-raw.jpg: third-party baseline 4:2:0 JPEGs of
+    the same logo (one JFIF-framed, one bare SOI+DQT). Wild-encoder
+    evidence for the jpeg.py DECODER: total PSNR is bounded by the
+    file's own 4:2:0 chroma loss on a saturated 16x16 logo (~23 dB),
+    so the discriminating pin is LUMA PSNR >= 35 dB — a decoder bug
+    (wrong dequant, IDCT, upsample geometry) lands far below that.
+    Both framings must also decode bit-identically (same coefficients,
+    different metadata)."""
+    from jirlbot_spark.functions.jpeg import decode_jpeg
+
+    a = decode_jpeg(_load("python.jpg"))
+    b = decode_jpeg(_load("python-raw.jpg"))
+    assert a.shape == (16, 16, 3)
+    assert np.array_equal(a, b)
+    t = truth.astype(np.float64)
+    af = a.astype(np.float64)
+    lw = np.array([0.299, 0.587, 0.114])
+    mse_luma = np.mean(((af - t) @ lw) ** 2)
+    assert 10 * np.log10(255.0**2 / mse_luma) >= 35.0  # measured: 35.54
+    mse = np.mean((af - t) ** 2)
+    assert 10 * np.log10(255.0**2 / mse) >= 22.0  # measured: 23.44
