@@ -17,6 +17,12 @@ No PIL in this sandbox, so the codecs are self-contained numpy+stdlib:
   - gif: real GIF89a (functions/gif.py: variable-width LZW, global
     color table, interlace-capable decoder) — lossless for palettized
     content; fixture rows posterize first so the exact branch holds.
+  - tiff/webp/ppm: real codecs in functions/tiff.py, webp.py, pnm.py —
+    lossless, exact-match invariant.
+  - ras/sgi/xbm/pgm/pbm: wild DECODE-only formats
+    (functions/legacy_rasters.py, pnm.py) — a crawl meets them but the
+    engine never needs to emit them, so they are not in LOSSLESS_FMTS;
+    validated against third-party-encoded files (tests/test_wild_files).
 
 phash: classic DCT hash — resize to 32x32 grayscale (area mean-pool),
 2D DCT-II, top-left 8x8 minus DC, median threshold -> 64-bit int. Pure
@@ -34,7 +40,7 @@ import zlib
 import numpy as np
 import pandas as pd
 
-LOSSLESS_FMTS = ("png", "bmp", "raw", "gif", "tiff", "webp")
+LOSSLESS_FMTS = ("png", "bmp", "raw", "gif", "tiff", "webp", "ppm")
 LOSSY_FMTS = ("jpeg",)
 JPEG_QUALITY = 98  # fixture-content PSNR >= ~43 dB (invariant floor: 40)
 
@@ -412,6 +418,10 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
         from jirlbot_spark.functions.webp import encode_webp
 
         return encode_webp(pixels)
+    if fmt == "ppm":
+        from jirlbot_spark.functions.pnm import encode_pnm
+
+        return encode_pnm(pixels)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -438,6 +448,18 @@ def decode_image(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         from jirlbot_spark.functions.webp import decode_webp
 
         return decode_webp(data)
+    if fmt in ("ppm", "pgm", "pbm", "pnm"):
+        from jirlbot_spark.functions.pnm import decode_pnm
+
+        return decode_pnm(data)
+    if fmt in ("ras", "sgi", "xbm"):
+        from jirlbot_spark.functions import legacy_rasters as lr
+
+        return {
+            "ras": lr.decode_ras,
+            "sgi": lr.decode_sgi,
+            "xbm": lr.decode_xbm,
+        }[fmt](data)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 

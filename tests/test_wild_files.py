@@ -163,6 +163,48 @@ def test_bmp_bitfields_565_synthetic():
     assert np.array_equal(decode_bmp(blob), exp)
 
 
+def test_wild_pnm_family(truth):
+    """Engine PNM codec vs the inline _read_ppm ground-truth parser
+    (independent implementations) + the P5/P4 wild files."""
+    from jirlbot_spark.functions.pnm import decode_pnm
+
+    assert np.array_equal(decode_pnm(_load("python.ppm")), truth)
+    pgm = decode_pnm(_load("python.pgm"))
+    assert pgm.shape == (16, 16, 3)
+    luma = truth.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    assert np.abs(pgm[..., 0].astype(np.float64) - luma).mean() < 16.0
+    pbm = decode_pnm(_load("python.pbm"))
+    assert set(np.unique(pbm)) <= {0, 255}
+
+
+def test_wild_sun_raster_exact(truth):
+    from jirlbot_spark.functions.legacy_rasters import decode_ras
+
+    assert np.array_equal(decode_ras(_load("python.ras")), truth)
+
+
+def test_wild_sgi_exact(truth):
+    from jirlbot_spark.functions.legacy_rasters import decode_sgi
+
+    assert np.array_equal(decode_sgi(_load("python.sgi")), truth)
+
+
+def test_wild_xbm_matches_pbm(truth):
+    """python.xbm and python.pbm carry the same 1-bit rendering from
+    two different third-party encoders; both decoders must agree
+    BIT-EXACTLY — a packing/polarity bug in either breaks it."""
+    from jirlbot_spark.functions.legacy_rasters import decode_xbm
+    from jirlbot_spark.functions.pnm import decode_pnm
+
+    xbm = decode_xbm(_load("python.xbm"))
+    pbm = decode_pnm(_load("python.pbm"))
+    assert np.array_equal(xbm, pbm)
+    # black pixels sit where the truth is dark
+    dark = truth.astype(np.float64).mean(axis=2) < 128
+    black = xbm[..., 0] == 0
+    assert (black == dark).mean() > 0.85
+
+
 def test_wild_jpeg_psnr(truth):
     """python.jpg / python-raw.jpg: third-party baseline 4:2:0 JPEGs of
     the same logo (one JFIF-framed, one bare SOI+DQT). Wild-encoder
