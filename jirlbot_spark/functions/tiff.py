@@ -8,13 +8,17 @@ jpeg.py) gains a real TIFF branch:
   - encode_tiff: classic little-endian ("II") 8-bit chunky RGB, strip
     layout, compression none / PackBits / LZW (with horizontal
     predictor) / Deflate. Lossless for arbitrary RGB input.
-  - decode_tiff: wild-capable baseline reader — both byte orders
-    (II/MM), bit depths 1/2/4/8/16, photometric WhiteIsZero /
-    BlackIsZero / RGB / Palette, multi-strip, horizontal predictor,
-    ExtraSamples (alpha dropped), all 8 orientation transforms, and
-    compressions none (1), LZW (5), Deflate (8 and the legacy 32946
-    code), PackBits (32773). Tiled, planar, fill-order-2, CCITT and
-    JPEG-in-TIFF variants raise the explicit NotImplementedError gate.
+  - decode_tiff: wild-capable baseline+extension reader — both byte
+    orders (II/MM), bit depths 1/2/4/8/16, photometric WhiteIsZero /
+    BlackIsZero / RGB / Palette (+ YCbCr under JPEG), STRIPPED and
+    TILED layouts, chunky and planar (PlanarConfiguration 2) sample
+    order, multi-strip, horizontal predictor, ExtraSamples (alpha
+    dropped), all 8 orientation transforms, and compressions none (1),
+    LZW (5), new-style JPEG (7, shared JPEGTables spliced per segment,
+    decoded by the engine's own functions/jpeg.py), Deflate (8 and the
+    legacy 32946 code), PackBits (32773). Old-style JPEG (6),
+    fill-order-2 and CCITT variants raise the explicit
+    NotImplementedError gate.
 
 TIFF LZW vs the GIF LZW in functions/gif.py: codes pack MSB-first (GIF
 is LSB-first), roots are always the 256 byte values with CLEAR=256 /
@@ -53,10 +57,12 @@ _WIDTH, _HEIGHT, _BITS, _COMPRESSION, _PHOTOMETRIC = 256, 257, 258, 259, 262
 _FILLORDER, _STRIP_OFFSETS, _ORIENTATION, _SPP = 266, 273, 274, 277
 _ROWS_PER_STRIP, _STRIP_COUNTS, _PLANAR, _PREDICTOR = 278, 279, 284, 317
 _COLORMAP = 320
-_TILE_TAGS = (322, 323, 324, 325)
+_TILE_W, _TILE_H, _TILE_OFFSETS, _TILE_COUNTS = 322, 323, 324, 325
 
 _COMP_NONE, _COMP_LZW, _COMP_DEFLATE = 1, 5, 8
 _COMP_DEFLATE_OLD, _COMP_PACKBITS = 32946, 32773
+_COMP_JPEG = 7  # "new-style" JPEG-in-TIFF (TTN2); old-style 6 stays gated
+_JPEG_TABLES = 347
 
 _CLEAR, _EOI = 256, 257
 
@@ -321,6 +327,99 @@ def _tag1(tags: dict, tag: int, default=None):
     return default if v is None else v[0]
 
 
+def _assemble_jpeg(
+    data: bytes,
+    tags: dict,
+    offsets: tuple,
+    counts: tuple,
+    w: int,
+    h: int,
+    geom: tuple[int, int, int],
+    planar: int,
+) -> np.ndarray:
+    """New-style JPEG-in-TIFF (compression 7): each strip/tile is a JPEG
+    stream; shared tables from the JPEGTables tag (abbreviated
+    SOI..EOI stream) splice in after each segment's SOI. Delegates the
+    entropy work to the engine's own codec (functions/jpeg.py)."""
+    from jirlbot_spark.functions.jpeg import decode_jpeg
+
+    if planar != 1:
+        raise NotImplementedError("planar JPEG-in-TIFF")
+    seg_w, seg_h, across = geom
+    tbl_raw = tags.get(_JPEG_TABLES)
+    tbl = b""
+    if tbl_raw:
+        # type UNDEFINED arrives as one bytes blob; type BYTE as ints
+        if isinstance(tbl_raw[0], (bytes, bytearray)):
+            t = bytes(tbl_raw[0])
+        else:
+            t = bytes(tbl_raw)
+        if t[:2] == b"\xff\xd8" and t[-2:] == b"\xff\xd9":
+            tbl = t[2:-2]
+    canvas = np.zeros((h, w, 3), np.uint8)
+    for i, (off, cnt) in enumerate(zip(offsets, counts)):
+        seg = bytes(data[off : off + cnt])
+        if seg[:2] != b"\xff\xd8":
+            raise ValueError("JPEG-in-TIFF segment without SOI")
+        if tbl:
+            seg = seg[:2] + tbl + seg[2:]
+        px = decode_jpeg(seg)
+        ty, tx = divmod(i, across)
+        y0, x0 = ty * seg_h, tx * seg_w
+        ph = min(px.shape[0], h - y0)
+        pw = min(px.shape[1], w - x0)
+        canvas[y0 : y0 + ph, x0 : x0 + pw] = px[:ph, :pw]
+    return canvas
+
+
+def _decompress(raw: bytes, comp: int, expected: int) -> bytes:
+    if comp == _COMP_LZW:
+        return lzw_decode(raw, expected)
+    if comp in (_COMP_DEFLATE, _COMP_DEFLATE_OLD):
+        return zlib.decompress(raw)
+    if comp == _COMP_PACKBITS:
+        return packbits_decode(raw, expected)
+    return raw
+
+
+def _segment_samples(
+    raw: bytes,
+    n_rows: int,
+    seg_w: int,
+    spp: int,
+    bits: int,
+    predictor: int,
+    order: str,
+) -> np.ndarray:
+    """Decompressed segment bytes -> (n_rows, seg_w, spp) uint8 samples.
+    16-bit samples reduce to their high byte AFTER predictor
+    accumulation; sub-byte samples unpack MSB-first (FillOrder 1)."""
+    row_bytes = (seg_w * spp * bits + 7) // 8
+    expected = n_rows * row_bytes
+    if len(raw) < expected:
+        raise ValueError("truncated TIFF segment")
+    rows = np.frombuffer(raw, np.uint8, count=expected).reshape(
+        n_rows, row_bytes
+    )
+    if bits == 8:
+        s = rows.reshape(n_rows, seg_w, spp)
+        if predictor == 2:
+            s = s.cumsum(axis=1, dtype=np.uint8)
+        return s
+    if bits == 16:
+        dt = np.dtype(f"{order}u2")
+        s16 = rows.view(dt).reshape(n_rows, seg_w, spp)
+        if predictor == 2:
+            s16 = s16.cumsum(axis=1, dtype=np.uint16).astype(dt)
+        return (s16.astype(np.uint16) >> 8).astype(np.uint8)
+    # 1/2/4-bit, single sample per pixel (gated upstream otherwise)
+    unpacked = np.unpackbits(rows, axis=1)
+    vals = np.zeros((n_rows, row_bytes * 8 // bits), np.uint8)
+    for b in range(bits):
+        vals = (vals << 1) | unpacked[:, b::bits][:, : vals.shape[1]]
+    return vals[:, :seg_w].reshape(n_rows, seg_w, 1)
+
+
 _ORIENT = {
     1: lambda a: a,
     2: lambda a: a[:, ::-1],
@@ -344,20 +443,19 @@ def decode_tiff(data: bytes) -> np.ndarray:
         raise ValueError(f"bad TIFF magic {magic}")
     tags = _read_ifd(data, order, ifd_off)
 
-    if any(t in tags for t in _TILE_TAGS):
-        raise NotImplementedError("tiled TIFF")
-    if _tag1(tags, _PLANAR, 1) != 1:
-        raise NotImplementedError("planar-configuration TIFF")
     if _tag1(tags, _FILLORDER, 1) != 1:
         raise NotImplementedError("fill-order-2 TIFF")
+    planar = _tag1(tags, _PLANAR, 1)
+    if planar not in (1, 2):
+        raise ValueError(f"bad planar configuration {planar}")
     comp = _tag1(tags, _COMPRESSION, 1)
     if comp not in (
         _COMP_NONE, _COMP_LZW, _COMP_DEFLATE, _COMP_DEFLATE_OLD,
-        _COMP_PACKBITS,
+        _COMP_PACKBITS, _COMP_JPEG,
     ):
         raise NotImplementedError(f"TIFF compression {comp}")
     photo = _tag1(tags, _PHOTOMETRIC)
-    if photo not in (0, 1, 2, 3):
+    if photo not in (0, 1, 2, 3) and not (photo == 6 and comp == _COMP_JPEG):
         raise NotImplementedError(f"TIFF photometric {photo}")
 
     w = _tag1(tags, _WIDTH)
@@ -371,7 +469,8 @@ def decode_tiff(data: bytes) -> np.ndarray:
     bits = bits_arr[0]
     if bits not in (1, 2, 4, 8, 16):
         raise NotImplementedError(f"{bits}-bit TIFF samples")
-    if bits < 8 and spp != 1:
+    spp_seg = 1 if planar == 2 else spp  # samples per segment pixel
+    if bits < 8 and spp_seg != 1:
         raise NotImplementedError("sub-byte multi-sample TIFF")
     predictor = _tag1(tags, _PREDICTOR, 1)
     if predictor not in (1, 2):
@@ -379,68 +478,77 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if predictor == 2 and bits < 8:
         raise NotImplementedError("predictor on sub-byte samples")
 
-    offsets = tags.get(_STRIP_OFFSETS)
-    counts = tags.get(_STRIP_COUNTS)
-    if offsets is None:
-        raise ValueError("missing strip offsets")
-    rps = min(int(_tag1(tags, _ROWS_PER_STRIP, h)), h) or h
-    n_strips = (h + rps - 1) // rps
-    if len(offsets) != n_strips:
+    # segment geometry: strips or tiles, chunky or per-plane
+    tile_w = _tag1(tags, _TILE_W)
+    tile_h = _tag1(tags, _TILE_H)
+    tiled = tile_w is not None or tile_h is not None
+    planes = spp if planar == 2 else 1
+    if tiled:
+        if not tile_w or not tile_h:
+            raise ValueError("tiled TIFF missing TileWidth/TileLength")
+        offsets = tags.get(_TILE_OFFSETS)
+        counts = tags.get(_TILE_COUNTS)
+        if offsets is None or counts is None:
+            raise ValueError("tiled TIFF missing tile offsets/counts")
+        across = (w + tile_w - 1) // tile_w
+        down = (h + tile_h - 1) // tile_h
+        n_seg = across * down
+        rps = tile_h
+    else:
+        offsets = tags.get(_STRIP_OFFSETS)
+        counts = tags.get(_STRIP_COUNTS)
+        if offsets is None:
+            raise ValueError("missing strip offsets")
+        rps = min(int(_tag1(tags, _ROWS_PER_STRIP, h)), h) or h
+        n_seg = (h + rps - 1) // rps
+        if counts is None:
+            if comp != _COMP_NONE or n_seg * planes != 1:
+                raise ValueError("missing strip byte counts")
+            counts = (len(data) - offsets[0],)
+    if len(offsets) != n_seg * planes:
         raise ValueError(
-            f"strip count {len(offsets)} != expected {n_strips}"
+            f"segment count {len(offsets)} != expected {n_seg * planes}"
         )
-    if counts is None:
-        if comp != _COMP_NONE or n_strips != 1:
-            raise ValueError("missing strip byte counts")
-        counts = (len(data) - offsets[0],)
 
-    row_bytes = (w * spp * bits + 7) // 8
-    rows = np.zeros((h, row_bytes), np.uint8)
-    for i, (off, cnt) in enumerate(zip(offsets, counts)):
-        n_rows = min(rps, h - i * rps)
-        expected = n_rows * row_bytes
-        raw = bytes(data[off : off + cnt])
-        if comp == _COMP_LZW:
-            raw = lzw_decode(raw, expected)
-        elif comp in (_COMP_DEFLATE, _COMP_DEFLATE_OLD):
-            raw = zlib.decompress(raw)
-        elif comp == _COMP_PACKBITS:
-            raw = packbits_decode(raw, expected)
-        if len(raw) < expected:
-            raise ValueError("truncated TIFF strip")
-        strip = np.frombuffer(raw, np.uint8, count=expected).reshape(
-            n_rows, row_bytes
+    if comp == _COMP_JPEG:
+        rgb = _assemble_jpeg(
+            data, tags, offsets, counts, w, h,
+            (tile_w, tile_h, across) if tiled else (w, rps, 1),
+            planar,
         )
-        if predictor == 2:
-            if bits == 8:
-                strip = strip.reshape(n_rows, w, spp).cumsum(
-                    axis=1, dtype=np.uint8
-                ).reshape(n_rows, row_bytes)
-            else:  # 16-bit: difference over 16-bit samples
-                dt = np.dtype(f"{order}u2")
-                s16 = strip.view(dt).reshape(n_rows, w, spp)
-                strip = (
-                    s16.cumsum(axis=1, dtype=np.uint16)
-                    .astype(dt)
-                    .view(np.uint8)
-                    .reshape(n_rows, row_bytes)
+        samples = None
+    else:
+        samples = np.zeros((h, w, spp), np.uint8)
+        seg_w = tile_w if tiled else w
+        for p in range(planes):
+            for s in range(n_seg):
+                off, cnt = offsets[p * n_seg + s], counts[p * n_seg + s]
+                n_rows = rps if tiled else min(rps, h - s * rps)
+                expected = n_rows * ((seg_w * spp_seg * bits + 7) // 8)
+                raw = _decompress(bytes(data[off : off + cnt]), comp, expected)
+                seg = _segment_samples(
+                    raw, n_rows, seg_w, spp_seg, bits, predictor, order
                 )
-        rows[i * rps : i * rps + n_rows] = strip
+                if tiled:
+                    ty, tx = divmod(s, across)
+                    ph = min(tile_h, h - ty * tile_h)
+                    pw = min(tile_w, w - tx * tile_w)
+                    dst = samples[
+                        ty * tile_h : ty * tile_h + ph,
+                        tx * tile_w : tx * tile_w + pw,
+                    ]
+                    if planar == 2:
+                        dst[..., p] = seg[:ph, :pw, 0]
+                    else:
+                        dst[...] = seg[:ph, :pw]
+                elif planar == 2:
+                    samples[s * rps : s * rps + n_rows, :, p] = seg[..., 0]
+                else:
+                    samples[s * rps : s * rps + n_rows] = seg
 
-    # byte matrix -> (h, w, spp) uint8 samples
-    if bits == 8:
-        samples = rows[:, : w * spp].reshape(h, w, spp)
-    elif bits == 16:
-        hi = 0 if order == ">" else 1
-        samples = rows.reshape(h, -1, 2)[:, : w * spp, hi].reshape(h, w, spp)
-    else:  # 1/2/4-bit, single sample, MSB-first fill order
-        unpacked = np.unpackbits(rows, axis=1)
-        vals = np.zeros((h, row_bytes * 8 // bits), np.uint8)
-        for b in range(bits):
-            vals = (vals << 1) | unpacked[:, b::bits][:, : vals.shape[1]]
-        samples = vals[:, :w].reshape(h, w, 1)
-
-    if photo == 3:  # palette: ColorMap is 3 planes of 2^bits SHORTs
+    if comp == _COMP_JPEG:
+        pass
+    elif photo == 3:  # palette: ColorMap is 3 planes of 2^bits SHORTs
         cmap = tags.get(_COLORMAP)
         if cmap is None:
             raise ValueError("palette TIFF without ColorMap")

@@ -25,8 +25,8 @@ from jirlbot_spark.functions.tiff import (
     packbits_encode,
 )
 
-_TYPE_FMT = {1: "B", 3: "H", 4: "I"}
-_TYPE_SIZE = {1: 1, 3: 2, 4: 4}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 7: "B"}  # 7 = UNDEFINED (raw bytes)
+_TYPE_SIZE = {1: 1, 3: 2, 4: 4, 7: 1}
 
 
 def wild_tiff(
@@ -36,20 +36,29 @@ def wild_tiff(
     strips: list[bytes],
     rows_per_strip: int,
     tags: list[tuple[int, int, list[int]]],
+    tile: tuple[int, int] | None = None,
 ) -> bytes:
-    """Assemble a TIFF: header | IFD | spill values | strip data.
-    `tags` must NOT include 256/257/273/278/279 (added here)."""
+    """Assemble a TIFF: header | IFD | spill values | segment data.
+    `tags` must NOT include 256/257 or the layout tags (added here).
+    tile=(tw, th) switches from strip tags (273/278/279) to tile tags
+    (322/323/324/325); rows_per_strip is then ignored."""
     e = "<" if order == "II" else ">"
-    all_tags = sorted(
-        tags
-        + [
-            (256, 4, [w]),
-            (257, 4, [h]),
+    if tile is None:
+        layout = [
             (278, 4, [rows_per_strip]),
             (279, 4, [len(s) for s in strips]),
             (273, 4, [0] * len(strips)),  # offsets patched below
         ]
-    )
+        off_tag = 273
+    else:
+        layout = [
+            (322, 4, [tile[0]]),
+            (323, 4, [tile[1]]),
+            (325, 4, [len(s) for s in strips]),
+            (324, 4, [0] * len(strips)),  # offsets patched below
+        ]
+        off_tag = 324
+    all_tags = sorted(tags + [(256, 4, [w]), (257, 4, [h])] + layout)
     n = len(all_tags)
     ifd_size = 2 + 12 * n + 4
     # pass 1: spill sizes
@@ -64,7 +73,7 @@ def wild_tiff(
         offs.append(pos)
         pos += len(s)
     all_tags = [
-        (tag, typ, offs if tag == 273 else vals)
+        (tag, typ, offs if tag == off_tag else vals)
         for tag, typ, vals in all_tags
     ]
     # pass 2: emit
@@ -322,15 +331,15 @@ def test_gates():
     def build(extra, comp_tags=None):
         return wild_tiff("II", 2, 2, [px.tobytes()], 2, (comp_tags or base) + extra)
 
-    with pytest.raises(NotImplementedError):  # tiled
+    with pytest.raises(ValueError):  # tile dims without tile offsets
         decode_tiff(build([(322, 4, [16]), (323, 4, [16])]))
-    with pytest.raises(NotImplementedError):  # planar
-        decode_tiff(build([(284, 3, [2])]))
     with pytest.raises(NotImplementedError):  # fill order 2
         decode_tiff(build([(266, 3, [2])]))
     with pytest.raises(NotImplementedError):  # CCITT
         decode_tiff(build([], comp_tags=_rgb_tags(2)))
-    with pytest.raises(NotImplementedError):  # YCbCr
+    with pytest.raises(NotImplementedError):  # old-style JPEG
+        decode_tiff(build([], comp_tags=_rgb_tags(6)))
+    with pytest.raises(NotImplementedError):  # YCbCr without JPEG
         decode_tiff(
             build([], comp_tags=[(258, 3, [8] * 3), (259, 3, [1]),
                                  (262, 3, [6]), (277, 3, [3])])
@@ -346,6 +355,164 @@ def test_truncated_strip_raises():
     blob = wild_tiff("II", 4, 4, [b"\x00" * 10], 4, _rgb_tags())
     with pytest.raises(ValueError):
         decode_tiff(blob)
+
+
+# ---------- tiled / planar layouts ----------
+
+def _lzw_pred_segments(blocks: list[np.ndarray]) -> list[bytes]:
+    """Horizontal-difference + TIFF-LZW each (rows, w, spp) block —
+    independent of the decoder's predictor path (encode-side spec
+    transform, like encode_tiff's)."""
+    from jirlbot_spark.functions.tiff import lzw_encode
+
+    out = []
+    for b in blocks:
+        d = b.astype(np.int16)
+        d[:, 1:, :] -= b[:, :-1, :].astype(np.int16)
+        out.append(lzw_encode((d & 0xFF).astype(np.uint8).tobytes()))
+    return out
+
+
+def test_tiled_lzw_predictor_edge_tiles():
+    rng = np.random.default_rng(21)
+    w, h, tw, th = 21, 13, 16, 8  # 2x2 tiles, both edges ragged
+    px = rng.integers(0, 256, (h, w, 3), np.uint8)
+    tiles = []
+    for ty in range(2):
+        for tx in range(2):
+            t = np.zeros((th, tw, 3), np.uint8)  # spec: full-size tiles
+            blk = px[ty * th : ty * th + th, tx * tw : tx * tw + tw]
+            t[: blk.shape[0], : blk.shape[1]] = blk
+            tiles.append(t)
+    segs = _lzw_pred_segments(tiles)
+    tags = _rgb_tags(5) + [(317, 3, [2])]
+    blob = wild_tiff("II", w, h, segs, 0, tags, tile=(tw, th))
+    assert np.array_equal(decode_tiff(blob), px)
+
+
+def test_tiled_big_endian_uncompressed():
+    rng = np.random.default_rng(22)
+    w, h, tw, th = 32, 16, 16, 16
+    px = rng.integers(0, 256, (h, w, 3), np.uint8)
+    tiles = [px[:, :16].tobytes(), px[:, 16:].tobytes()]
+    blob = wild_tiff("MM", w, h, tiles, 0, _rgb_tags(), tile=(tw, th))
+    assert np.array_equal(decode_tiff(blob), px)
+
+
+def test_planar_strips_deflate_predictor():
+    import zlib
+
+    rng = np.random.default_rng(23)
+    w, h = 9, 6
+    px = rng.integers(0, 256, (h, w, 3), np.uint8)
+    # planar: strips_per_plane=2 (3 rows each), plane-major order
+    segs = []
+    for p in range(3):
+        for y0 in (0, 3):
+            plane = px[y0 : y0 + 3, :, p : p + 1]
+            d = plane.astype(np.int16)
+            d[:, 1:, :] -= plane[:, :-1, :].astype(np.int16)
+            segs.append(zlib.compress((d & 0xFF).astype(np.uint8).tobytes()))
+    tags = _rgb_tags(8) + [(284, 3, [2]), (317, 3, [2])]
+    blob = wild_tiff("II", w, h, segs, 3, tags)
+    assert np.array_equal(decode_tiff(blob), px)
+
+
+def test_planar_16bit_big_endian():
+    rng = np.random.default_rng(24)
+    w, h = 5, 4
+    px16 = rng.integers(0, 65536, (h, w, 3), np.uint16)
+    segs = [px16[:, :, p].astype(">u2").tobytes() for p in range(3)]
+    tags = [(258, 3, [16] * 3), (259, 3, [1]), (262, 3, [2]),
+            (277, 3, [3]), (284, 3, [2])]
+    blob = wild_tiff("MM", w, h, segs, h, tags)
+    assert np.array_equal(decode_tiff(blob), (px16 >> 8).astype(np.uint8))
+
+
+def test_planar_tiled_packbits():
+    from jirlbot_spark.functions.tiff import packbits_encode
+
+    rng = np.random.default_rng(25)
+    w, h, tw, th = 20, 10, 16, 8  # ragged in both axes
+    px = rng.integers(0, 8, (h, w, 3), np.uint8) * 32
+    segs = []
+    for p in range(3):
+        for ty in range(2):
+            for tx in range(2):
+                t = np.zeros((th, tw), np.uint8)
+                blk = px[ty * th : ty * th + th, tx * tw : tx * tw + tw, p]
+                t[: blk.shape[0], : blk.shape[1]] = blk
+                segs.append(packbits_encode(t.tobytes()))
+    tags = _rgb_tags(32773) + [(284, 3, [2])]
+    blob = wild_tiff("II", w, h, segs, 0, tags, tile=(tw, th))
+    assert np.array_equal(decode_tiff(blob), px)
+
+
+# ---------- JPEG-in-TIFF (compression 7) ----------
+
+def _split_jpeg_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """Split a full JPEG into (abbreviated tables stream, table-less
+    image stream) per TTN2: DQT/DHT move to JPEGTables."""
+    pos = 2
+    tables = bytearray()
+    rest = bytearray(b"\xff\xd8")
+    while pos < len(stream):
+        assert stream[pos] == 0xFF
+        m = stream[pos + 1]
+        if m == 0xDA:  # SOS onward stays with the image
+            rest += stream[pos:]
+            break
+        ln = struct.unpack(">H", stream[pos + 2 : pos + 4])[0]
+        seg = stream[pos : pos + 2 + ln]
+        (tables if m in (0xDB, 0xC4) else rest).extend(seg)
+        pos += 2 + ln
+    return b"\xff\xd8" + bytes(tables) + b"\xff\xd9", bytes(rest)
+
+
+def test_jpeg_in_tiff_selfcontained_strip():
+    from jirlbot_spark.functions.images import psnr
+    from jirlbot_spark.functions.jpeg import encode_jpeg
+    from jirlbot_spark.sources.fixtures import gen_pixels
+
+    rng = np.random.default_rng(26)
+    px = gen_pixels(rng, 24, 16)
+    seg = encode_jpeg(px, quality=98)
+    tags = [(258, 3, [8] * 3), (259, 3, [7]), (262, 3, [6]), (277, 3, [3])]
+    blob = wild_tiff("II", 24, 16, [seg], 16, tags)
+    out = decode_tiff(blob)
+    assert out.shape == px.shape and psnr(out, px) >= 40.0
+
+
+def test_jpeg_in_tiff_jpegtables_tiles():
+    from jirlbot_spark.functions.images import psnr
+    from jirlbot_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from jirlbot_spark.sources.fixtures import gen_pixels
+
+    rng = np.random.default_rng(27)
+    w, h, tw, th = 24, 16, 16, 16  # 2x1 tiles, right edge ragged
+    px = gen_pixels(rng, w, h)
+    tiles, streams = [], []
+    for tx in range(2):
+        t = np.zeros((th, tw, 3), np.uint8)
+        blk = px[:, tx * tw : tx * tw + tw]
+        t[:, : blk.shape[1]] = blk
+        tiles.append(t)
+        streams.append(encode_jpeg(t, quality=98))
+    # share tile 0's tables; re-attach each tile's own DHT/DQT would be
+    # legal too, but the shared-tables path is what TTN2 readers need.
+    tbl0, img0 = _split_jpeg_tables(streams[0])
+    # tile 1 keeps its own tables inline (mixed mode is legal)
+    segs = [img0, streams[1]]
+    tags = [(258, 3, [8] * 3), (259, 3, [7]), (262, 3, [6]), (277, 3, [3]),
+            (347, 7, list(tbl0))]
+    blob = wild_tiff("II", w, h, segs, 0, tags, tile=(tw, th))
+    out = decode_tiff(blob)
+    # reference: decode each tile directly and crop
+    ref = np.zeros((h, w, 3), np.uint8)
+    ref[:, :16] = decode_jpeg(streams[0])
+    ref[:, 16:] = decode_jpeg(streams[1])[:, : w - 16]
+    assert np.array_equal(out, ref)
+    assert psnr(out, px) >= 38.0
 
 
 # ---------- dispatch integration ----------
