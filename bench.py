@@ -47,9 +47,13 @@ N_URLS = int(os.environ.get("JIRLBOT_BENCH_N", "8000000"))
 # bandwidth scales with the cluster (HDFS/S3/per-node disks), while this
 # one-box sandbox has a single ~0.6 GB/s shared disk that would serialize
 # every write stage and cap measured scaling at the disk, not the engine.
-_BENCH_TMP = (
+_BENCH_TMP = os.environ.get("JIRLBOT_BENCH_TMP") or (
     "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
 )
+# JIRLBOT_BENCH_TMP: point table writes at real disk for runs whose
+# working set would crowd tmpfs out of the 126 GiB it shares with the
+# JVM (e.g. the 10^9-URL scale-up) — throughput then reports the
+# disk-backed number, stated as such.
 
 
 def _mkworkdir(prefix: str) -> str:

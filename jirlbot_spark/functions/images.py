@@ -40,7 +40,7 @@ import zlib
 import numpy as np
 import pandas as pd
 
-LOSSLESS_FMTS = ("png", "bmp", "raw", "gif", "tiff", "webp", "ppm")
+LOSSLESS_FMTS = ("png", "bmp", "raw", "gif", "tiff", "webp", "ppm", "exr")
 LOSSY_FMTS = ("jpeg",)
 JPEG_QUALITY = 98  # fixture-content PSNR >= ~43 dB (invariant floor: 40)
 
@@ -422,6 +422,12 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
         from jirlbot_spark.functions.pnm import encode_pnm
 
         return encode_pnm(pixels)
+    if fmt == "exr":
+        # ZIP HALF scanlines; half precision resolves 1/255 steps, so
+        # the 8-bit round trip is bit-exact (see functions/exr.py)
+        from jirlbot_spark.functions.exr import encode_exr
+
+        return encode_exr(pixels)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -452,6 +458,10 @@ def decode_image(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         from jirlbot_spark.functions.pnm import decode_pnm
 
         return decode_pnm(data)
+    if fmt == "exr":
+        from jirlbot_spark.functions.exr import decode_exr
+
+        return decode_exr(data)
     if fmt in ("ras", "sgi", "xbm"):
         from jirlbot_spark.functions import legacy_rasters as lr
 

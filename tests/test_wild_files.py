@@ -205,6 +205,23 @@ def test_wild_xbm_matches_pbm(truth):
     assert (black == dark).mean() > 0.85
 
 
+def test_wild_exr_exact_on_opaque(truth):
+    """python.exr: third-party HALF ABGR scanline EXR (uncompressed).
+    The converter stored display-referred values, so the identity
+    transfer reproduces the PPM truth EXACTLY wherever alpha is 1;
+    premultiplied edge pixels legitimately differ (alpha semantics
+    documented in exr.py)."""
+    from jirlbot_spark.functions.exr import decode_exr, decode_exr_channels
+
+    raw = _load("python.exr")
+    ch = decode_exr_channels(raw)
+    assert sorted(ch) == ["A", "B", "G", "R"]
+    out = decode_exr(raw)
+    opaque = ch["A"] >= 0.999
+    assert int(opaque.sum()) == 109  # the file's own alpha mask
+    assert np.array_equal(out[opaque], truth[opaque])
+
+
 def test_wild_jpeg_psnr(truth):
     """python.jpg / python-raw.jpg: third-party baseline 4:2:0 JPEGs of
     the same logo (one JFIF-framed, one bare SOI+DQT). Wild-encoder
