@@ -17,12 +17,12 @@ No PIL in this sandbox, so the codecs are self-contained numpy+stdlib:
   - gif: real GIF89a (functions/gif.py: variable-width LZW, global
     color table, interlace-capable decoder) — lossless for palettized
     content; fixture rows posterize first so the exact branch holds.
-  - tiff/webp/ppm: real codecs in functions/tiff.py, webp.py, pnm.py —
-    lossless, exact-match invariant.
-  - ras/sgi/xbm/pgm/pbm: wild DECODE-only formats
-    (functions/legacy_rasters.py, pnm.py) — a crawl meets them but the
-    engine never needs to emit them, so they are not in LOSSLESS_FMTS;
-    validated against third-party-encoded files (tests/test_wild_files).
+  - tiff/webp/ppm/exr/ras/sgi: real codecs in functions/tiff.py,
+    webp.py, pnm.py, exr.py, legacy_rasters.py — lossless, exact-match
+    invariant (EXR via HALF floats, which resolve 1/255 steps exactly).
+  - xbm/pgm/pbm: wild DECODE-only formats (legacy_rasters.py, pnm.py) —
+    a crawl meets them but they cannot carry RGB fixtures; validated
+    against third-party-encoded files (tests/test_wild_files.py).
 
 phash: classic DCT hash — resize to 32x32 grayscale (area mean-pool),
 2D DCT-II, top-left 8x8 minus DC, median threshold -> 64-bit int. Pure
@@ -40,7 +40,9 @@ import zlib
 import numpy as np
 import pandas as pd
 
-LOSSLESS_FMTS = ("png", "bmp", "raw", "gif", "tiff", "webp", "ppm", "exr")
+LOSSLESS_FMTS = (
+    "png", "bmp", "raw", "gif", "tiff", "webp", "ppm", "exr", "ras", "sgi"
+)
 LOSSY_FMTS = ("jpeg",)
 JPEG_QUALITY = 98  # fixture-content PSNR >= ~43 dB (invariant floor: 40)
 
@@ -428,6 +430,10 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
         from jirlbot_spark.functions.exr import encode_exr
 
         return encode_exr(pixels)
+    if fmt in ("ras", "sgi"):
+        from jirlbot_spark.functions import legacy_rasters as lr
+
+        return (lr.encode_ras if fmt == "ras" else lr.encode_sgi)(pixels)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 

@@ -2,10 +2,12 @@
 
 Wild crawls still surface these (archival Unix imagery, X11 assets;
 CPython's third-party-encoded test logo ships in all three), so the
-payload path decodes them. Decode-only: nothing in the engine needs to
-EMIT dead formats, so they are not in images.LOSSLESS_FMTS — tests
-validate against the third-party files + spec-derived synthetic
-streams instead of encoder round-trips.
+payload path decodes them — validated against the third-party files +
+spec-derived synthetic streams. ras/sgi also carry minimal lossless
+encoders (type-1 BGR strips / verbatim planar) so they join
+images.LOSSLESS_FMTS and the fixture mix, flowing the wild-capable
+decoders through the Spark operator contract; XBM stays decode-only
+(1-bit — cannot round-trip RGB fixtures).
 
 Sun Raster: 8 big-endian int32 header (magic 0x59a66a95, w, h, depth,
 length, type, maptype, maplength); rows pad to 16 bits; depth 1/8/24/32;
@@ -37,6 +39,33 @@ _SGI_MAGIC = 474
 def _unpad_rows(raw: bytes, h: int, row_bytes: int, padded: int) -> np.ndarray:
     a = np.frombuffer(raw, np.uint8, count=h * padded).reshape(h, padded)
     return a[:, :row_bytes]
+
+
+def encode_ras(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> standard (type 1) 24-bit BGR Rasterfile,
+    rows padded to 16 bits. Lossless."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("expected (h, w, 3) RGB")
+    h, w, _ = pixels.shape
+    row_bytes = w * 3
+    padded = (row_bytes + 1) & ~1
+    rows = np.zeros((h, padded), np.uint8)
+    rows[:, :row_bytes] = pixels[:, :, ::-1].reshape(h, row_bytes)
+    body = rows.tobytes()
+    hdr = struct.pack(">8i", _RAS_MAGIC, w, h, 24, len(body), 1, 0, 0)
+    return hdr + body
+
+
+def encode_sgi(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> verbatim bpc-1 SGI image (channel-planar,
+    bottom-up rows per spec). Lossless."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("expected (h, w, 3) RGB")
+    h, w, _ = pixels.shape
+    hdr = struct.pack(">HBBHHHHii", _SGI_MAGIC, 0, 1, 3, w, h, 3, 0, 255)
+    hdr += b"\x00" * (512 - len(hdr))
+    planes = pixels[::-1].transpose(2, 0, 1).tobytes()
+    return hdr + planes
 
 
 def _ras_rle_decode(data: bytes, expected: int) -> bytes:

@@ -77,6 +77,16 @@ def test_pnm_rejects_bad_input():
         decode_pnm(b"P2\n1 1\n10\n11\n")  # sample > maxval
 
 
+@pytest.mark.parametrize("fmt", ["ras", "sgi"])
+@pytest.mark.parametrize("w,h", [(16, 16), (17, 23), (1, 1)])
+def test_legacy_encoders_roundtrip(fmt, w, h):
+    from jirlbot_spark.functions.images import decode_image, encode_image
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (h, w, 3), np.uint8)
+    assert np.array_equal(decode_image(encode_image(px, fmt), fmt, w, h), px)
+
+
 # ---------- Sun Raster ----------
 
 
