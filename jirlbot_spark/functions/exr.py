@@ -41,6 +41,8 @@ import zlib
 
 import numpy as np
 
+from jirlbot_spark.functions.limits import bounded_inflate, check_dims
+
 _MAGIC = 20000630
 _PT_UINT, _PT_HALF, _PT_FLOAT = 0, 1, 2
 _PT_DTYPE = {_PT_HALF: np.dtype("<f2"), _PT_FLOAT: np.dtype("<f4")}
@@ -140,8 +142,7 @@ def decode_exr_channels(data: bytes) -> dict[str, np.ndarray]:
         raise NotImplementedError(f"EXR compression {comp}")
     x0, y0, x1, y1 = struct.unpack("<4i", attrs[b"dataWindow"][1])
     w, h = x1 - x0 + 1, y1 - y0 + 1
-    if w <= 0 or h <= 0 or w * h > 1 << 30:
-        raise ValueError(f"bad EXR dataWindow {w}x{h}")
+    check_dims(w, h, "EXR dataWindow")
     chans = _parse_channels(attrs[b"channels"][1])
     if any(t == _PT_UINT for _, t in chans):
         raise NotImplementedError("UINT EXR channels")
@@ -157,7 +158,7 @@ def decode_exr_channels(data: bytes) -> dict[str, np.ndarray]:
         n_rows = min(lines, y1 - y + 1)
         expected = n_rows * row_nbytes
         if comp in (2, 3):
-            raw = _postdecode(zlib.decompress(raw))
+            raw = _postdecode(bounded_inflate(raw, expected))
         elif comp == 1:
             raw = _postdecode(_rle_decode(raw, expected))
         if len(raw) < expected:

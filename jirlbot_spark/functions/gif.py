@@ -33,6 +33,8 @@ import struct
 
 import numpy as np
 
+from jirlbot_spark.functions.limits import check_dims
+
 _HDR89 = b"GIF89a"
 _HDR87 = b"GIF87a"
 
@@ -252,6 +254,7 @@ def _decode_gif(data: bytes) -> np.ndarray:
         left, top, w, h, ipacked = struct.unpack(
             "<HHHHB", data[pos + 1 : pos + 10]
         )
+        check_dims(w, h, "GIF frame")
         pos += 10
         pal = gct
         if ipacked & 0x80:

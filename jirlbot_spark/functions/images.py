@@ -40,6 +40,8 @@ import zlib
 import numpy as np
 import pandas as pd
 
+from jirlbot_spark.functions.limits import bounded_inflate, check_dims
+
 LOSSLESS_FMTS = (
     "png", "bmp", "raw", "gif", "tiff", "webp", "ppm", "exr", "ras", "sgi"
 )
@@ -215,7 +217,11 @@ def decode_png(data: bytes) -> np.ndarray:
         bitd < 8 and color not in (0, 3)
     ) or (bitd == 16 and color == 3):
         raise ValueError(f"invalid bit depth {bitd} for color type {color}")
-    raw = memoryview(zlib.decompress(idat))
+    check_dims(w, h, "PNG")
+    # inflation bound: pixel bytes + one filter byte per row across all
+    # passes (Adam7 splits the same pixels over <= 2h narrower rows)
+    max_raw = h * ((w * channels * bitd + 7) // 8 + 2) + 64
+    raw = memoryview(bounded_inflate(idat, max_raw))
     if inter == 0:
         rows, _ = _png_unfilter(raw, w, h, channels, bitd)
         samples = _png_samples(rows, w, channels, bitd)
@@ -276,6 +282,7 @@ def decode_bmp(data: bytes) -> np.ndarray:
     (bpp,) = struct.unpack("<H", data[28:30])
     (compression,) = struct.unpack("<I", data[30:34])
     ah = abs(h)
+    check_dims(w, ah, "BMP")
     if compression == 3:  # BI_BITFIELDS
         if bpp not in (16, 32):
             raise NotImplementedError(f"BI_BITFIELDS at {bpp} bpp")

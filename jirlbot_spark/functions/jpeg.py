@@ -31,6 +31,8 @@ import struct
 
 import numpy as np
 
+from jirlbot_spark.functions.limits import check_dims
+
 # ---- constants (ITU-T T.81 Annex K base quantization tables) ----
 
 _QY_BASE = np.array(
@@ -608,6 +610,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             assert prec == 8, "8-bit only"
+            check_dims(w, h, "JPEG")
             if nc not in (1, 3):
                 raise NotImplementedError(f"{nc}-component JPEG")
             for ci in range(nc):

@@ -32,6 +32,8 @@ import struct
 
 import numpy as np
 
+from jirlbot_spark.functions.limits import check_dims
+
 _RAS_MAGIC = 0x59A66A95
 _SGI_MAGIC = 474
 
@@ -104,8 +106,7 @@ def decode_ras(data: bytes) -> np.ndarray:
         raise NotImplementedError(f"Sun-Raster depth {depth}")
     if maptype not in (0, 1):
         raise NotImplementedError(f"Sun-Raster maptype {maptype}")
-    if w <= 0 or h <= 0:
-        raise ValueError(f"bad Sun-Raster dimensions {w}x{h}")
+    check_dims(w, h, "Sun-Raster")
     pos = 32
     cmap = None
     if maptype == 1 and maplen:
@@ -177,8 +178,7 @@ def decode_sgi(data: bytes) -> np.ndarray:
         raise ValueError(f"bad SGI bytes-per-channel {bpc}")
     if z not in (1, 2, 3, 4):
         raise NotImplementedError(f"SGI with {z} channels")
-    if w <= 0 or h <= 0:
-        raise ValueError(f"bad SGI dimensions {w}x{h}")
+    check_dims(w, h, "SGI")
 
     if storage == 0:  # verbatim, channel-planar, bottom-up
         count = w * h * z
@@ -225,6 +225,7 @@ def decode_xbm(data: bytes) -> np.ndarray:
     w, h = dims.get(b"width"), dims.get(b"height")
     if not w or not h:
         raise ValueError("XBM missing width/height #defines")
+    check_dims(w, h, "XBM")
     brace = data.find(b"{")
     if brace < 0:
         raise ValueError("XBM missing bits array")

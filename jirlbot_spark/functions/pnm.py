@@ -28,6 +28,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from jirlbot_spark.functions.limits import check_dims
+
 _MAGICS = {b"P1": 1, b"P2": 2, b"P3": 3, b"P4": 4, b"P5": 5, b"P6": 6}
 
 
@@ -88,8 +90,7 @@ def decode_pnm(data: bytes) -> np.ndarray:
     head, off = _header_tokens(data[2:], n_head)
     off += 2
     w, h = head[0], head[1]
-    if w <= 0 or h <= 0:
-        raise ValueError(f"bad PNM dimensions {w}x{h}")
+    check_dims(w, h, "PNM")
     maxval = 1 if bitmap else head[2]
     if not 1 <= maxval <= 65535:
         raise ValueError(f"bad PNM maxval {maxval}")

@@ -48,6 +48,8 @@ import zlib
 
 import numpy as np
 
+from jirlbot_spark.functions.limits import bounded_inflate, check_dims
+
 _II, _MM = b"II", b"MM"
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
 _TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i"}
@@ -376,7 +378,7 @@ def _decompress(raw: bytes, comp: int, expected: int) -> bytes:
     if comp == _COMP_LZW:
         return lzw_decode(raw, expected)
     if comp in (_COMP_DEFLATE, _COMP_DEFLATE_OLD):
-        return zlib.decompress(raw)
+        return bounded_inflate(raw, expected)
     if comp == _COMP_PACKBITS:
         return packbits_decode(raw, expected)
     return raw
@@ -462,6 +464,7 @@ def decode_tiff(data: bytes) -> np.ndarray:
     h = _tag1(tags, _HEIGHT)
     if not w or not h:
         raise ValueError("missing TIFF dimensions")
+    check_dims(w, h, "TIFF")
     spp = _tag1(tags, _SPP, 1)
     bits_arr = tags.get(_BITS, (1,) * spp)
     if len(set(bits_arr)) != 1:
@@ -486,6 +489,7 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if tiled:
         if not tile_w or not tile_h:
             raise ValueError("tiled TIFF missing TileWidth/TileLength")
+        check_dims(tile_w, tile_h, "TIFF tile")
         offsets = tags.get(_TILE_OFFSETS)
         counts = tags.get(_TILE_COUNTS)
         if offsets is None or counts is None:

@@ -37,6 +37,8 @@ import struct
 
 import numpy as np
 
+from jirlbot_spark.functions.limits import check_dims
+
 # ---------- distance neighborhood table ----------
 # literal transcription from the spec (120 (x, y) offsets) ...
 _DIST_TABLE_SPEC = [
@@ -563,6 +565,7 @@ def decode_webp(data: bytes) -> np.ndarray:
     br = _BR(body, 1)
     w = br.read(14) + 1
     h = br.read(14) + 1
+    check_dims(w, h, "VP8L")
     br.read(1)  # alpha hint
     if br.read(3) != 0:
         raise ValueError("unknown VP8L version")

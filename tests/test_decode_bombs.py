@@ -1,0 +1,214 @@
+"""Decode-bomb guards (functions/limits.py) across the codec family.
+
+A crawl decodes untrusted bytes: a tiny file claiming bomb-scale header
+dimensions must raise ValueError BEFORE allocating output buffers, and
+bounded zlib must refuse streams that inflate past the caller's
+expected size. Every case here is a sub-KB input that would otherwise
+allocate hundreds of MB to GBs inside an executor.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from jirlbot_spark.functions.limits import (
+    MAX_DECODE_PIXELS,
+    bounded_inflate,
+    check_dims,
+)
+
+BIG = 1 << 14  # 16384; BIG*BIG = 268M px > the 67M-px default cap
+
+
+def test_check_dims_and_bounded_inflate():
+    check_dims(64, 64)
+    with pytest.raises(ValueError):
+        check_dims(0, 4)
+    with pytest.raises(ValueError):
+        check_dims(BIG, BIG)
+    assert MAX_DECODE_PIXELS == 1 << 26
+    payload = b"x" * 1000
+    comp = zlib.compress(payload)
+    assert bounded_inflate(comp, 1000) == payload
+    assert bounded_inflate(comp, 2000) == payload
+    with pytest.raises(ValueError):
+        bounded_inflate(zlib.compress(b"\x00" * 10_000_000), 1000)
+
+
+def _assert_bomb(decoder, blob):
+    with pytest.raises(ValueError, match="bomb|dimensions"):
+        decoder(blob)
+
+
+def test_pnm_bomb():
+    from jirlbot_spark.functions.pnm import decode_pnm
+
+    _assert_bomb(decode_pnm, b"P6\n%d %d\n255\n\x00\x00\x00" % (BIG, BIG))
+
+
+def test_png_bombs():
+    from jirlbot_spark.functions.images import decode_png
+
+    def chunk(typ, body):
+        return (
+            struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # dimension bomb
+    ihdr = struct.pack(">IIBBBBB", BIG, BIG, 8, 2, 0, 0, 0)
+    _assert_bomb(
+        decode_png, sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", b"")
+    )
+    # inflation bomb: legit 4x4 dims, IDAT inflating to 10 MB
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    bomb = zlib.compress(b"\x00" * 10_000_000)
+    with pytest.raises(ValueError, match="inflates"):
+        decode_png(sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", bomb))
+
+
+def test_bmp_bomb():
+    from jirlbot_spark.functions.images import decode_bmp
+
+    blob = (
+        struct.pack("<2sIHHI", b"BM", 70, 0, 0, 70)
+        + struct.pack("<IiiHHIIiiII", 40, BIG, BIG, 1, 24, 0, 0, 0, 0, 0, 0)
+        + b"\x00" * 16
+    )
+    _assert_bomb(decode_bmp, blob)
+
+
+def test_gif_bomb():
+    from jirlbot_spark.functions.gif import decode_gif
+
+    blob = (
+        b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0x80, 0, 0) + b"\x00" * 6
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 0xFFFF, 0xFFFF, 0)
+        + b"\x02\x01\x00\x00\x3b"
+    )
+    _assert_bomb(decode_gif, blob)
+
+
+def test_jpeg_bomb():
+    from jirlbot_spark.functions.jpeg import decode_jpeg
+
+    sof = struct.pack(">BHHB", 8, 0xFFFF, 0xFFFF, 1) + bytes([1, 0x11, 0])
+    blob = (
+        b"\xff\xd8"
+        + b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+        + b"\xff\xd9"
+    )
+    _assert_bomb(decode_jpeg, blob)
+
+
+def test_tiff_bombs():
+    from jirlbot_spark.functions.tiff import decode_tiff
+
+    def ifd(entries):
+        out = struct.pack("<H", len(entries))
+        for tag, typ, val in entries:
+            out += struct.pack("<HHII", tag, typ, 1, val)
+        return out + struct.pack("<I", 0)
+
+    # dimension bomb
+    blob = b"II" + struct.pack("<HI", 42, 8) + ifd(
+        [(256, 4, BIG), (257, 4, BIG), (259, 3, 1), (262, 3, 1),
+         (273, 4, 200), (279, 4, 4)]
+    )
+    _assert_bomb(decode_tiff, blob)
+    # deflate inflation bomb: 8x8 gray image, strip inflating to 10 MB
+    bomb = zlib.compress(b"\x00" * 10_000_000)
+    head = b"II" + struct.pack("<HI", 42, 8)
+    entries = [
+        (256, 4, 8), (257, 4, 8), (258, 3, 8), (259, 3, 8), (262, 3, 1),
+        (273, 4, 0), (277, 3, 1), (278, 4, 8), (279, 4, len(bomb)),
+    ]
+    data_off = len(head) + 2 + 12 * len(entries) + 4
+    entries[5] = (273, 4, data_off)
+    blob = head + ifd(entries) + bomb
+    with pytest.raises(ValueError, match="inflates"):
+        decode_tiff(blob)
+
+
+def test_exr_bombs():
+    from jirlbot_spark.functions.exr import decode_exr
+
+    def attr(name, typ, val):
+        return name + b"\0" + typ + b"\0" + struct.pack("<I", len(val)) + val
+
+    chlist = (
+        b"R\0" + struct.pack("<IBBBBii", 1, 0, 0, 0, 0, 1, 1)
+        + b"G\0" + struct.pack("<IBBBBii", 1, 0, 0, 0, 0, 1, 1)
+        + b"B\0" + struct.pack("<IBBBBii", 1, 0, 0, 0, 0, 1, 1)
+        + b"\0"
+    )
+    box = struct.pack("<4i", 0, 0, BIG - 1, BIG - 1)
+    blob = (
+        struct.pack("<iI", 20000630, 2)
+        + attr(b"channels", b"chlist", chlist)
+        + attr(b"compression", b"compression", b"\x00")
+        + attr(b"dataWindow", b"box2i", box)
+        + b"\0"
+    )
+    _assert_bomb(decode_exr, blob)
+
+
+def test_ras_sgi_xbm_bombs():
+    from jirlbot_spark.functions.legacy_rasters import (
+        decode_ras,
+        decode_sgi,
+        decode_xbm,
+    )
+
+    ras = struct.pack(">8i", 0x59A66A95, BIG, BIG, 24, 4, 1, 0, 0) + b"\x00" * 4
+    _assert_bomb(decode_ras, ras)
+    sgi = struct.pack(">HBBHHHHii", 474, 0, 1, 3, BIG, BIG, 3, 0, 255)
+    _assert_bomb(decode_sgi, sgi + b"\x00" * 512)
+    xbm = (
+        b"#define x_width 99999\n#define x_height 99999\n"
+        b"static unsigned char x_bits[] = {0x00};"
+    )
+    _assert_bomb(decode_xbm, xbm)
+
+
+def test_webp_bomb():
+    from jirlbot_spark.functions.webp import decode_webp
+
+    # VP8L header: sig 0x2F then 14-bit w-1 / h-1 LSB-first
+    bits = 0
+    nbits = 0
+
+    def put(v, n):
+        nonlocal bits, nbits
+        bits |= v << nbits
+        nbits += n
+
+    put(BIG - 1, 14)
+    put(BIG - 1, 14)
+    put(0, 1)
+    put(0, 3)
+    payload = b"\x2f" + bits.to_bytes((nbits + 7) // 8, "little")
+    vp8l = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    blob = b"RIFF" + struct.pack("<I", 4 + len(vp8l)) + b"WEBP" + vp8l
+    _assert_bomb(decode_webp, blob)
+
+
+def test_valid_decodes_unaffected():
+    from jirlbot_spark.functions.images import (
+        LOSSLESS_FMTS,
+        decode_image,
+        encode_image,
+    )
+
+    rng = np.random.default_rng(2)
+    px = rng.integers(0, 256, (16, 16, 3), np.uint8)
+    for fmt in LOSSLESS_FMTS:
+        src = px if fmt != "gif" else (px // 64 * 64)
+        assert np.array_equal(
+            decode_image(encode_image(src, fmt), fmt, 16, 16), src
+        )
