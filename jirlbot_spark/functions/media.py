@@ -45,6 +45,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from jirlbot_spark.functions.limits import check_dims
 from pyspark.sql.types import (
     BinaryType,
     DoubleType,
@@ -380,12 +382,17 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, float]:
         )
     if bitcount != 24:
         raise NotImplementedError(f"{bitcount}-bit DIB frames")
+    check_dims(w, h, "AVI frame")
     row_pad = (-(w * 3)) % 4
     stride = w * 3 + row_pad
-    out = np.zeros((len(raw_frames), h, w, 3), np.uint8)
-    for i, rf in enumerate(raw_frames):
+    # validate EVERY chunk before the output allocation: with real bytes
+    # behind each claimed frame, the alloc is bounded by the input size
+    # (a decode-bomb cannot claim frames it did not ship)
+    for rf in raw_frames:
         if len(rf) < stride * h:
             raise ValueError("truncated frame chunk")
+    out = np.zeros((len(raw_frames), h, w, 3), np.uint8)
+    for i, rf in enumerate(raw_frames):
         rows = np.frombuffer(rf[: stride * h], np.uint8).reshape(h, stride)
         out[i] = rows[::-1, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR->RGB
     return out, float(fps)

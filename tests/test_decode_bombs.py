@@ -198,6 +198,26 @@ def test_webp_bomb():
     _assert_bomb(decode_webp, blob)
 
 
+def test_avi_bomb():
+    from jirlbot_spark.functions.media import decode_avi
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    strf = struct.pack("<IiiHHI", 40, BIG, BIG, 1, 24, 0) + b"\x00" * 20
+    inner = chunk(b"strf", strf) + chunk(b"00db", b"\x00" * 64)
+    body = b"AVI " + chunk(b"LIST", b"hdrl" + inner)
+    blob = chunk(b"RIFF", body)
+    _assert_bomb(decode_avi, blob)
+    # plausible dims but frame bytes absent: must raise BEFORE allocating
+    strf = struct.pack("<IiiHHI", 40, 4000, 4000, 1, 24, 0) + b"\x00" * 20
+    inner = chunk(b"strf", strf) + chunk(b"00db", b"\x00" * 64)
+    blob = chunk(b"RIFF", b"AVI " + chunk(b"LIST", b"hdrl" + inner))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_avi(blob)
+
+
 def test_valid_decodes_unaffected():
     from jirlbot_spark.functions.images import (
         LOSSLESS_FMTS,
