@@ -218,6 +218,56 @@ def test_avi_bomb():
         decode_avi(blob)
 
 
+def test_corruption_fuzz_fails_clean_and_fast():
+    """Wild bytes WILL be corrupt: mutate valid encodes (bit flips,
+    truncations, byte splices) and require every decode to either
+    return an array or raise — quickly and with bounded allocation
+    (the operator path maps any exception to decode_ok=false;
+    fetch.py:333). A hang or a multi-GB allocation here is the failure
+    mode this test exists to catch; the 60 s budget for ~3300 corrupt
+    decodes enforces both."""
+    import time
+
+    from jirlbot_spark.functions.images import (
+        LOSSLESS_FMTS,
+        decode_image,
+        encode_image,
+    )
+
+    rng = np.random.default_rng(123)
+    px = rng.integers(0, 256, (24, 16, 3), np.uint8)
+    t0 = time.monotonic()
+    n_raised = 0
+    for fmt in (*LOSSLESS_FMTS, "jpeg"):
+        src = px if fmt != "gif" else (px // 64 * 64)
+        blob = bytearray(encode_image(src, fmt))
+        n = len(blob)
+        for trial in range(300):
+            mutated = bytearray(blob)
+            kind = trial % 3
+            if kind == 0:  # flip 1-4 bytes
+                for _ in range(int(rng.integers(1, 5))):
+                    mutated[int(rng.integers(0, n))] = int(
+                        rng.integers(0, 256)
+                    )
+            elif kind == 1:  # truncate
+                mutated = mutated[: int(rng.integers(1, n))]
+            else:  # splice a random run
+                at = int(rng.integers(0, n))
+                ln = int(rng.integers(1, 64))
+                mutated[at : at + ln] = rng.integers(
+                    0, 256, ln, np.uint8
+                ).tobytes()
+            try:
+                out = decode_image(bytes(mutated), fmt, 16, 24)
+                assert isinstance(out, np.ndarray)
+            except Exception:
+                n_raised += 1
+    elapsed = time.monotonic() - t0
+    assert elapsed < 60.0, f"corrupt decodes too slow: {elapsed:.1f}s"
+    assert n_raised > 1000  # most corruptions are caught, none explode
+
+
 def test_valid_decodes_unaffected():
     from jirlbot_spark.functions.images import (
         LOSSLESS_FMTS,
