@@ -20,7 +20,8 @@ No PIL in this sandbox, so the codecs are self-contained numpy+stdlib:
   - tiff/webp/ppm/exr/ras/sgi: real codecs in functions/tiff.py,
     webp.py, pnm.py, exr.py, legacy_rasters.py — lossless, exact-match
     invariant (EXR via HALF floats, which resolve 1/255 steps exactly).
-  - xbm/pgm/pbm: wild DECODE-only formats (legacy_rasters.py, pnm.py) —
+  - ico/cur/xbm/pgm/pbm: wild DECODE-only formats (ico.py — favicons,
+    both DIB and PNG members — legacy_rasters.py, pnm.py) —
     a crawl meets them but they cannot carry RGB fixtures; validated
     against third-party-encoded files (tests/test_wild_files.py).
 
@@ -483,6 +484,10 @@ def decode_image(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
             "sgi": lr.decode_sgi,
             "xbm": lr.decode_xbm,
         }[fmt](data)
+    if fmt in ("ico", "cur"):
+        from jirlbot_spark.functions.ico import decode_ico
+
+        return decode_ico(data)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
