@@ -16,9 +16,17 @@ the family's other decoders; the AND mask is likewise transparency
 metadata and is not applied to RGB output). CUR files (type 2) share
 the container and decode identically.
 
-Decode-only by design: the engine never emits favicons. Validated
-against a third-party multi-member file carrying BOTH kinds
-(tests/test_wild_files.py) plus spec-derived synthetic containers.
+encode_ico writes a single-member container so favicons can flow
+through the fixture mix losslessly; the member kind (PNG stream vs
+24-bpp DIB + AND mask) is chosen from the pixel content so BOTH wild
+decode paths run inside the Spark operator contract, not just in unit
+tests. Directory width/height are single bytes (0 means 256), which
+caps encodable dims at 256 — fixture pages are <=64 so the directory
+is always exact.
+
+Wild decode validated against a third-party multi-member file carrying
+BOTH kinds (tests/test_wild_files.py) plus spec-derived synthetic
+containers.
 """
 
 from __future__ import annotations
@@ -99,6 +107,41 @@ def decode_ico(data: bytes, entry: int | None = None) -> np.ndarray:
 
         return decode_png(member)
     return _decode_dib(member)
+
+
+def _encode_dib_member(pixels: np.ndarray) -> bytes:
+    """24-bpp XOR rows + all-opaque 1-bpp AND mask, both bottom-up and
+    32-bit padded, under a BITMAPINFOHEADER with biHeight DOUBLED."""
+    h, w, _ = pixels.shape
+    xor_stride = (w * 3 + 3) // 4 * 4
+    xor = np.zeros((h, xor_stride), np.uint8)
+    xor[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # BGR, bottom-up
+    and_stride = (w + 31) // 32 * 4
+    and_mask = np.zeros((h, and_stride), np.uint8)  # 0 = opaque
+    hdr = struct.pack(
+        "<IiiHHIIiiII", 40, w, h * 2, 1, 24, 0,
+        xor_stride * h + and_stride * h, 0, 0, 0, 0,
+    )
+    return hdr + xor.tobytes() + and_mask.tobytes()
+
+
+def encode_ico(pixels: np.ndarray) -> bytes:
+    """Single-member ICO. Member kind alternates by pixel content
+    (sum parity) between a PNG stream and a raw 24-bpp DIB so the
+    fixture mix exercises both wild decode paths. Lossless."""
+    h, w, _ = pixels.shape
+    if w > 256 or h > 256:
+        raise ValueError(f"ICO directory cannot describe {w}x{h} (>256)")
+    if int(pixels.sum()) % 2:
+        from jirlbot_spark.functions.images import encode_png
+
+        member = encode_png(pixels)
+    else:
+        member = _encode_dib_member(pixels)
+    entry = struct.pack(
+        "<BBBBHHII", w % 256, h % 256, 0, 0, 1, 24, len(member), 6 + 16
+    )
+    return struct.pack("<HHH", 0, 1, 1) + entry + member
 
 
 def is_ico(data: bytes) -> bool:

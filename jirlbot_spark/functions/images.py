@@ -20,10 +20,14 @@ No PIL in this sandbox, so the codecs are self-contained numpy+stdlib:
   - tiff/webp/ppm/exr/ras/sgi: real codecs in functions/tiff.py,
     webp.py, pnm.py, exr.py, legacy_rasters.py — lossless, exact-match
     invariant (EXR via HALF floats, which resolve 1/255 steps exactly).
-  - ico/cur/xbm/pgm/pbm: wild DECODE-only formats (ico.py — favicons,
-    both DIB and PNG members — legacy_rasters.py, pnm.py) —
-    a crawl meets them but they cannot carry RGB fixtures; validated
-    against third-party-encoded files (tests/test_wild_files.py).
+  - ico: favicon container (ico.py — the one format every crawl
+    fetches): decode handles multi-member files with DIB and PNG
+    members; encode writes a single member (kind alternating by
+    content so both paths run in the operator contract) — lossless.
+  - cur/xbm/pgm/pbm: wild DECODE-only formats (ico.py,
+    legacy_rasters.py, pnm.py) — a crawl meets them but they cannot
+    carry RGB fixtures; validated against third-party-encoded files
+    (tests/test_wild_files.py).
 
 phash: classic DCT hash — resize to 32x32 grayscale (area mean-pool),
 2D DCT-II, top-left 8x8 minus DC, median threshold -> 64-bit int. Pure
@@ -44,7 +48,8 @@ import pandas as pd
 from jirlbot_spark.functions.limits import bounded_inflate, check_dims
 
 LOSSLESS_FMTS = (
-    "png", "bmp", "raw", "gif", "tiff", "webp", "ppm", "exr", "ras", "sgi"
+    "png", "bmp", "raw", "gif", "tiff", "webp", "ppm", "exr", "ras", "sgi",
+    "ico",
 )
 LOSSY_FMTS = ("jpeg",)
 JPEG_QUALITY = 98  # fixture-content PSNR >= ~43 dB (invariant floor: 40)
@@ -442,6 +447,12 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
         from jirlbot_spark.functions import legacy_rasters as lr
 
         return (lr.encode_ras if fmt == "ras" else lr.encode_sgi)(pixels)
+    if fmt == "ico":
+        # single-member favicon container; member kind (PNG vs 24-bpp
+        # DIB) alternates by content so both wild paths run (ico.py)
+        from jirlbot_spark.functions.ico import encode_ico
+
+        return encode_ico(pixels)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 

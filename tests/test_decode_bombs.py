@@ -198,6 +198,20 @@ def test_webp_bomb():
     _assert_bomb(decode_webp, blob)
 
 
+def test_ico_bomb():
+    """A 38-byte favicon claiming a 16384x16384 DIB member must die in
+    check_dims before the row/palette allocation."""
+    from jirlbot_spark.functions.ico import decode_ico
+
+    member = struct.pack("<IiiHHI", 40, BIG, BIG * 2, 1, 24, 0)
+    blob = (
+        struct.pack("<HHH", 0, 1, 1)
+        + struct.pack("<BBBBHHII", 0, 0, 0, 0, 1, 24, len(member), 22)
+        + member
+    )
+    _assert_bomb(decode_ico, blob)
+
+
 def test_avi_bomb():
     from jirlbot_spark.functions.media import decode_avi
 

@@ -140,3 +140,51 @@ def test_wild_multimember_favicon():
         means.append(px.reshape(-1, 3).mean(axis=0))
     spread = np.ptp(np.stack(means[1:]), axis=0)  # 16x16 downscale is noisy
     assert spread.max() < 40
+
+
+# ---------- encoder round trips (fixture-mix path) ----------
+
+def test_encode_roundtrip_both_member_kinds():
+    """encode_ico is lossless for both member kinds; the content-parity
+    switch actually produces both (so the fixture mix covers both)."""
+    from jirlbot_spark.functions.ico import encode_ico
+
+    rng = np.random.default_rng(11)
+    kinds = set()
+    for w, h in [(16, 16), (64, 32), (33, 17), (1, 1), (256, 256)]:
+        for _ in range(4):
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            blob = encode_ico(px)
+            assert is_ico(blob)
+            member = blob[6 + 16:]
+            kinds.add(
+                "png" if member[:8] == b"\x89PNG\r\n\x1a\n" else "dib"
+            )
+            out = decode_ico(blob)
+            assert out.shape == (h, w, 3)
+            assert (out == px).all()
+    assert kinds == {"png", "dib"}
+
+
+def test_encode_rejects_oversize():
+    from jirlbot_spark.functions.ico import encode_ico
+
+    with pytest.raises(ValueError):
+        encode_ico(np.zeros((257, 16, 3), np.uint8))
+
+
+def test_encoded_dib_member_parses_with_independent_reader():
+    """The DIB member the encoder emits is readable by the test-local
+    spec-derived field walk, not just by our own decoder."""
+    from jirlbot_spark.functions.ico import encode_ico
+
+    px = np.zeros((8, 8, 3), np.uint8)  # sum even -> DIB member
+    blob = encode_ico(px)
+    member = blob[6 + 16:]
+    hdr_size, w, h2, planes, bpp, comp = struct.unpack_from(
+        "<IiiHHI", member, 0
+    )
+    assert (hdr_size, w, h2, planes, bpp, comp) == (40, 8, 16, 1, 24, 0)
+    xor_stride = (w * 3 + 3) // 4 * 4
+    and_stride = (w + 31) // 32 * 4
+    assert len(member) == 40 + xor_stride * 8 + and_stride * 8
