@@ -641,8 +641,30 @@ def _run_frontier_subprocess(cores: int, n_urls: int | None = None) -> dict:
     host collapsed during the run and recovered before the stamp). The
     in-run samples are what certify the window the run actually saw."""
     env = dict(os.environ)
-    env["SPARK_MASTER"] = f"local[{cores}]"
-    env["SPARK_SHUFFLE_PARTITIONS"] = str(max(cores * 2, 16))
+    tmpl = os.environ.get("JIRLBOT_SCALING_MASTER_TMPL")
+    if tmpl:
+        # executor mode: `cores` counts EXECUTORS and the template names
+        # the master, e.g. local-cluster[{n},1,6144] — N separate
+        # executor JVMs (real Netty shuffle fetches + per-executor
+        # Python workers + the shipped py-files zip), the closest one
+        # box gets to the north rule's N-vs-4N-executor cluster.
+        cpe = int(os.environ.get("JIRLBOT_SCALING_CORES_PER_EXEC", "1"))
+        env["SPARK_MASTER"] = tmpl.format(n=cores)
+        env["SPARK_SHUFFLE_PARTITIONS"] = str(max(cores * cpe * 2, 16))
+        # executor JVM heap must fit the template's per-worker MB (the
+        # default 1g would waste the worker allocation); only added when
+        # the user's JIRLBOT_SPARK_CONF didn't set it, since last-write
+        # wins in parse_env_conf and appending would clobber theirs.
+        mem = os.environ.get("JIRLBOT_SCALING_EXEC_MEM", "4g")
+        prior = env.get("JIRLBOT_SPARK_CONF", "")
+        if "spark.executor.memory" not in prior:
+            env["JIRLBOT_SPARK_CONF"] = (
+                f"{prior};spark.executor.memory={mem}" if prior
+                else f"spark.executor.memory={mem}"
+            )
+    else:
+        env["SPARK_MASTER"] = f"local[{cores}]"
+        env["SPARK_SHUFFLE_PARTITIONS"] = str(max(cores * 2, 16))
     if n_urls is not None:
         env["JIRLBOT_BENCH_N"] = str(n_urls)
     proc = subprocess.Popen(
@@ -699,9 +721,24 @@ def scaling_main() -> None:
         for c in os.environ.get("JIRLBOT_SCALING_CORES", "8,32").split(",")
     )
     factor = hi / lo
+    # executor mode (JIRLBOT_SCALING_MASTER_TMPL, e.g.
+    # local-cluster[{n},1,6144]): lo/hi count EXECUTOR JVMs, not local
+    # threads; the engine-free host controls then probe n×cores_per_exec
+    # procs so the ceilings match the engine's actual core footprint.
+    tmpl = os.environ.get("JIRLBOT_SCALING_MASTER_TMPL")
+    cpe = (
+        int(os.environ.get("JIRLBOT_SCALING_CORES_PER_EXEC", "1"))
+        if tmpl
+        else 1
+    )
+    lo_p, hi_p = lo * cpe, hi * cpe
+
+    def label(c: int) -> str:
+        return tmpl.format(n=c) if tmpl else f"local[{c}]"
+
     membw = {
-        lo: round(membw_probe(lo), 1),
-        hi: round(membw_probe(hi), 1),
+        lo: round(membw_probe(lo_p), 1),
+        hi: round(membw_probe(hi_p), 1),
     }
     print(f"membw triad: {lo} procs = {membw[lo]} GB/s, "
           f"{hi} procs = {membw[hi]} GB/s "
@@ -718,7 +755,7 @@ def scaling_main() -> None:
         # wait (bounded) for a window where the engine-free control can
         # scale at all — a capped window proves nothing about the engine
         for _attempt in range(8):
-            bl_lo, bl_hi = cpu_scale_probe(lo, hi, 1.0)
+            bl_lo, bl_hi = cpu_scale_probe(lo_p, hi_p, 1.0)
             pair["busyloop_scale"] = bl_hi / max(bl_lo, 1.0)
             print(
                 f"pair {i} busyloop control: {bl_lo:.0f} Mops @{lo}p -> "
@@ -741,8 +778,8 @@ def scaling_main() -> None:
             os.environ.get("JIRLBOT_MEMBW_FLOOR", str(0.7 * factor))
         )
         for _attempt in range(8):
-            pair["membw_lo"] = round(membw_probe(lo, 1.5), 1)
-            pair["membw_hi"] = round(membw_probe(hi, 1.5), 1)
+            pair["membw_lo"] = round(membw_probe(lo_p, 1.5), 1)
+            pair["membw_hi"] = round(membw_probe(hi_p, 1.5), 1)
             pair["membw_scale"] = pair["membw_hi"] / max(pair["membw_lo"], 0.1)
             print(
                 f"pair {i} membw control: {pair['membw_lo']} GB/s @{lo}p -> "
@@ -771,10 +808,10 @@ def scaling_main() -> None:
             # collapse mid-run (observed repeatedly) — this stamp lets the
             # verdict reject combinations whose hi-run finished in a
             # bandwidth-collapsed window
-            res["membw_post"] = round(membw_probe(cores, 1.0), 1)
+            res["membw_post"] = round(membw_probe(cores * cpe, 1.0), 1)
             pair[cores] = res
             print(
-                f"pair {i} local[{cores}]: {res['urls_per_sec']:.0f} urls/s "
+                f"pair {i} {label(cores)}: {res['urls_per_sec']:.0f} urls/s "
                 f"(probe {pre:.0f}->{post:.0f} Mops/s, "
                 f"membw_post {res['membw_post']} GB/s, "
                 f"live_bw {res['live_bw_samples']} med "
@@ -842,6 +879,7 @@ def scaling_main() -> None:
         "membw_gbps": membw,
         f"timings_{lo}": bestc["lo"]["timings"],
         f"timings_{hi}": bestc["hi"]["timings"],
+        "masters": [label(lo), label(hi)],
     }
     print(json.dumps(report))
     os.makedirs("BENCH", exist_ok=True)
@@ -869,8 +907,21 @@ def scaling_main() -> None:
         if capped
         else ""
     )
+    exec_note = (
+        (
+            f" EXECUTOR MODE: lo/hi count separate executor JVMs "
+            f"({cpe} core(s) each) under Spark's local-cluster manager — "
+            f"real Netty shuffle fetches between executor processes, "
+            f"per-executor Python workers, and the package arriving via "
+            f"the shipped py-files zip, i.e. the spark-submit execution "
+            f"path of the north rule, minus only physical NICs.\n\n"
+        )
+        if tmpl
+        else ""
+    )
     section = (
-        f"## local[{lo}] vs local[{hi}] — {n_urls:,} URLs\n\n"
+        f"## {label(lo)} vs {label(hi)} — {n_urls:,} URLs\n\n"
+        f"{exec_note}"
         f"Triad memory bandwidth at trial time: {membw[lo]} GB/s aggregate "
         f"with {lo} procs, {membw[hi]} GB/s with {hi} procs — "
         f"{membw[hi] / max(membw[lo], 0.1):.2f}x for {factor:g}x procs. "
@@ -905,8 +956,8 @@ def scaling_main() -> None:
         f"raw interleaved pairs (incl. contaminated): {effs}."
         f"{capped_note}\n\n"
         f"Verdict-pair phase timings (s):\n\n"
-        f"- local[{lo}]: {json.dumps({k: round(v, 2) for k, v in bestc['lo']['timings'].items()})}\n"
-        f"- local[{hi}]: {json.dumps({k: round(v, 2) for k, v in bestc['hi']['timings'].items()})}\n"
+        f"- {label(lo)}: {json.dumps({k: round(v, 2) for k, v in bestc['lo']['timings'].items()})}\n"
+        f"- {label(hi)}: {json.dumps({k: round(v, 2) for k, v in bestc['hi']['timings'].items()})}\n"
     )
     header = (
         "# BENCH — scaling evidence (same job, same input, N vs 4N cores)\n\n"
