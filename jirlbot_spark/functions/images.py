@@ -49,7 +49,7 @@ from jirlbot_spark.functions.limits import bounded_inflate, check_dims
 
 LOSSLESS_FMTS = (
     "png", "bmp", "raw", "gif", "tiff", "webp", "ppm", "exr", "ras", "sgi",
-    "ico",
+    "ico", "tiffg4",
 )
 LOSSY_FMTS = ("jpeg",)
 JPEG_QUALITY = 98  # fixture-content PSNR >= ~43 dB (invariant floor: 40)
@@ -429,6 +429,12 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
         from jirlbot_spark.functions.tiff import encode_tiff
 
         return encode_tiff(pixels)
+    if fmt == "tiffg4":
+        # lossless iff pixels are bilevel — fixture rows are thresholded
+        # before encode; see functions/ccitt.py
+        from jirlbot_spark.functions.tiff import encode_tiff_g4
+
+        return encode_tiff_g4(pixels)
     if fmt == "webp":
         from jirlbot_spark.functions.webp import encode_webp
 
@@ -471,7 +477,7 @@ def decode_image(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         from jirlbot_spark.functions.gif import decode_gif
 
         return decode_gif(data)
-    if fmt == "tiff":
+    if fmt in ("tiff", "tiffg4"):
         from jirlbot_spark.functions.tiff import decode_tiff
 
         return decode_tiff(data)

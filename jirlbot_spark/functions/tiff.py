@@ -16,9 +16,14 @@ jpeg.py) gains a real TIFF branch:
     dropped), all 8 orientation transforms, and compressions none (1),
     LZW (5), new-style JPEG (7, shared JPEGTables spliced per segment,
     decoded by the engine's own functions/jpeg.py), Deflate (8 and the
-    legacy 32946 code), PackBits (32773). Old-style JPEG (6),
-    fill-order-2 and CCITT variants raise the explicit
-    NotImplementedError gate.
+    legacy 32946 code), PackBits (32773), and the CCITT fax family —
+    2 (Modified Huffman), 3 (T.4 1D/2D per T4Options) and 4 (T.6/G4) —
+    via functions/ccitt.py, including FillOrder=2 (bit-reversed bytes,
+    the common fax byte order; also honored for uncompressed 1-bit
+    data). Old-style JPEG (6) and FillOrder=2 on non-bitstream
+    compressions raise the explicit NotImplementedError gate.
+  - encode_tiff_g4: bilevel (h, w, 3) RGB (each pixel pure black or
+    pure white) -> single-strip G4 fax TIFF, photometric WhiteIsZero.
 
 TIFF LZW vs the GIF LZW in functions/gif.py: codes pack MSB-first (GIF
 is LSB-first), roots are always the 256 byte values with CLEAR=256 /
@@ -65,6 +70,16 @@ _COMP_NONE, _COMP_LZW, _COMP_DEFLATE = 1, 5, 8
 _COMP_DEFLATE_OLD, _COMP_PACKBITS = 32946, 32773
 _COMP_JPEG = 7  # "new-style" JPEG-in-TIFF (TTN2); old-style 6 stays gated
 _JPEG_TABLES = 347
+_COMP_MH, _COMP_G3, _COMP_G4 = 2, 3, 4  # CCITT fax (functions/ccitt.py)
+_FAX_COMPS = (_COMP_MH, _COMP_G3, _COMP_G4)
+_T4_OPTIONS, _T6_OPTIONS = 292, 293
+
+# FillOrder=2 stores bits low-order-first within each byte; reversing
+# every byte converts a fax bitstream (or uncompressed 1-bit rows) to
+# FillOrder-1 exactly.
+_BITREV = np.array(
+    [int(f"{b:08b}"[::-1], 2) for b in range(256)], np.uint8
+)
 
 _CLEAR, _EOI = 256, 257
 
@@ -301,6 +316,64 @@ def encode_tiff(
     return header + b"".join(strips) + bytes(extra) + ifd
 
 
+def encode_tiff_g4(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> single-strip CCITT G4 TIFF, photometric 0
+    (WhiteIsZero). Round-trips LOSSLESSLY iff the input is bilevel
+    (every pixel pure black or pure white); wider input is thresholded
+    via ccitt.bilevel first — fixture rows pre-threshold so the stored
+    pixels describe exactly what the bytes carry (the GIF posterize
+    pattern)."""
+    from jirlbot_spark.functions.ccitt import bilevel, encode_g4
+
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("expected (h, w, 3) RGB")
+    h, w, _ = pixels.shape
+    flat = pixels.reshape(-1, 3)
+    black = (flat == 0).all(axis=1)
+    white = (flat == 255).all(axis=1)
+    if not (black | white).all():
+        pixels = bilevel(pixels)
+        black = (pixels.reshape(-1, 3) == 0).all(axis=1)
+    bits = black.reshape(h, w).astype(np.uint8)  # 1 = black (photo 0)
+    strip = encode_g4(bits)
+
+    pos = 8
+    extra = bytearray()
+    extra_base = pos + len(strip)
+
+    def entry(tag: int, typ: int, fmt: str, items: list[int]) -> bytes:
+        payload = struct.pack(f"<{len(items)}{fmt}", *items)
+        if len(payload) <= 4:
+            return struct.pack("<HHI", tag, typ, len(items)) + payload.ljust(
+                4, b"\x00"
+            )
+        off = extra_base + len(extra)
+        extra.extend(payload)
+        if len(extra) % 2:
+            extra.append(0)
+        return struct.pack("<HHII", tag, typ, len(items), off)
+
+    entries = [
+        (_WIDTH, 4, "I", [w]),
+        (_HEIGHT, 4, "I", [h]),
+        (_BITS, 3, "H", [1]),
+        (_COMPRESSION, 3, "H", [_COMP_G4]),
+        (_PHOTOMETRIC, 3, "H", [0]),
+        (_STRIP_OFFSETS, 4, "I", [pos]),
+        (_SPP, 3, "H", [1]),
+        (_ROWS_PER_STRIP, 4, "I", [h]),
+        (_STRIP_COUNTS, 4, "I", [len(strip)]),
+        (_T6_OPTIONS, 4, "I", [0]),
+    ]
+    entries.sort()
+    ifd = struct.pack("<H", len(entries))
+    ifd += b"".join(entry(*e) for e in entries)
+    ifd += struct.pack("<I", 0)
+    ifd_off = extra_base + len(extra)
+    header = _II + struct.pack("<HI", 42, ifd_off)
+    return header + strip + bytes(extra) + ifd
+
+
 # ---------- decode ----------
 
 def _read_ifd(data: bytes, order: str, off: int) -> dict[int, tuple]:
@@ -445,8 +518,6 @@ def decode_tiff(data: bytes) -> np.ndarray:
         raise ValueError(f"bad TIFF magic {magic}")
     tags = _read_ifd(data, order, ifd_off)
 
-    if _tag1(tags, _FILLORDER, 1) != 1:
-        raise NotImplementedError("fill-order-2 TIFF")
     planar = _tag1(tags, _PLANAR, 1)
     if planar not in (1, 2):
         raise ValueError(f"bad planar configuration {planar}")
@@ -454,11 +525,19 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if comp not in (
         _COMP_NONE, _COMP_LZW, _COMP_DEFLATE, _COMP_DEFLATE_OLD,
         _COMP_PACKBITS, _COMP_JPEG,
-    ):
+    ) and comp not in _FAX_COMPS:
         raise NotImplementedError(f"TIFF compression {comp}")
     photo = _tag1(tags, _PHOTOMETRIC)
+    if photo is None and comp in _FAX_COMPS:
+        photo = 0  # fax default: WhiteIsZero (what libtiff assumes too)
     if photo not in (0, 1, 2, 3) and not (photo == 6 and comp == _COMP_JPEG):
         raise NotImplementedError(f"TIFF photometric {photo}")
+    reverse_bits = _tag1(tags, _FILLORDER, 1) == 2
+    if reverse_bits and comp not in _FAX_COMPS and comp != _COMP_NONE:
+        # byte-reversal is only exact for bitstream codings and raw
+        # 1-bit rows; FillOrder 2 with LZW/Deflate/PackBits/JPEG is
+        # nonstandard in the wild
+        raise NotImplementedError(f"fill-order-2 with compression {comp}")
 
     w = _tag1(tags, _WIDTH)
     h = _tag1(tags, _HEIGHT)
@@ -480,6 +559,17 @@ def decode_tiff(data: bytes) -> np.ndarray:
         raise NotImplementedError(f"TIFF predictor {predictor}")
     if predictor == 2 and bits < 8:
         raise NotImplementedError("predictor on sub-byte samples")
+    t4_opts = _tag1(tags, _T4_OPTIONS, 0)
+    t6_opts = _tag1(tags, _T6_OPTIONS, 0)
+    if comp in _FAX_COMPS:
+        if bits != 1 or spp != 1:
+            raise NotImplementedError(
+                f"fax TIFF with {bits}-bit/{spp}-sample pixels"
+            )
+        if photo not in (0, 1):
+            raise ValueError(f"fax TIFF photometric {photo}")
+    # byte-wise bit reversal is a no-op for whole-byte samples
+    reverse_bits = reverse_bits and (comp in _FAX_COMPS or bits < 8)
 
     # segment geometry: strips or tiles, chunky or per-plane
     tile_w = _tag1(tags, _TILE_W)
@@ -529,7 +619,19 @@ def decode_tiff(data: bytes) -> np.ndarray:
                 off, cnt = offsets[p * n_seg + s], counts[p * n_seg + s]
                 n_rows = rps if tiled else min(rps, h - s * rps)
                 expected = n_rows * ((seg_w * spp_seg * bits + 7) // 8)
-                raw = _decompress(bytes(data[off : off + cnt]), comp, expected)
+                seg_raw = bytes(data[off : off + cnt])
+                if reverse_bits:
+                    seg_raw = _BITREV[
+                        np.frombuffer(seg_raw, np.uint8)
+                    ].tobytes()
+                if comp in _FAX_COMPS:
+                    from jirlbot_spark.functions.ccitt import decode_fax
+
+                    raw = decode_fax(
+                        seg_raw, seg_w, n_rows, comp, t4_opts, t6_opts
+                    )
+                else:
+                    raw = _decompress(seg_raw, comp, expected)
                 seg = _segment_samples(
                     raw, n_rows, seg_w, spp_seg, bits, predictor, order
                 )

@@ -63,6 +63,11 @@ def gen_pages(seed: int, n: int) -> pd.DataFrame:
             from jirlbot_spark.functions.gif import posterize
 
             px = posterize(px)
+        elif fmt == "tiffg4":
+            # fax is bilevel: threshold BEFORE storing, same contract
+            from jirlbot_spark.functions.ccitt import bilevel
+
+            px = bilevel(px)
         words = " ".join(rng.choice(_WORDS, size=5))
         image_id = f"img{idx:010d}"
         recs.append(
@@ -324,6 +329,35 @@ def gen_documents(seed: int, n: int) -> pd.DataFrame:
             k = int(rng.integers(20, 60))
             texts.append(" ".join(rng.choice(_WORDS, size=k)))
     return pd.DataFrame({"doc_id": range(n), "text": texts})
+
+
+def gen_phash_corpus(seed: int, n: int) -> pd.DataFrame:
+    """Seeded (image_id, phash) corpus with engineered near-duplicates
+    for the dedup_phash driver key: n base rows of uniform 64-bit
+    hashes, plus for each of the first n//8 rows a copy with k seeded
+    bit flips — k cycling 1..10, so flips land BOTH inside (<=7) and
+    outside (8..10) the operator's default Hamming band, asserting
+    exclusion as well as recall — plus exact duplicates of every 16th
+    row (hamming-0 pairs through the same path)."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(-(2**63), 2**63, size=n, dtype=np.int64)
+    ids = [f"img{i:05d}" for i in range(n)]
+    hashes = list(base)
+    for i in range(n // 8):
+        k = (i % 10) + 1
+        flips = rng.choice(64, size=k, replace=False)
+        m = 0
+        for f in flips:
+            m ^= 1 << int(f)
+        v = (int(base[i]) & 0xFFFFFFFFFFFFFFFF) ^ m  # unsigned xor
+        ids.append(f"flip{i:05d}_{k}")
+        hashes.append(np.int64(v - (1 << 64) if v >= 1 << 63 else v))
+    for i in range(0, n, 16):
+        ids.append(f"copy{i:05d}")
+        hashes.append(base[i])
+    return pd.DataFrame(
+        {"image_id": ids, "phash": np.array(hashes, np.int64)}
+    )
 
 
 def gen_embeddings(seed: int, n: int, dim: int = 64) -> pd.DataFrame:

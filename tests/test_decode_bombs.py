@@ -289,10 +289,16 @@ def test_valid_decodes_unaffected():
         encode_image,
     )
 
+    from jirlbot_spark.functions.ccitt import bilevel
+
     rng = np.random.default_rng(2)
     px = rng.integers(0, 256, (16, 16, 3), np.uint8)
     for fmt in LOSSLESS_FMTS:
-        src = px if fmt != "gif" else (px // 64 * 64)
+        src = px
+        if fmt == "gif":
+            src = px // 64 * 64
+        elif fmt == "tiffg4":
+            src = bilevel(px)  # fax is bilevel; lossless iff pre-thresholded
         assert np.array_equal(
             decode_image(encode_image(src, fmt), fmt, 16, 16), src
         )

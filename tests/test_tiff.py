@@ -333,9 +333,11 @@ def test_gates():
 
     with pytest.raises(ValueError):  # tile dims without tile offsets
         decode_tiff(build([(322, 4, [16]), (323, 4, [16])]))
-    with pytest.raises(NotImplementedError):  # fill order 2
-        decode_tiff(build([(266, 3, [2])]))
-    with pytest.raises(NotImplementedError):  # CCITT
+    # fill order 2 on whole-byte uncompressed samples is a spec no-op
+    assert decode_tiff(build([(266, 3, [2])])).shape == (2, 2, 3)
+    with pytest.raises(NotImplementedError):  # fill order 2 + LZW gated
+        decode_tiff(build([(266, 3, [2])], comp_tags=_rgb_tags(5)))
+    with pytest.raises(NotImplementedError):  # fax needs 1-bit/1-sample
         decode_tiff(build([], comp_tags=_rgb_tags(2)))
     with pytest.raises(NotImplementedError):  # old-style JPEG
         decode_tiff(build([], comp_tags=_rgb_tags(6)))
