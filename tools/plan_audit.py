@@ -222,7 +222,28 @@ def main() -> None:
         below = "\n".join(lines[g + 1 :])
         return "split(" not in above and "split(" in below
 
+    # --- pHash near-dup: banded self-join, never cartesian
+    from jirlbot_spark.operators.image_dedup import phash_neardup
+    from jirlbot_spark.sources.fixtures import gen_phash_corpus
+
+    phash_df = phash_neardup(
+        spark.createDataFrame(gen_phash_corpus(17, 160)), max_hamming=7
+    )
+    phash_plan = capture_plan(phash_df)
+    sections.append(
+        (
+            "pHash near-dup (phash_neardup)",
+            "The 8-block pigeonhole self-join must hash-join on "
+            "(blk, bval) — a CartesianProduct or nested-loop here would "
+            "be quadratic in |distinct hashes| at 10^10.",
+            phash_plan,
+        )
+    )
+
     checks = {
+        "dedup_phash executes with NO CartesianProduct/NestedLoop":
+        "CartesianProduct" not in phash_plan
+        and "BroadcastNestedLoopJoin" not in phash_plan,
         "dedup_embed executes with NO CartesianProduct/NestedLoop":
         "CartesianProduct" not in embed_plan
         and "BroadcastNestedLoopJoin" not in embed_plan,
