@@ -221,6 +221,175 @@ def encode_gif(pixels: np.ndarray) -> bytes:
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
+def encode_gif_anim(frames: np.ndarray, delay_cs: int = 10) -> bytes:
+    """(n, h, w, 3) uint8 -> animated GIF89a: one global palette built
+    over ALL frames (posterized first if the union exceeds 256 colors),
+    a Graphic Control Extension per frame (disposal 1 = leave in place,
+    no transparency) and NETSCAPE2.0 infinite-loop app extension.
+    Lossless per frame iff the union palette fits."""
+    if frames.ndim != 4 or frames.shape[3] != 3:
+        raise ValueError("expected (n, h, w, 3) RGB frames")
+    n, h, w, _ = frames.shape
+    stacked = frames.reshape(n * h, w, 3)
+    try:
+        pal, idx = _build_palette(stacked)
+    except ValueError:
+        pal, idx = _build_palette(posterize(stacked))
+    idx = idx.reshape(n, h, w)
+    n_colors = len(pal)
+    s = max(1, int(np.ceil(np.log2(max(n_colors, 2)))) - 1)
+    while (1 << (s + 1)) < n_colors:
+        s += 1
+    gct = np.zeros(((1 << (s + 1)), 3), np.uint8)
+    gct[:n_colors] = pal
+    mcs = max(2, s + 1)
+    out = bytearray()
+    out += _HDR89
+    out += struct.pack("<HHBBB", w, h, 0x80 | (7 << 4) | s, 0, 0)
+    out += gct.tobytes()
+    # NETSCAPE2.0 loop extension (loop count 0 = forever)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for f in range(n):
+        out += b"\x21\xf9\x04" + struct.pack(
+            "<BHB", 1 << 2, delay_cs, 0  # disposal 1, no transparency
+        ) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(mcs)
+        lzw = _lzw_encode(idx[f].ravel(), mcs)
+        for i in range(0, len(lzw), 255):
+            block = lzw[i : i + 255]
+            out.append(len(block))
+            out += block
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(data: bytes) -> tuple[np.ndarray, list[int]]:
+    """Animated GIF -> (composed frames (n, sh, sw, 3) uint8, per-frame
+    delays in centiseconds).
+
+    Full GIF89a animation semantics: the logical-screen canvas starts
+    as the background color (black without a global table), each image
+    block draws its rect through the transparency mask, the emitted
+    frame is the canvas AFTER the draw, and disposal then applies —
+    0/1 leave, 2 restore the rect to background, 3 restore the rect to
+    the pre-draw canvas. Local palettes and per-frame interlacing
+    handled; a cumulative canvas-pixel budget (the per-image decode cap
+    x frames) bounds hostile frame counts."""
+    try:
+        return _decode_gif_frames(data)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated GIF: {e}") from e
+
+
+def _decode_gif_frames(data: bytes) -> tuple[np.ndarray, list[int]]:
+    from jirlbot_spark.functions.limits import MAX_DECODE_PIXELS
+
+    if data[:6] not in (_HDR89, _HDR87):
+        raise ValueError("not a GIF")
+    sw, sh, packed, bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    check_dims(sw, sh, "GIF screen")
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 1 << ((packed & 0x07) + 1)
+        gct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    bg_rgb = gct[bg] if gct is not None and bg < len(gct) else np.zeros(
+        3, np.uint8
+    )
+    canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    disposal, transparent, delay = 0, None, 0
+    budget = 0
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:
+            break
+        if b == 0x21:  # extension
+            label = data[pos + 1]
+            pos += 2
+            if label == 0xF9 and data[pos] >= 4:  # graphic control
+                gpacked, delay = struct.unpack_from("<BH", data, pos + 1)
+                disposal = (gpacked >> 2) & 0x07
+                transparent = data[pos + 4] if gpacked & 1 else None
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        left, top, w, h, ipacked = struct.unpack(
+            "<HHHHB", data[pos + 1 : pos + 10]
+        )
+        check_dims(w, h, "GIF frame")
+        budget += sw * sh
+        if budget > MAX_DECODE_PIXELS:
+            raise ValueError(
+                "GIF animation exceeds the decode pixel budget "
+                f"({MAX_DECODE_PIXELS})"
+            )
+        if left + w > sw or top + h > sh:
+            raise ValueError("GIF frame rect outside the logical screen")
+        pos += 10
+        pal = gct
+        if ipacked & 0x80:
+            n = 1 << ((ipacked & 0x07) + 1)
+            pal = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if pal is None:
+            raise ValueError("GIF frame with no color table")
+        mcs = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while data[pos] != 0:
+            ln = data[pos]
+            lzw += data[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1  # block terminator
+        idx = _lzw_decode(bytes(lzw), mcs, w * h).reshape(h, w)
+        if ipacked & 0x40:
+            order = np.concatenate(
+                [np.arange(s0, h, st) for s0, st in _INTERLACE_PASSES]
+            )
+            deinterlaced = np.empty_like(idx)
+            deinterlaced[order] = idx
+            idx = deinterlaced
+        region = canvas[top : top + h, left : left + w]
+        snapshot = region.copy() if disposal == 3 else None
+        # a transparent index may sit outside the palette; opaque ones
+        # must not (same contract as the single-frame decoder)
+        safe = (
+            idx
+            if transparent is None
+            else np.where(idx == transparent, 0, idx)
+        )
+        if (safe >= len(pal)).any():
+            raise ValueError("GIF pixel index outside the color table")
+        rgb = pal[safe]
+        if transparent is not None:
+            mask = idx != transparent
+            region[mask] = rgb[mask]
+        else:
+            region[...] = rgb
+        frames.append(canvas.copy())
+        delays.append(delay)
+        if disposal == 2:
+            region[...] = bg_rgb
+        elif disposal == 3:
+            region[...] = snapshot
+        disposal, transparent, delay = 0, None, 0
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return np.stack(frames), delays
+
+
+def is_gif(data: bytes) -> bool:
+    return data[:6] in (_HDR89, _HDR87)
+
+
 def decode_gif(data: bytes) -> np.ndarray:
     """GIF87a/89a -> first frame as (h, w, 3) uint8 RGB."""
     try:

@@ -530,6 +530,7 @@ def frame_sample(
     task (no shuffle); downstream repartitions only if it must."""
     out_schema = StructType(FRAME_FIELDS)
     codec = video_codec()
+    from jirlbot_spark.functions.gif import decode_gif_frames, is_gif
     from jirlbot_spark.functions.mp4 import is_mp4, mp4_info
     from jirlbot_spark.functions.webm import is_webm, webm_info
 
@@ -547,6 +548,11 @@ def frame_sample(
                     # REAL decode: uncompressed AVI via the engine's own
                     # RIFF parser — no codec library involved
                     decoded, _fps = decode_avi(data)
+                elif is_gif(data):
+                    # REAL decode: animated GIF with full disposal/
+                    # transparency composition (functions/gif.py) — the
+                    # web's other wild animation container
+                    decoded, _delays = decode_gif_frames(data)
                 else:
                     # container-REAL: frame count and dimensions come
                     # from the box/element walk, not the metadata row

@@ -508,8 +508,25 @@ def gen_video(seed: int, n: int) -> pd.DataFrame:
         h = int(rng.choice([16, 32]))
         n_frames = int(rng.integers(5, 60))
         fps = float(rng.choice([24.0, 30.0]))
-        fmt = str(rng.choice(["avi", "mjpg", "mp4", "webm"]))
-        if fmt in ("avi", "mjpg"):
+        fmt = str(rng.choice(["avi", "mjpg", "mp4", "webm", "gif"]))
+        if fmt == "gif":
+            # REAL animated-GIF bytes (posterized moving gradient so the
+            # one global palette holds all frames losslessly)
+            from jirlbot_spark.functions.gif import (
+                encode_gif_anim,
+                posterize,
+            )
+
+            f = np.arange(n_frames, dtype=np.int32)[:, None, None, None]
+            y = np.arange(h, dtype=np.int32)[None, :, None, None]
+            x = np.arange(w, dtype=np.int32)[None, None, :, None]
+            c = np.arange(3, dtype=np.int32)[None, None, None, :]
+            frames = ((x * 3 + y * 5 + f * 7 + c * 11 + idx) % 256).astype(
+                np.uint8
+            )
+            frames = np.stack([posterize(fr) for fr in frames])
+            blob = encode_gif_anim(frames, delay_cs=max(1, round(100 / fps)))
+        elif fmt in ("avi", "mjpg"):
             f = np.arange(n_frames, dtype=np.int32)[:, None, None, None]
             y = np.arange(h, dtype=np.int32)[None, :, None, None]
             x = np.arange(w, dtype=np.int32)[None, None, :, None]

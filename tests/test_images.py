@@ -272,6 +272,136 @@ def test_gif_decodes_interlaced_extensions_and_local_color_table():
     assert np.array_equal(G.decode_gif(bytes(out2)), px)
 
 
+def test_gif_anim_roundtrip():
+    from jirlbot_spark.functions.gif import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif_anim,
+        posterize,
+    )
+    from jirlbot_spark.sources.fixtures import gen_pixels
+
+    rng = np.random.default_rng(21)
+    frames = np.stack(
+        [posterize(gen_pixels(rng, 24, 18)) for _ in range(7)]
+    )
+    blob = encode_gif_anim(frames, delay_cs=6)
+    got, delays = decode_gif_frames(blob)
+    assert np.array_equal(got, frames)
+    assert delays == [6] * 7
+    # first-frame decoder agrees with the composed first frame
+    assert np.array_equal(decode_gif(blob), frames[0])
+
+
+def test_gif_anim_disposal_transparency_local_palette():
+    """Hand-built animation exercising what the encoder never emits:
+    partial-rect frames, transparency holes, disposal 2 (restore to
+    background) and 3 (restore to previous), a local palette, and a
+    transparent index OUTSIDE the palette."""
+    import struct
+
+    from jirlbot_spark.functions import gif as G
+
+    pal = np.array(
+        [[250, 0, 0], [0, 250, 0], [0, 0, 250], [40, 40, 40]], np.uint8
+    )
+    lpal = np.array([[9, 9, 9], [200, 200, 9]], np.uint8)
+
+    def blocks(lzw: bytes) -> bytes:
+        out = bytearray()
+        for i in range(0, len(lzw), 255):
+            b = lzw[i : i + 255]
+            out.append(len(b))
+            out += b
+        return bytes(out) + b"\x00"
+
+    def gce(disposal: int, transparent: int | None) -> bytes:
+        packed = (disposal << 2) | (1 if transparent is not None else 0)
+        return b"\x21\xf9\x04" + struct.pack(
+            "<BHB", packed, 5, transparent or 0
+        ) + b"\x00"
+
+    sw = sh = 6
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", sw, sh, 0x80 | 1, 3, 0)  # GCT 4, bg=3
+    out += pal.tobytes()
+    # frame 0: full screen of color 0, disposal 3 (restore previous)
+    idx0 = np.zeros((sh, sw), np.int32)
+    out += gce(3, None)
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, sw, sh, 0) + b"\x02"
+    out += blocks(G._lzw_encode(idx0.ravel(), 2))
+    # frame 1: 2x2 rect at (1,1) in LOCAL palette, transparent idx 1,
+    # disposal 2 (restore rect to background color)
+    idx1 = np.array([[0, 1], [1, 0]], np.int32)
+    out += gce(2, 1)
+    out += b"\x2c" + struct.pack("<HHHHB", 1, 1, 2, 2, 0x80 | 0)
+    out += lpal.tobytes()
+    out += b"\x02" + blocks(G._lzw_encode(idx1.ravel(), 2))
+    # frame 2: 1x1 at (0,0) color 2, transparent index 3 present in
+    # data nowhere (and == GCT size-1, valid)
+    out += gce(0, 3)
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, 1, 1, 0) + b"\x02"
+    out += blocks(G._lzw_encode(np.array([2], np.int32), 2))
+    out += b"\x3b"
+
+    frames, delays = G.decode_gif_frames(bytes(out))
+    assert delays == [5, 5, 5]
+    bg = np.broadcast_to(pal[3], (sh, sw, 3)).copy()  # bg index 3
+    f0 = np.broadcast_to(pal[0], (sh, sw, 3)).copy()
+    assert np.array_equal(frames[0], f0)
+    # disposal 3 after frame 0 restores the PRE-DRAW canvas (the
+    # background) — frame 0's full-screen draw is disposed of; frame 1
+    # then draws opaque lpal[0] at (1,1)/(2,2), holes show background
+    f1 = bg.copy()
+    f1[1, 1] = lpal[0]
+    f1[2, 2] = lpal[0]
+    assert np.array_equal(frames[1], f1)
+    # disposal 2 after frame 1 restores its 2x2 rect to background,
+    # then frame 2 draws its single pixel
+    f2 = bg.copy()
+    f2[0, 0] = pal[2]
+    assert np.array_equal(frames[2], f2)
+
+
+def test_gif_anim_bomb_and_bad_rect():
+    import struct
+
+    from jirlbot_spark.functions import gif as G
+    from jirlbot_spark.functions.limits import MAX_DECODE_PIXELS
+
+    pal = np.zeros((2, 3), np.uint8)
+    one_px = G._lzw_encode(np.zeros(1, np.int32), 2)
+
+    def img_block(left: int, top: int) -> bytes:
+        out = bytearray(
+            b"\x2c" + struct.pack("<HHHHB", left, top, 1, 1, 0) + b"\x02"
+        )
+        out.append(len(one_px))
+        out += one_px + b"\x00"
+        return bytes(out)
+
+    # canvas big enough that few 1x1 frames blow the cumulative budget
+    sw = sh = 4096
+    n_over = MAX_DECODE_PIXELS // (sw * sh) + 1
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", sw, sh, 0x80, 0, 0)
+    out += pal.tobytes()
+    for _ in range(n_over):
+        out += img_block(0, 0)
+    out += b"\x3b"
+    with pytest.raises(ValueError, match="budget"):
+        G.decode_gif_frames(bytes(out))
+
+    # frame rect outside the logical screen
+    out2 = bytearray(b"GIF89a")
+    out2 += struct.pack("<HHBBB", 4, 4, 0x80, 0, 0)
+    out2 += pal.tobytes()
+    out2 += img_block(4, 0)
+    out2 += b"\x3b"
+    with pytest.raises(ValueError, match="rect"):
+        G.decode_gif_frames(bytes(out2))
+
+
 def test_gif_truncated_stream_raises():
     from jirlbot_spark.functions.gif import decode_gif, encode_gif
 

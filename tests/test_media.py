@@ -125,6 +125,7 @@ def test_wav_malformed_and_compressed():
 
 
 def test_frame_sample_cardinality_and_layout(spark):
+    from jirlbot_spark.functions.gif import decode_gif_frames, is_gif
     from jirlbot_spark.functions.media import decode_avi, is_avi
 
     pdf = gen_video(5, 8)
@@ -141,16 +142,17 @@ def test_frame_sample_cardinality_and_layout(spark):
         assert [f.frame_idx for f in frames] == list(
             range(0, int(row["n_frames"]), 7)
         )
+        blob = bytes(row["bytes"])
         decoded = (
-            decode_avi(bytes(row["bytes"]))[0]
-            if is_avi(bytes(row["bytes"]))
-            else None
+            decode_avi(blob)[0]
+            if is_avi(blob)
+            else decode_gif_frames(blob)[0] if is_gif(blob) else None
         )
         for f in frames:
             assert f.w == row["w"] and f.h == row["h"]
             assert len(f.pixels) == f.w * f.h * 3  # raw RGB24 contract
             exp = (
-                decoded[f.frame_idx]  # REAL pixels for avi payloads
+                decoded[f.frame_idx]  # REAL pixels for avi/gif payloads
                 if decoded is not None
                 else fake_decode_frame(
                     bytes(row["bytes"]), f.frame_idx, f.w, f.h

@@ -201,6 +201,7 @@ def golden_audio_features() -> str:
 
 
 def golden_frame_sample() -> str:
+    from jirlbot_spark.functions.gif import decode_gif_frames, is_gif
     from jirlbot_spark.functions.media import decode_avi, is_avi
     from jirlbot_spark.functions.mp4 import is_mp4, mp4_info
     from jirlbot_spark.functions.webm import is_webm, webm_info
@@ -209,12 +210,16 @@ def golden_frame_sample() -> str:
     rows = []
     for r in video.itertuples():
         # mirrors media.frame_sample: real AVI decode for avi rows,
-        # container-real mp4 box / webm element walks (true
-        # n_frames/dims, fake pixels), content-seeded fake for the
-        # rest; px_sum pins the actual emitted pixel CONTENT, not just
-        # cardinality
+        # real animated-GIF composition for gif rows, container-real
+        # mp4 box / webm element walks (true n_frames/dims, fake
+        # pixels), content-seeded fake for the rest; px_sum pins the
+        # actual emitted pixel CONTENT, not just cardinality
         decoded = (
-            decode_avi(bytes(r.bytes))[0] if is_avi(bytes(r.bytes)) else None
+            decode_avi(bytes(r.bytes))[0]
+            if is_avi(bytes(r.bytes))
+            else decode_gif_frames(bytes(r.bytes))[0]
+            if is_gif(bytes(r.bytes))
+            else None
         )
         w, h = int(r.w), int(r.h)
         meta = None
