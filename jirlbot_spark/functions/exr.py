@@ -1,10 +1,14 @@
 """OpenEXR scanline codec (pure numpy + zlib) for the payload path.
 
 EXR is the HDR interchange format a crawl meets from VFX/render
-pipelines. Single-part scanline images decode with compressions
-NONE (0), RLE (1), ZIPS (2, 1 line/block) and ZIP (3, 16 lines/block);
-channel types HALF and FLOAT. PIZ/PXR24/B44/DWA, tiled, deep and
-multi-part files raise the explicit NotImplementedError gate.
+pipelines. Single-part scanline AND tiled images decode with
+compressions NONE (0), RLE (1), ZIPS (2, 1 line/block) and ZIP (3, 16
+lines/block; whole-tile for tiled parts); channel types HALF and FLOAT.
+Tiled coverage: ONE_LEVEL fully, MIPMAP/RIPMAP assemble the
+full-resolution level (0,0) and skip coarser levels (their offsets are
+still counted exactly — _tile_offset_count — so the table parses).
+PIZ/PXR24/B44/DWA, deep and multi-part files raise the explicit
+NotImplementedError gate.
 
 Byte-level details pinned here (OpenEXR file-format doc):
   - header = magic 20000630 | version | attr list (name\\0 type\\0
@@ -93,8 +97,6 @@ def _read_header(data: bytes) -> tuple[dict, int]:
     magic, version = struct.unpack_from("<iI", data, 0)
     if magic != _MAGIC:
         raise ValueError("not an EXR file")
-    if version & 0x200:
-        raise NotImplementedError("tiled EXR")
     if version & 0x1000 or version & 0x800:
         raise NotImplementedError("multi-part / deep EXR")
     attrs: dict[bytes, tuple[bytes, bytes]] = {}
@@ -132,9 +134,58 @@ def _parse_channels(val: bytes) -> list[tuple[str, int]]:
     return chans
 
 
+def _n_levels(size: int, round_up: bool) -> int:
+    n = 1
+    while size > 1:
+        size = (size + 1) // 2 if round_up else size // 2
+        n += 1
+    return n
+
+
+def _level_size(size: int, level: int, round_up: bool) -> int:
+    for _ in range(level):
+        size = max(1, (size + 1) // 2 if round_up else size // 2)
+    return size
+
+
+def _tile_offset_count(
+    w: int, h: int, tw: int, th: int, mode: int
+) -> int:
+    """Offset-table length for a tiled part (file-format doc): ONE_LEVEL
+    counts the level-0 grid; MIPMAP sums each level's grid; RIPMAP sums
+    every (level_x, level_y) combination."""
+    level_mode, round_up = mode & 0x0F, bool(mode >> 4)
+
+    def tiles(sz: int, t: int) -> int:
+        return (sz + t - 1) // t
+
+    if level_mode == 0:
+        return tiles(w, tw) * tiles(h, th)
+    if level_mode == 1:
+        n = max(_n_levels(w, round_up), _n_levels(h, round_up))
+        return sum(
+            tiles(_level_size(w, l, round_up), tw)
+            * tiles(_level_size(h, l, round_up), th)
+            for l in range(n)
+        )
+    if level_mode == 2:
+        nx, ny = _n_levels(w, round_up), _n_levels(h, round_up)
+        return sum(
+            tiles(_level_size(w, lx, round_up), tw)
+            * tiles(_level_size(h, ly, round_up), th)
+            for lx in range(nx)
+            for ly in range(ny)
+        )
+    raise ValueError(f"bad EXR tile level mode {level_mode}")
+
+
 def decode_exr_channels(data: bytes) -> dict[str, np.ndarray]:
-    """Full-precision decode: {channel name: (h, w) float32}."""
+    """Full-precision decode: {channel name: (h, w) float32}. Scanline
+    and tiled (ONE_LEVEL fully; MIPMAP/RIPMAP decode the full-resolution
+    level 0) single-part images."""
     attrs, pos = _read_header(data)
+    version = struct.unpack_from("<I", data, 4)[0]
+    tiled = bool(version & 0x200)
     if b"channels" not in attrs or b"dataWindow" not in attrs:
         raise ValueError("EXR missing channels/dataWindow")
     comp = attrs[b"compression"][1][0] if b"compression" in attrs else 0
@@ -146,6 +197,16 @@ def decode_exr_channels(data: bytes) -> dict[str, np.ndarray]:
     chans = _parse_channels(attrs[b"channels"][1])
     if any(t == _PT_UINT for _, t in chans):
         raise NotImplementedError("UINT EXR channels")
+    if tiled:
+        if b"tiles" not in attrs:
+            raise ValueError("tiled EXR missing the tiles attribute")
+        tw, th, tmode = struct.unpack("<IIB", attrs[b"tiles"][1][:9])
+        if not tw or not th:
+            raise ValueError("bad EXR tile size")
+        check_dims(tw, th, "EXR tile")
+        return _decode_tiled(
+            data, pos, attrs, chans, comp, (x0, y0, w, h), (tw, th, tmode)
+        )
     lines = _COMP_LINES[comp]
     n_blocks = (h + lines - 1) // lines
     offsets = struct.unpack_from(f"<{n_blocks}Q", data, pos)
@@ -170,6 +231,51 @@ def decode_exr_channels(data: bytes) -> dict[str, np.ndarray]:
                 row = np.frombuffer(raw, dt, count=w, offset=p)
                 out[name][y - y0 + r] = row.astype(np.float32)
                 p += w * dt.itemsize
+    return out
+
+
+def _decode_tiled(
+    data: bytes,
+    pos: int,
+    attrs: dict,
+    chans: list[tuple[str, int]],
+    comp: int,
+    window: tuple[int, int, int, int],
+    tiledesc: tuple[int, int, int],
+) -> dict[str, np.ndarray]:
+    """Tile blocks: dx | dy | level_x | level_y (int32 each) | size
+    (uint32) | payload; every tile entropy-decodes as ONE block (the
+    scanline 16-row ZIP grouping does not apply). Only level (0, 0)
+    is assembled; coarser mip/rip levels are skipped."""
+    x0, y0, w, h = window
+    tw, th, tmode = tiledesc
+    n_off = _tile_offset_count(w, h, tw, th, tmode)
+    offsets = struct.unpack_from(f"<{n_off}Q", data, pos)
+    out = {name: np.zeros((h, w), np.float32) for name, _ in chans}
+    for off in offsets:
+        dx, dy, lx, ly, size = struct.unpack_from("<4iI", data, off)
+        if (lx, ly) != (0, 0):
+            continue
+        tx0, ty0 = dx * tw, dy * th
+        if not (0 <= tx0 < w and 0 <= ty0 < h):
+            raise ValueError("EXR tile outside the data window")
+        cw, ch_rows = min(tw, w - tx0), min(th, h - ty0)
+        row_nbytes = sum(cw * _PT_DTYPE[t].itemsize for _, t in chans)
+        expected = ch_rows * row_nbytes
+        raw = bytes(data[off + 20 : off + 20 + size])
+        if comp in (2, 3):
+            raw = _postdecode(bounded_inflate(raw, expected))
+        elif comp == 1:
+            raw = _postdecode(_rle_decode(raw, expected))
+        if len(raw) < expected:
+            raise ValueError("truncated EXR tile")
+        p = 0
+        for r in range(ch_rows):
+            for name, t in chans:
+                dt = _PT_DTYPE[t]
+                row = np.frombuffer(raw, dt, count=cw, offset=p)
+                out[name][ty0 + r, tx0 : tx0 + cw] = row.astype(np.float32)
+                p += cw * dt.itemsize
     return out
 
 
@@ -236,6 +342,64 @@ def encode_exr(pixels: np.ndarray) -> bytes:
         + struct.pack(f"<{n_blocks}Q", *offsets)
         + b"".join(body)
     )
+
+
+def encode_exr_tiled(
+    pixels: np.ndarray, tile: tuple[int, int] = (32, 32)
+) -> bytes:
+    """(h, w, 3) uint8 RGB -> ONE_LEVEL tiled ZIP HALF EXR (version bit
+    0x200, tiledesc attribute, 20-byte tile block headers; edge tiles
+    store only their cropped portion per the file-format doc)."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("expected (h, w, 3) RGB")
+    h, w, _ = pixels.shape
+    tw, th = tile
+    half = (pixels.astype(np.float32) / 255.0).astype("<f2")
+
+    def attr(name: bytes, typ: bytes, val: bytes) -> bytes:
+        return name + b"\0" + typ + b"\0" + struct.pack("<I", len(val)) + val
+
+    chlist = b"".join(
+        n.encode() + b"\0" + struct.pack("<IBBBBii", _PT_HALF, 0, 0, 0, 0, 1, 1)
+        for n in ("B", "G", "R")
+    ) + b"\0"
+    box = struct.pack("<4i", 0, 0, w - 1, h - 1)
+    header = (
+        struct.pack("<iI", _MAGIC, 2 | 0x200)
+        + attr(b"channels", b"chlist", chlist)
+        + attr(b"compression", b"compression", b"\x03")  # ZIP
+        + attr(b"dataWindow", b"box2i", box)
+        + attr(b"displayWindow", b"box2i", box)
+        + attr(b"lineOrder", b"lineOrder", b"\x00")
+        + attr(b"pixelAspectRatio", b"float", struct.pack("<f", 1.0))
+        + attr(b"screenWindowCenter", b"v2f", struct.pack("<2f", 0, 0))
+        + attr(b"screenWindowWidth", b"float", struct.pack("<f", 1.0))
+        + attr(b"tiles", b"tiledesc", struct.pack("<IIB", tw, th, 0))
+        + b"\0"
+    )
+    blocks = []
+    for dy in range((h + th - 1) // th):
+        for dx in range((w + tw - 1) // tw):
+            ty0, tx0 = dy * th, dx * tw
+            ch_rows, cw = min(th, h - ty0), min(tw, w - tx0)
+            rows = []
+            for r in range(ch_rows):
+                for c in (2, 1, 0):  # B, G, R file order
+                    rows.append(
+                        half[ty0 + r, tx0 : tx0 + cw, c].tobytes()
+                    )
+            payload = zlib.compress(_predecode(b"".join(rows)), 6)
+            blocks.append((dx, dy, payload))
+    n_blocks = len(blocks)
+    pos = len(header) + 8 * n_blocks
+    offsets, body = [], []
+    for dx, dy, payload in blocks:
+        offsets.append(pos)
+        body.append(
+            struct.pack("<4iI", dx, dy, 0, 0, len(payload)) + payload
+        )
+        pos += 20 + len(payload)
+    return header + struct.pack(f"<{n_blocks}Q", *offsets) + b"".join(body)
 
 
 def is_exr(data: bytes) -> bool:

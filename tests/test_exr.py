@@ -174,10 +174,149 @@ def test_gates_and_errors():
     with pytest.raises(ValueError):
         decode_exr(b"\x00" * 32)
     blob = bytearray(wild_exr(chans, 0))
-    blob[5] |= 0x02  # tiled flag
-    with pytest.raises(NotImplementedError):
+    blob[5] |= 0x02  # tiled flag without a tiles attribute
+    with pytest.raises(ValueError):
         decode_exr(bytes(blob))
     # truncated block
     good = wild_exr(chans, 0)
     with pytest.raises(Exception):
         decode_exr(good[: len(good) - 20])
+
+
+# ---------- tiled parts ----------
+
+def wild_exr_tiled(
+    channels: list[tuple[str, int, np.ndarray]],
+    compression: int,
+    tile: tuple[int, int],
+    mode: int = 0,
+    extra_levels: int = 0,
+) -> bytes:
+    """Tiled single-part EXR with the test's own layout (independent of
+    encode_exr_tiled): header | offsets | tile blocks. With mode=1
+    (MIPMAP) emits `extra_levels` coarser levels carrying DUMMY pixel
+    data after level 0 — the decoder must count and skip them."""
+    channels = sorted(channels)
+    h, w = channels[0][2].shape
+    tw, th = tile
+    dt = {1: "<f2", 2: "<f4"}
+
+    def attr(name, typ, val):
+        return name + b"\0" + typ + b"\0" + struct.pack("<I", len(val)) + val
+
+    chlist = b"".join(
+        n.encode() + b"\0" + struct.pack("<IBBBBii", t, 0, 0, 0, 0, 1, 1)
+        for n, t, _ in channels
+    ) + b"\0"
+    box = struct.pack("<4i", 0, 0, w - 1, h - 1)
+    header = (
+        struct.pack("<iI", 20000630, 2 | 0x200)
+        + attr(b"channels", b"chlist", chlist)
+        + attr(b"compression", b"compression", bytes([compression]))
+        + attr(b"dataWindow", b"box2i", box)
+        + attr(b"displayWindow", b"box2i", box)
+        + attr(b"lineOrder", b"lineOrder", b"\x00")
+        + attr(b"pixelAspectRatio", b"float", struct.pack("<f", 1.0))
+        + attr(b"screenWindowCenter", b"v2f", struct.pack("<2f", 0, 0))
+        + attr(b"screenWindowWidth", b"float", struct.pack("<f", 1.0))
+        + attr(b"tiles", b"tiledesc", struct.pack("<IIB", tw, th, mode))
+        + b"\0"
+    )
+
+    def tile_payload(arrs, cw, ch_rows):
+        rows = b"".join(
+            a[r, :cw].astype(dt[t]).tobytes()
+            for r in range(ch_rows)
+            for _, t, a in arrs
+        )
+        if compression in (2, 3):
+            return zlib.compress(_predecode(rows), 6)
+        if compression == 1:
+            return _rle_compress(_predecode(rows))
+        return rows
+
+    blocks = []
+    for dy in range((h + th - 1) // th):
+        for dx in range((w + tw - 1) // tw):
+            cw = min(tw, w - dx * tw)
+            ch_rows = min(th, h - dy * th)
+            sub = [
+                (n, t, a[dy * th : dy * th + ch_rows, dx * tw :])
+                for n, t, a in channels
+            ]
+            blocks.append(
+                (dx, dy, 0, 0, tile_payload(sub, cw, ch_rows))
+            )
+    lw, lh = w, h
+    for lvl in range(1, extra_levels + 1):
+        lw, lh = max(1, lw // 2), max(1, lh // 2)
+        for dy in range((lh + th - 1) // th):
+            for dx in range((lw + tw - 1) // tw):
+                cw = min(tw, lw - dx * tw)
+                ch_rows = min(th, lh - dy * th)
+                dummy = [
+                    (n, t, np.full((ch_rows, cw), 0.25, np.float32))
+                    for n, t, _ in channels
+                ]
+                blocks.append(
+                    (dx, dy, lvl, lvl, tile_payload(dummy, cw, ch_rows))
+                )
+    pos = len(header) + 8 * len(blocks)
+    offs, body = [], []
+    for dx, dy, lx, ly, payload in blocks:
+        offs.append(pos)
+        body.append(struct.pack("<4iI", dx, dy, lx, ly, len(payload)) + payload)
+        pos += 20 + len(payload)
+    return header + struct.pack(f"<{len(blocks)}Q", *offs) + b"".join(body)
+
+
+def test_tiled_roundtrip_own_encoder():
+    from jirlbot_spark.functions.exr import encode_exr_tiled
+
+    rng = np.random.default_rng(31)
+    for shape, tile in [((33, 21), (16, 16)), ((8, 8), (32, 32)),
+                        ((40, 64), (16, 8))]:
+        px = rng.integers(0, 256, (*shape, 3)).astype(np.uint8)
+        assert np.array_equal(decode_exr(encode_exr_tiled(px, tile)), px)
+
+
+@pytest.mark.parametrize("comp", [0, 1, 2, 3])
+def test_tiled_wild_compressions_edge_tiles(comp):
+    rng = np.random.default_rng(comp + 7)
+    px = rng.integers(0, 256, (21, 19, 3)).astype(np.uint8)
+    f = (px.astype(np.float32) / 255.0).astype("<f2").astype(np.float32)
+    chans = [(n, 1, f[:, :, i]) for i, n in enumerate("RGB")]
+    out = decode_exr(wild_exr_tiled(chans, comp, (8, 8)))
+    assert np.array_equal(out, px)
+
+
+def test_tiled_mipmap_level0_only():
+    """MIPMAP file: the offset table counts every level (round-down
+    sizes), level-0 reproduces the image, dummy coarser levels are
+    skipped."""
+    from jirlbot_spark.functions.exr import _tile_offset_count
+
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, (6, 8, 3)).astype(np.uint8)
+    f = (px.astype(np.float32) / 255.0).astype("<f2").astype(np.float32)
+    chans = [(n, 1, f[:, :, i]) for i, n in enumerate("RGB")]
+    # 8x6 with 4x4 tiles, round-down mipmap: levels (8,6)(4,3)(2,1)(1,1)
+    assert _tile_offset_count(8, 6, 4, 4, 1) == 4 + 1 + 1 + 1
+    blob = wild_exr_tiled(chans, 3, (4, 4), mode=1, extra_levels=3)
+    assert np.array_equal(decode_exr(blob), px)
+    # RIPMAP count: every (lx, ly) combination — round-down levels are
+    # x: 8,4,2,1 and y: 6,3,1
+    assert _tile_offset_count(8, 6, 4, 4, 2) == sum(
+        -(-wl // 4) * -(-hl // 4)
+        for wl in (8, 4, 2, 1)
+        for hl in (6, 3, 1)
+    )
+
+
+def test_tiled_errors():
+    from jirlbot_spark.functions.exr import encode_exr_tiled
+
+    px = np.zeros((16, 16, 3), np.uint8)
+    blob = bytearray(encode_exr_tiled(px, (8, 8)))
+    with pytest.raises(Exception):
+        decode_exr(bytes(blob[:-10]))  # truncated final tile
