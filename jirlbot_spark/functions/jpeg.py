@@ -580,9 +580,65 @@ def _parse_dht(body: bytes, huff: dict) -> None:
         p += 17 + nv
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
+def exif_orientation(data: bytes) -> int:
+    """EXIF Orientation (tag 274) from a JPEG's APP1 segment, or 1.
+
+    The EXIF payload is a little TIFF file (II/MM + IFD), so the parse
+    reuses functions/tiff.py's IFD reader — offsets inside EXIF are
+    relative to that embedded TIFF header, exactly the reader's frame.
+    Anything malformed degrades to 1 (upright): orientation is a
+    display hint, never worth failing a decode over."""
+    pos = 2
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            return 1
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
+            continue
+        if marker in (0xDA, 0xD9):  # entropy data / EOI: EXIF must precede
+            return 1
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        if marker == 0xE1 and data[pos + 2 : pos + 8] == b"Exif\x00\x00":
+            tiff_buf = bytes(data[pos + 8 : pos + seglen])
+            try:
+                from jirlbot_spark.functions.tiff import _read_ifd
+
+                if tiff_buf[:2] not in (b"II", b"MM"):
+                    return 1
+                order = "<" if tiff_buf[:2] == b"II" else ">"
+                magic, ifd_off = struct.unpack_from(f"{order}HI", tiff_buf, 2)
+                if magic != 42:
+                    return 1
+                tags = _read_ifd(tiff_buf, order, ifd_off)
+                o = tags.get(274, (1,))[0]
+                return int(o) if 1 <= int(o) <= 8 else 1
+            except Exception:
+                return 1
+        pos += seglen
+    return 1
+
+
+def decode_jpeg(data: bytes, apply_exif_orientation: bool = True) -> np.ndarray:
     """Decode a baseline (SOF0) or progressive (SOF2) JPEG to an
-    (h, w, 3) uint8 RGB array (grayscale replicates into 3 channels)."""
+    (h, w, 3) uint8 RGB array (grayscale replicates into 3 channels).
+
+    EXIF Orientation is applied by default — the stored pixels of a
+    camera upload are routinely rotated, and every browser/pipeline
+    displays them through tag 274; pass apply_exif_orientation=False
+    for the raw sensor layout."""
+    px = _decode_jpeg_core(data)
+    if apply_exif_orientation:
+        o = exif_orientation(data)
+        if o != 1:
+            from jirlbot_spark.functions.tiff import _ORIENT
+
+            px = np.ascontiguousarray(_ORIENT[o](px))
+    return px
+
+
+def _decode_jpeg_core(data: bytes) -> np.ndarray:
     assert data[:2] == b"\xff\xd8", "not a JPEG"
     pos = 2
     qt: dict[int, np.ndarray] = {}

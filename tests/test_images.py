@@ -848,3 +848,55 @@ def test_bmp_wild_variants():
         decode_bmp(hdr(4, 4, 16, 0, 32) + b"\x00" * 32)
     with pytest.raises(NotImplementedError):
         decode_bmp(hdr(4, 4, 24, 4, 48) + b"\x00" * 48)  # BI_RLE4/JPEG
+
+
+def test_jpeg_exif_orientation():
+    """Camera uploads carry EXIF Orientation (tag 274) and every
+    browser displays through it; decode applies the same transform the
+    TIFF orientation path uses. The APP1 payloads here are hand-built
+    little TIFF files in BOTH byte orders."""
+    import struct
+
+    from jirlbot_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        exif_orientation,
+    )
+    from jirlbot_spark.functions.tiff import _ORIENT
+
+    rng = np.random.default_rng(61)
+    px = rng.integers(0, 256, (24, 16, 3)).astype(np.uint8)
+    blob = encode_jpeg(px, quality=95)
+    base = decode_jpeg(blob)
+
+    def app1(order: str, o: int, magic: int = 42) -> bytes:
+        e = "<" if order == "II" else ">"
+        tiffb = (
+            order.encode()
+            + struct.pack(f"{e}HI", magic, 8)
+            + struct.pack(f"{e}H", 1)
+            + struct.pack(f"{e}HHI", 274, 3, 1)
+            + struct.pack(f"{e}H", o)
+            + b"\x00\x00"
+            + struct.pack(f"{e}I", 0)
+        )
+        payload = b"Exif\x00\x00" + tiffb
+        return b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+
+    for order in ("II", "MM"):
+        for o in range(1, 9):
+            j = blob[:2] + app1(order, o) + blob[2:]
+            assert exif_orientation(j) == o
+            got = decode_jpeg(j)
+            assert np.array_equal(got, np.ascontiguousarray(_ORIENT[o](base)))
+    # opt-out returns the raw sensor layout
+    j = blob[:2] + app1("II", 6) + blob[2:]
+    assert np.array_equal(
+        decode_jpeg(j, apply_exif_orientation=False), base
+    )
+    # malformed / out-of-range EXIF degrades to upright, never raises
+    assert exif_orientation(blob) == 1  # no APP1 at all
+    assert exif_orientation(blob[:2] + app1("II", 9) + blob[2:]) == 1
+    assert exif_orientation(blob[:2] + app1("II", 3, magic=41) + blob[2:]) == 1
+    junk = b"\xff\xe1\x00\x0aExif\x00\x00zz"
+    assert exif_orientation(blob[:2] + junk + blob[2:]) == 1
