@@ -582,3 +582,59 @@ def phash_batch(
 
 def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+# ---------- curation stats ----------
+
+def image_stats_array(px: np.ndarray) -> dict[str, float]:
+    """Training-data curation signals for one decoded (h, w, 3) image —
+    the image-side analog of the text quality_score features. All
+    float64, fully deterministic (the driver golden replays this
+    function directly):
+
+      mean_luma / std_luma  — Rec.601 luma mean and population std
+      entropy               — Shannon entropy (bits) of the 256-bin
+                              luma histogram; near 0 for flat fills,
+                              near 8 for noise
+      colorfulness          — Hasler–Süsstrunk metric over the rg/yb
+                              opponent axes; 0 for pure grayscale
+      sharpness             — mean |4-neighbor Laplacian| of luma over
+                              the interior (0 when no interior exists);
+                              a blur proxy: downscale-blurry uploads
+                              score low
+    """
+    f = px.astype(np.float64)
+    luma = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+    mean_luma = float(luma.mean())
+    std_luma = float(luma.std())
+    hist = np.bincount(
+        np.clip(np.round(luma), 0, 255).astype(np.int64).ravel(),
+        minlength=256,
+    )
+    p = hist[hist > 0] / luma.size
+    entropy = float(-(p * np.log2(p)).sum())
+    rg = f[..., 0] - f[..., 1]
+    yb = 0.5 * (f[..., 0] + f[..., 1]) - f[..., 2]
+    colorfulness = float(
+        np.sqrt(rg.std() ** 2 + yb.std() ** 2)
+        + 0.3 * np.sqrt(rg.mean() ** 2 + yb.mean() ** 2)
+    )
+    h, w = luma.shape
+    if h >= 3 and w >= 3:
+        lap = (
+            4.0 * luma[1:-1, 1:-1]
+            - luma[:-2, 1:-1]
+            - luma[2:, 1:-1]
+            - luma[1:-1, :-2]
+            - luma[1:-1, 2:]
+        )
+        sharpness = float(np.abs(lap).mean())
+    else:
+        sharpness = 0.0
+    return {
+        "mean_luma": mean_luma,
+        "std_luma": std_luma,
+        "entropy": entropy,
+        "colorfulness": colorfulness,
+        "sharpness": sharpness,
+    }

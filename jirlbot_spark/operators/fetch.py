@@ -385,3 +385,69 @@ def phash_udf(
     from jirlbot_spark.functions.images import phash_batch
 
     return phash_batch(blobs, fmts, ws, hs)
+
+
+IMAGE_STATS_FIELDS = [
+    StructField("image_id", StringType()),
+    StructField("decode_ok", BooleanType()),
+    StructField("mean_luma", DoubleType()),
+    StructField("std_luma", DoubleType()),
+    StructField("entropy", DoubleType()),
+    StructField("colorfulness", DoubleType()),
+    StructField("sharpness", DoubleType()),
+]
+
+
+def image_stats(
+    pages: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+) -> DataFrame:
+    """Per-image curation signals over decoded payloads — the
+    image-side analog of the text quality_score operator (LAION-style
+    filtering keys on exactly these: luma stats, histogram entropy,
+    colorfulness, a sharpness/blur proxy; images.image_stats_array
+    documents each). Undecodable payloads emit decode_ok=False with
+    NaN stats instead of failing the batch — curation must survive the
+    garbage it exists to filter.
+
+    Scale posture: one mapInPandas over rows already co-located by the
+    fetch join; decode runs per DISTINCT payload upstream when driven
+    from the crawl loop (plans/loop.py dedupes on image_id before
+    re-attaching bytes), and the stats themselves are a handful of
+    numpy reductions per image — decode dominates."""
+    from jirlbot_spark.functions.images import decode_image, image_stats_array
+
+    out_schema = StructType(IMAGE_STATS_FIELDS)
+    stat_keys = [f.name for f in IMAGE_STATS_FIELDS[2:]]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n = len(pdf)
+            res = {
+                "decode_ok": np.zeros(n, bool),
+                **{k: np.full(n, np.nan) for k in stat_keys},
+            }
+            blobs = pdf[bytes_col].to_numpy()
+            fmts = pdf[fmt_col].to_numpy()
+            ws = pdf["w"].to_numpy()
+            hs = pdf["h"].to_numpy()
+            for i in range(n):
+                try:
+                    px = decode_image(
+                        bytes(blobs[i]), fmts[i], int(ws[i]), int(hs[i])
+                    )
+                except Exception:
+                    continue
+                res["decode_ok"][i] = True
+                for k, v in image_stats_array(px).items():
+                    res[k][i] = v
+            out = pdf[[id_col]].copy()
+            for k, v in res.items():
+                out[k] = v
+            yield out
+
+    return pages.mapInPandas(run, schema=out_schema)

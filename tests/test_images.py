@@ -900,3 +900,47 @@ def test_jpeg_exif_orientation():
     assert exif_orientation(blob[:2] + app1("II", 3, magic=41) + blob[2:]) == 1
     junk = b"\xff\xe1\x00\x0aExif\x00\x00zz"
     assert exif_orientation(blob[:2] + junk + blob[2:]) == 1
+
+
+def test_image_stats_properties(spark):
+    """Curation signals behave as documented: flat fields have ~zero
+    entropy/sharpness/colorfulness, noise is near-max entropy, gray
+    images score colorfulness 0, garbage payloads flag decode_ok=False
+    without failing the batch."""
+    from jirlbot_spark.functions.images import image_stats_array
+    from jirlbot_spark.operators.fetch import image_stats
+
+    flat = np.full((16, 16, 3), 77, np.uint8)
+    s = image_stats_array(flat)
+    assert s["std_luma"] == 0.0 and s["entropy"] == 0.0
+    assert s["sharpness"] == 0.0 and s["colorfulness"] == 0.0
+    assert abs(s["mean_luma"] - 77.0) < 1e-9
+
+    rng = np.random.default_rng(8)
+    noise = rng.integers(0, 256, (64, 64, 3)).astype(np.uint8)
+    sn = image_stats_array(noise)
+    assert sn["entropy"] > 6.5 and sn["sharpness"] > 10.0
+
+    gray = np.repeat(
+        rng.integers(0, 256, (16, 16, 1)).astype(np.uint8), 3, axis=2
+    )
+    assert image_stats_array(gray)["colorfulness"] == 0.0
+
+    # Spark operator: golden-style replay + garbage row flagged
+    pages = gen_pages(42, 12)
+    bad = pages.copy()
+    bad.loc[3, "bytes"] = b"not an image at all"
+    out = (
+        image_stats(spark.createDataFrame(bad))
+        .toPandas()
+        .set_index("image_id")
+    )
+    assert not out.loc[bad.loc[3, "image_id"], "decode_ok"]
+    assert np.isnan(out.loc[bad.loc[3, "image_id"], "mean_luma"])
+    for _, row in pages.drop(3).iterrows():
+        px = decode_image(row["bytes"], row["fmt"], row["w"], row["h"])
+        exp = image_stats_array(px)
+        got = out.loc[row["image_id"]]
+        assert got["decode_ok"]
+        for k, v in exp.items():
+            assert got[k] == v, (row["image_id"], k)

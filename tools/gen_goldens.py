@@ -148,6 +148,25 @@ def golden_phash() -> str:
     return values_sql(["image_id", "phash", "phash_computed"], rows)
 
 
+def golden_image_stats() -> str:
+    from jirlbot_spark.functions.images import image_stats_array
+
+    pages = gen_pages(42, 96)
+    rows = []
+    for r in pages.itertuples():
+        px = decode_image(bytes(r.bytes), r.fmt, r.w, r.h)
+        s = image_stats_array(px)
+        rows.append(
+            (r.image_id, True, s["mean_luma"], s["std_luma"], s["entropy"],
+             s["colorfulness"], s["sharpness"])
+        )
+    return values_sql(
+        ["image_id", "decode_ok", "mean_luma", "std_luma", "entropy",
+         "colorfulness", "sharpness"],
+        rows,
+    )
+
+
 def golden_image_resize() -> str:
     pages = gen_pages(42, 64)
     rows = []
@@ -536,6 +555,7 @@ def main() -> None:
         "image_verify": golden_image_verify(),
         "image_verify_lossy": golden_image_verify_lossy(),
         "phash": golden_phash(),
+        "image_stats": golden_image_stats(),
         "image_resize": golden_image_resize(),
         "audio_features": golden_audio_features(),
         "frame_sample": golden_frame_sample(),
