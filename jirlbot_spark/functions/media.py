@@ -531,7 +531,12 @@ def frame_sample(
     out_schema = StructType(FRAME_FIELDS)
     codec = video_codec()
     from jirlbot_spark.functions.gif import decode_gif_frames, is_gif
-    from jirlbot_spark.functions.mp4 import is_mp4, mp4_info
+    from jirlbot_spark.functions.mp4 import (
+        JPEG_SAMPLE_FOURCCS,
+        decode_mp4_frames,
+        is_mp4,
+        mp4_info,
+    )
     from jirlbot_spark.functions.webm import is_webm, webm_info
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -566,7 +571,17 @@ def frame_sample(
                             meta = walker(data)
                         except ValueError:
                             meta = None
-                    if codec is None and not allow_fake:
+                    if (
+                        is_mp4(data)
+                        and meta is not None
+                        and (meta.get("codec") or "").strip().lower()
+                        in JPEG_SAMPLE_FOURCCS
+                    ):
+                        # REAL decode: Motion-JPEG in mp4/mov — the
+                        # sample-table walk (stsz/stsc/stco) hands each
+                        # sample to the engine's own JPEG codec
+                        decoded, _fps = decode_mp4_frames(data)
+                    elif codec is None and not allow_fake:
                         raise NotImplementedError(
                             "STUB: no codec for non-avi video frames in "
                             "this environment (av absent); pass "

@@ -18,6 +18,16 @@ This module walks the boxes for real:
     container-real: the box walk measures true n_frames/fps/dimensions
     while the pixel path stays honestly gated
     (media.fake_decode_frame).
+  - mp4_sample_ranges: the full sample-table walk (stsz sizes, stsc
+    sample→chunk map, stco/co64 chunk offsets) producing each sample's
+    exact (offset, size) in the file — validated against the file
+    length so a bomb cannot claim bytes it did not ship.
+  - decode_mp4_frames / encode_mp4_mjpeg: REAL pixels for the one mp4
+    codec this sandbox can honestly decode — Motion-JPEG ('jpeg'
+    sample-entry fourcc, one baseline/progressive JPEG per sample,
+    QuickTime-style MJPEG-in-MOV/MP4) through the engine's own
+    functions/jpeg.py. H.264/H.265/AV1 mp4s still raise the explicit
+    capability gate in media.frame_sample.
 
 No reference counterpart: RovoMe/JIRLbot never decodes payloads; this
 serves the graft's training-data mandate (video payload columns).
@@ -27,6 +37,8 @@ from __future__ import annotations
 
 import hashlib
 import struct
+
+import numpy as np
 
 
 def _boxes(data: bytes, pos: int, end: int):
@@ -161,21 +173,155 @@ def mp4_info(data: bytes) -> dict:
     }
 
 
+# Sample-entry fourccs whose samples are plain JPEG bitstreams — the
+# QuickTime/ISO Motion-JPEG family (mjpa = MJPEG-A; field-split MJPEG-B
+# 'mjpb' is NOT plain JPEG and stays out). Decodable in-sandbox by the
+# engine's own functions/jpeg.py.
+JPEG_SAMPLE_FOURCCS = {"jpeg", "mjpg", "mjpa"}
+
+
+def _video_stbl(data: bytes) -> tuple[int, int]:
+    """Locate the sample-table (stbl) span of the first video trak
+    (first trak with any stbl when no 'vide' handler exists)."""
+    moov = _find(data, 0, len(data), b"moov")
+    if moov is None:
+        raise ValueError("no moov box")
+    first = None
+    for t, b, e in _boxes(data, moov[0], moov[1]):
+        if t != b"trak":
+            continue
+        mdia = _find(data, b, e, b"mdia")
+        if mdia is None:
+            continue
+        span = _find(data, mdia[0], mdia[1], b"hdlr")
+        handler = data[span[0] + 8 : span[0] + 12] if span else b""
+        minf = _find(data, mdia[0], mdia[1], b"minf")
+        if minf is None:
+            continue
+        stbl = _find(data, minf[0], minf[1], b"stbl")
+        if stbl is None:
+            continue
+        if handler == b"vide":
+            return stbl
+        if first is None:
+            first = stbl
+    if first is None:
+        raise ValueError("no sample table (stbl) in any trak")
+    return first
+
+
+def mp4_sample_ranges(data: bytes) -> list[tuple[int, int]]:
+    """Resolve every sample of the first video trak to its exact
+    (offset, size) in the file via the full stsz + stsc + stco/co64
+    walk. Every range is validated against the file length, so a
+    decode-bomb cannot claim sample bytes it did not ship; table
+    lengths are validated against their boxes before being read."""
+    sb, se = _video_stbl(data)
+    span = _find(data, sb, se, b"stsz")
+    if span is None:
+        raise ValueError("no stsz box")
+    zb, zend = span
+    uniform, count = struct.unpack_from(">II", data, zb + 4)
+    if uniform == 0:
+        if zb + 12 + 4 * count > zend:
+            raise ValueError("truncated stsz sample-size table")
+        sizes = struct.unpack_from(f">{count}I", data, zb + 12)
+    else:
+        sizes = (uniform,) * count
+    width, fmtch = 4, "I"
+    span = _find(data, sb, se, b"stco")
+    if span is None:
+        span = _find(data, sb, se, b"co64")
+        width, fmtch = 8, "Q"
+    if span is None:
+        raise ValueError("no stco/co64 box")
+    cb, cend = span
+    (n_chunks,) = struct.unpack_from(">I", data, cb + 4)
+    if cb + 8 + width * n_chunks > cend:
+        raise ValueError("truncated chunk-offset table")
+    offsets = struct.unpack_from(f">{n_chunks}{fmtch}", data, cb + 8)
+    span = _find(data, sb, se, b"stsc")
+    if span is None:
+        raise ValueError("no stsc box")
+    scb, scend = span
+    (n_ent,) = struct.unpack_from(">I", data, scb + 4)
+    if scb + 8 + 12 * n_ent > scend:
+        raise ValueError("truncated stsc table")
+    entries = [
+        struct.unpack_from(">II", data, scb + 8 + 12 * i)
+        for i in range(n_ent)
+    ]
+    ranges: list[tuple[int, int]] = []
+    si, ei, spc = 0, 0, 0
+    for ci in range(n_chunks):
+        # applicable samples-per-chunk = last stsc entry whose
+        # first_chunk (1-based) <= this chunk
+        while ei < len(entries) and entries[ei][0] <= ci + 1:
+            spc = entries[ei][1]
+            ei += 1
+        off = offsets[ci]
+        for _ in range(spc):
+            if si >= count:
+                break
+            sz = sizes[si]
+            if off + sz > len(data):
+                raise ValueError("sample range past end of file")
+            ranges.append((off, sz))
+            off += sz
+            si += 1
+        if si >= count:
+            break
+    if si < count:
+        raise ValueError(f"sample table short: {si}/{count} samples mapped")
+    return ranges
+
+
+def decode_mp4_frames(data: bytes) -> tuple[np.ndarray, float]:
+    """Decode a Motion-JPEG mp4/mov to ((n, h, w, 3) uint8 RGB, fps).
+
+    Only the JPEG sample-entry family decodes (one baseline/progressive
+    JPEG per sample through the engine's own functions/jpeg.py, each
+    sample covered by jpeg.py's decode-bomb dims guard); other codecs
+    raise NotImplementedError — the same explicit capability gate
+    media.frame_sample applies."""
+    info = mp4_info(data)
+    codec = (info.get("codec") or "").strip().lower()
+    if codec not in JPEG_SAMPLE_FOURCCS:
+        raise NotImplementedError(
+            f"no in-sandbox decoder for mp4 codec {info.get('codec')!r}"
+        )
+    from jirlbot_spark.functions.jpeg import decode_jpeg
+
+    fps = float(info.get("fps") or 30.0)
+    ranges = mp4_sample_ranges(data)
+    if not ranges:
+        w, h = int(info.get("w") or 0), int(info.get("h") or 0)
+        return np.zeros((0, h, w, 3), np.uint8), fps
+    decoded = [decode_jpeg(data[o : o + s]) for o, s in ranges]
+    shapes = {d.shape for d in decoded}
+    if len(shapes) != 1:
+        raise ValueError(f"inconsistent MJPEG sample shapes: {shapes}")
+    return np.stack(decoded), fps
+
+
 def _box(typ: bytes, body: bytes) -> bytes:
     return struct.pack(">I4s", 8 + len(body), typ) + body
 
 
-def encode_mp4_stub(
+def _build_mp4(
     w: int,
     h: int,
     n_frames: int,
-    fps: float = 30.0,
-    codec: bytes = b"avc1",
-    seed: int = 0,
+    fps: float,
+    codec: bytes,
+    mdat_body: bytes,
+    uniform_size: int = 0,
+    sample_sizes: list[int] | None = None,
 ) -> bytes:
-    """STUB ENCODER: emits a structurally valid minimal mp4 (box-walkable
-    by mp4_info — true dimensions/frame count/fps) whose mdat payload is
-    deterministic junk, NOT decodable video."""
+    """Assemble a minimal one-video-trak ISO-BMFF file around `mdat_body`
+    (ftyp + moov[mvhd + trak[tkhd + mdia[mdhd+hdlr+minf[vmhd+stbl]]]] +
+    mdat, one chunk holding all samples). `uniform_size` XOR
+    `sample_sizes` populates stsz."""
     delta = 1000
     timescale = int(round(fps * delta))
     media_dur = n_frames * delta
@@ -224,15 +370,17 @@ def encode_mp4_stub(
         b"stsd", struct.pack(">B3xI", 0, 1) + _box(codec, entry_body)
     )
     stts = _box(b"stts", struct.pack(">B3xIII", 0, 1, n_frames, delta))
-    sample_size = 64
-    stsz = _box(
-        b"stsz", struct.pack(">B3xII", 0, sample_size, n_frames)
-    )
+    if sample_sizes is not None:
+        stsz = _box(
+            b"stsz",
+            struct.pack(">B3xII", 0, 0, len(sample_sizes))
+            + struct.pack(f">{len(sample_sizes)}I", *sample_sizes),
+        )
+    else:
+        stsz = _box(
+            b"stsz", struct.pack(">B3xII", 0, uniform_size, n_frames)
+        )
     stsc = _box(b"stsc", struct.pack(">B3xIIII", 0, 1, 1, n_frames, 1))
-    junk = hashlib.blake2b(
-        struct.pack("<qiii", seed, w, h, n_frames), digest_size=64
-    ).digest()
-    mdat_body = (junk * n_frames)[: sample_size * max(n_frames, 1)]
     # chunk offset must point at mdat body: compute after sizing moov
     # with a placeholder, then rebuild (box sizes don't change)
     def build(stco_off: int) -> bytes:
@@ -248,3 +396,54 @@ def encode_mp4_stub(
     probe = build(0)
     stco_off = len(probe) - len(mdat_body)
     return build(stco_off)
+
+
+def encode_mp4_stub(
+    w: int,
+    h: int,
+    n_frames: int,
+    fps: float = 30.0,
+    codec: bytes = b"avc1",
+    seed: int = 0,
+) -> bytes:
+    """STUB ENCODER: emits a structurally valid minimal mp4 (box-walkable
+    by mp4_info — true dimensions/frame count/fps) whose mdat payload is
+    deterministic junk, NOT decodable video."""
+    sample_size = 64
+    junk = hashlib.blake2b(
+        struct.pack("<qiii", seed, w, h, n_frames), digest_size=64
+    ).digest()
+    mdat_body = (junk * n_frames)[: sample_size * max(n_frames, 1)]
+    return _build_mp4(
+        w, h, n_frames, fps, codec, mdat_body, uniform_size=sample_size
+    )
+
+
+def encode_mp4_mjpeg(
+    frames: np.ndarray,
+    fps: float = 30.0,
+    quality: int = 90,
+    subsample: str = "444",
+) -> bytes:
+    """REAL ENCODER: Motion-JPEG in mp4 — one baseline JPEG
+    (functions/jpeg.py) per sample under a 'jpeg' sample entry, exact
+    per-sample stsz table, all samples in one mdat chunk. Lossy; the
+    engine's PSNR>=40dB @ quality 90 invariant applies per frame at the
+    default 4:4:4 (`subsample` passes through for 4:2:2/4:2:0)."""
+    from jirlbot_spark.functions.jpeg import encode_jpeg
+
+    frames = np.asarray(frames, np.uint8)
+    n, h, w, _ = frames.shape
+    samples = [
+        encode_jpeg(frames[i], quality=quality, subsample=subsample)
+        for i in range(n)
+    ]
+    return _build_mp4(
+        w,
+        h,
+        n,
+        fps,
+        b"jpeg",
+        b"".join(samples),
+        sample_sizes=[len(s) for s in samples],
+    )

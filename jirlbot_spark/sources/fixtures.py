@@ -491,12 +491,15 @@ def gen_video(seed: int, n: int) -> pd.DataFrame:
     "avi" rows carry REAL uncompressed-AVI bytes and "mjpg" rows REAL
     MJPEG-in-AVI bytes (deterministic moving-gradient frames — both
     decoded for real by media.decode_avi, the MJPEG path through the
-    engine's own JPEG codec); "mp4" rows carry CONTAINER-REAL stub boxes
-    (functions/mp4.py encode_mp4_stub: valid ISO-BMFF structure + junk
-    mdat) and "webm" rows CONTAINER-REAL stub EBML (functions/webm.py:
-    valid Segment/Tracks/Cluster structure + junk SimpleBlocks) — the
+    engine's own JPEG codec). Every other "mp4" row carries REAL
+    Motion-JPEG-in-mp4 bytes (encode_mp4_mjpeg — decoded for real via
+    the stsz/stsc/stco sample-table walk + the engine's JPEG codec);
+    the rest carry CONTAINER-REAL stub boxes (functions/mp4.py
+    encode_mp4_stub: valid ISO-BMFF structure + junk avc1 mdat). "webm"
+    rows are CONTAINER-REAL stub EBML (functions/webm.py: valid
+    Segment/Tracks/Cluster structure + junk SimpleBlocks) — the
     box/element walks measure true n_frames/dimensions while frame
-    pixels stay honestly gated."""
+    pixels for avc1/webm stay honestly gated."""
     from jirlbot_spark.functions.media import encode_avi
     from jirlbot_spark.functions.mp4 import encode_mp4_stub
     from jirlbot_spark.functions.webm import encode_webm_stub
@@ -544,7 +547,26 @@ def gen_video(seed: int, n: int) -> pd.DataFrame:
                 subsample="420" if fmt == "mjpg" and idx % 3 == 0 else "444",
             )
         elif fmt == "mp4":
-            blob = encode_mp4_stub(w, h, n_frames, fps=fps, seed=idx)
+            if idx % 2 == 0:
+                # REAL Motion-JPEG-in-mp4 bytes (functions/mp4.py
+                # encode_mp4_mjpeg): frame_sample decodes these for real
+                # through the sample-table walk + the engine's JPEG codec
+                from jirlbot_spark.functions.mp4 import encode_mp4_mjpeg
+
+                f = np.arange(n_frames, dtype=np.int32)[:, None, None, None]
+                y = np.arange(h, dtype=np.int32)[None, :, None, None]
+                x = np.arange(w, dtype=np.int32)[None, None, :, None]
+                c = np.arange(3, dtype=np.int32)[None, None, None, :]
+                frames = (
+                    (x * 3 + y * 5 + f * 7 + c * 11 + idx) % 256
+                ).astype(np.uint8)
+                blob = encode_mp4_mjpeg(
+                    frames,
+                    fps=fps,
+                    subsample="420" if idx % 4 == 0 else "444",
+                )
+            else:
+                blob = encode_mp4_stub(w, h, n_frames, fps=fps, seed=idx)
         else:
             blob = encode_webm_stub(w, h, n_frames, fps=fps, seed=idx)
         recs.append(

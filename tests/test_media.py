@@ -127,6 +127,12 @@ def test_wav_malformed_and_compressed():
 def test_frame_sample_cardinality_and_layout(spark):
     from jirlbot_spark.functions.gif import decode_gif_frames, is_gif
     from jirlbot_spark.functions.media import decode_avi, is_avi
+    from jirlbot_spark.functions.mp4 import (
+        JPEG_SAMPLE_FOURCCS,
+        decode_mp4_frames,
+        is_mp4,
+        mp4_info,
+    )
 
     pdf = gen_video(5, 8)
     assert (pdf["fmt"] == "avi").any(), "fixture must include real avi"
@@ -146,7 +152,13 @@ def test_frame_sample_cardinality_and_layout(spark):
         decoded = (
             decode_avi(blob)[0]
             if is_avi(blob)
-            else decode_gif_frames(blob)[0] if is_gif(blob) else None
+            else decode_gif_frames(blob)[0]
+            if is_gif(blob)
+            else decode_mp4_frames(blob)[0]  # REAL MJPEG-in-mp4 pixels
+            if is_mp4(blob)
+            and (mp4_info(blob).get("codec") or "").lower()
+            in JPEG_SAMPLE_FOURCCS
+            else None
         )
         for f in frames:
             assert f.w == row["w"] and f.h == row["h"]

@@ -182,3 +182,117 @@ def test_frame_sample_webm_cardinality_is_real(spark):
     out = frame_sample(df, every_n=10).collect()
     assert sorted(r.frame_idx for r in out) == [0, 10, 20, 30]
     assert all((r.w, r.h) == (20, 12) for r in out)
+
+
+# ---------- Motion-JPEG in mp4 (real sample decode) ----------
+
+def _gradient_frames(n: int, h: int, w: int, salt: int = 0) -> np.ndarray:
+    f = np.arange(n, dtype=np.int32)[:, None, None, None]
+    y = np.arange(h, dtype=np.int32)[None, :, None, None]
+    x = np.arange(w, dtype=np.int32)[None, None, :, None]
+    c = np.arange(3, dtype=np.int32)[None, None, None, :]
+    return ((x * 3 + y * 5 + f * 7 + c * 11 + salt) % 256).astype(np.uint8)
+
+
+def test_mp4_mjpeg_roundtrip_psnr():
+    from jirlbot_spark.functions.mp4 import decode_mp4_frames, encode_mp4_mjpeg
+
+    frames = _gradient_frames(7, 16, 24)
+    blob = encode_mp4_mjpeg(frames, fps=24.0)
+    info = mp4_info(blob)
+    assert info["codec"] == "jpeg"
+    assert info["n_frames"] == 7 and (info["w"], info["h"]) == (24, 16)
+    dec, fps = decode_mp4_frames(blob)
+    assert fps == pytest.approx(24.0) and dec.shape == frames.shape
+    mse = np.mean((dec.astype(np.float64) - frames) ** 2)
+    assert 10 * np.log10(255**2 / max(mse, 1e-12)) >= 40.0  # lossy invariant
+
+
+def test_mp4_mjpeg_subsampled_decodes():
+    from jirlbot_spark.functions.mp4 import decode_mp4_frames, encode_mp4_mjpeg
+
+    frames = _gradient_frames(3, 16, 16, salt=5)
+    dec, _ = decode_mp4_frames(encode_mp4_mjpeg(frames, subsample="420"))
+    assert dec.shape == frames.shape
+
+
+def test_mp4_non_jpeg_codec_gated():
+    from jirlbot_spark.functions.mp4 import decode_mp4_frames
+
+    with pytest.raises(NotImplementedError):
+        decode_mp4_frames(encode_mp4_stub(16, 16, 5, codec=b"avc1"))
+
+
+def test_mp4_sample_range_past_eof_rejected():
+    from jirlbot_spark.functions.mp4 import decode_mp4_frames, encode_mp4_mjpeg
+
+    blob = encode_mp4_mjpeg(_gradient_frames(4, 16, 16), fps=30.0)
+    with pytest.raises(ValueError):
+        decode_mp4_frames(blob[:-10])  # mdat shorter than stsz claims
+
+
+def test_mp4_sample_ranges_multichunk_stsc_co64():
+    """Hand-built stbl: 3 chunks via co64, stsc {chunk1: 2/chunk,
+    chunk3: 1/chunk} — exercises the run-length chunk map our own
+    encoder (single chunk) never emits."""
+    import struct
+
+    from jirlbot_spark.functions.mp4 import mp4_sample_ranges
+
+    def box(t, body):
+        return struct.pack(">I4s", 8 + len(body), t) + body
+
+    sizes = [3, 4, 5, 6, 7]
+    stsz = box(
+        b"stsz",
+        struct.pack(">B3xII", 0, 0, 5) + struct.pack(">5I", *sizes),
+    )
+    stsc = box(
+        b"stsc",
+        struct.pack(">B3xI", 0, 2)
+        + struct.pack(">III", 1, 2, 1)
+        + struct.pack(">III", 3, 1, 1),
+    )
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isom")
+    payload = bytes(range(64))
+
+    def build(offs):
+        co64 = box(
+            b"co64", struct.pack(">B3xI", 0, 3) + struct.pack(">3Q", *offs)
+        )
+        stbl = box(b"stbl", stsz + stsc + co64)
+        hdlr = box(
+            b"hdlr", struct.pack(">B3xI4s12x", 0, 0, b"vide") + b"x\x00"
+        )
+        mdia = box(b"mdia", hdlr + box(b"minf", stbl))
+        moov = box(b"moov", box(b"trak", mdia))
+        return ftyp + moov + payload
+
+    base = len(build((0, 0, 0))) - len(payload)
+    o1, o2, o3 = base, base + 16, base + 40
+    ranges = mp4_sample_ranges(build((o1, o2, o3)))
+    assert ranges == [
+        (o1, 3), (o1 + 3, 4), (o2, 5), (o2 + 5, 6), (o3, 7),
+    ]
+
+
+def test_frame_sample_mp4_mjpeg_pixels_are_real(spark):
+    from jirlbot_spark.functions.media import VIDEO_SCHEMA, frame_sample
+    from jirlbot_spark.functions.mp4 import encode_mp4_mjpeg
+
+    frames = _gradient_frames(25, 16, 24, salt=9)
+    blob = encode_mp4_mjpeg(frames, fps=30.0)
+    # metadata LIES: decode must come from the bytes, not the row
+    row = {
+        "video_id": "v2", "bytes": blob, "fmt": "mp4", "w": 8, "h": 8,
+        "n_frames": 99, "fps": 30.0, "caption": "x",
+    }
+    df = spark.createDataFrame(pd.DataFrame([row]), schema=VIDEO_SCHEMA)
+    out = {r.frame_idx: r for r in frame_sample(df, every_n=10).collect()}
+    assert sorted(out) == [0, 10, 20]
+    from jirlbot_spark.functions.mp4 import decode_mp4_frames
+
+    dec, _ = decode_mp4_frames(blob)
+    for idx, r in out.items():
+        assert (r.w, r.h) == (24, 16)
+        assert r.pixels == dec[idx].tobytes()  # bit-equal to direct decode

@@ -222,22 +222,33 @@ def golden_audio_features() -> str:
 def golden_frame_sample() -> str:
     from jirlbot_spark.functions.gif import decode_gif_frames, is_gif
     from jirlbot_spark.functions.media import decode_avi, is_avi
-    from jirlbot_spark.functions.mp4 import is_mp4, mp4_info
+    from jirlbot_spark.functions.mp4 import (
+        JPEG_SAMPLE_FOURCCS,
+        decode_mp4_frames,
+        is_mp4,
+        mp4_info,
+    )
     from jirlbot_spark.functions.webm import is_webm, webm_info
 
     video = gen_video(9, 32)
     rows = []
     for r in video.itertuples():
         # mirrors media.frame_sample: real AVI decode for avi rows,
-        # real animated-GIF composition for gif rows, container-real
-        # mp4 box / webm element walks (true n_frames/dims, fake
-        # pixels), content-seeded fake for the rest; px_sum pins the
-        # actual emitted pixel CONTENT, not just cardinality
+        # real animated-GIF composition for gif rows, real MJPEG sample
+        # decode for 'jpeg'-codec mp4 rows, container-real mp4 box /
+        # webm element walks for the rest (true n_frames/dims, fake
+        # pixels); px_sum pins the actual emitted pixel CONTENT, not
+        # just cardinality
+        blob0 = bytes(r.bytes)
         decoded = (
-            decode_avi(bytes(r.bytes))[0]
-            if is_avi(bytes(r.bytes))
-            else decode_gif_frames(bytes(r.bytes))[0]
-            if is_gif(bytes(r.bytes))
+            decode_avi(blob0)[0]
+            if is_avi(blob0)
+            else decode_gif_frames(blob0)[0]
+            if is_gif(blob0)
+            else decode_mp4_frames(blob0)[0]
+            if is_mp4(blob0)
+            and (mp4_info(blob0).get("codec") or "").strip().lower()
+            in JPEG_SAMPLE_FOURCCS
             else None
         )
         w, h = int(r.w), int(r.h)
