@@ -1,0 +1,176 @@
+"""Distributed connected components — duplicate PAIRS → duplicate GROUPS.
+
+Every near-dup operator in this engine (minhash/simhash/ngram/phash/
+embedding) emits candidate-verified PAIRS (id_a, id_b). A training-data
+dedup pipeline needs GROUPS: the transitive closure of those pairs, one
+canonical representative per group, everything else dropped. Pairs chain
+(A~B, B~C with A!~C is routine for banded LSH output), so the closure is
+a genuine connected-components computation, not a groupBy.
+
+Algorithm: alternating large-star / small-star (Kiveris, Lattanzi,
+Mirrokni, Rastogi, Vassilvitskii — "Connected Components in MapReduce
+and Beyond", SoCC 2014). Each round is pure DataFrame ops:
+
+  large-star: for each node u, hang every LARGER neighbor off
+      m(u) = min(N(u) ∪ {u});
+  small-star: orient edges large→small, hang every smaller-or-self
+      node off m(u) = min of u's smaller neighborhood.
+
+Both preserve connectivity and strictly shrink edge "potential"; the
+composition converges in O(log² n) rounds (O(log n) observed) to a
+fixpoint where every component is a star rooted at its MINIMUM id —
+so the output label is deterministic: component = min id in component.
+
+Scale posture (the 100 TB question):
+  - per round: one groupBy(u).min (map-side combinable), one shuffle
+    join on u, one distinct — all narrow (two id columns);
+  - a giant duplicate group makes its min a hot join key; that is the
+    hot-PLD shape again and AQE's skew-join split handles it (session
+    default), while the groupBy side is pre-aggregated map-side;
+  - round count is data-dependent but logarithmic; each round ends in
+    localCheckpoint(eager) so the plan never grows with iterations and
+    a straggler round retries from materialized state, not lineage;
+  - convergence is checked EXACTLY (count equality + anti-join
+    emptiness), not by a hash proxy — a dedup drop-list must not ship
+    on a probabilistic "probably converged".
+
+No reference counterpart: RovoMe/JIRLbot dedups exact URL keys (DRUM);
+transitive grouping serves the graft's training-data-pipeline set
+(SURVEY.md §2.3), downstream of the pair-emitting dedup operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round: emit (v, m(u)) for every neighbor v > u,
+    where m(u) = min(N(u) ∪ {u}). Input/output: distinct (u, v) pairs
+    interpreted as undirected edges."""
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient each edge large→small, then for each
+    node u hang u and all its smaller neighbors off m(u) = min of the
+    smaller neighborhood (m(u) < u always, so no self-loops)."""
+    d = (
+        edges.where(F.col("u") != F.col("v"))
+        .select(
+            F.greatest(F.col("u"), F.col("v")).alias("u"),
+            F.least(F.col("u"), F.col("v")).alias("v"),
+        )
+        .distinct()
+    )
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    hang_neighbors = (
+        d.join(mins, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("n"), F.col("m"))
+    )
+    hang_self = mins.select(F.col("u").alias("n"), F.col("m"))
+    return (
+        hang_neighbors.unionByName(hang_self)
+        .select(F.col("n").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components of the undirected graph given by `pairs`.
+
+    Returns (id, component) for EVERY id appearing in `pairs`, where
+    component = the minimum id in that id's component (deterministic
+    canonical label). Null endpoints and self-loops are dropped. Ids
+    must be an orderable type (long, string, ...).
+
+    Raises RuntimeError if the fixpoint is not reached within
+    `max_iterations` alternating rounds — at the proven O(log² n)
+    convergence that bound allows graphs far beyond any physical table.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("u").alias("id"))
+        .unionByName(edges.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    # cut lineage before iterating; eager so each round's cost is its own
+    edges = edges.localCheckpoint(eager=True)
+    prev, prev_count = None, -1
+    for _ in range(max_iterations):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        count = edges.count()
+        if (
+            prev is not None
+            and count == prev_count
+            and edges.join(prev, ["u", "v"], "left_anti").isEmpty()
+        ):
+            break
+        prev, prev_count = edges, count
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "rounds — pathological input or a broken star step"
+        )
+    # fixpoint edges are min-rooted stars: (u, component) for every
+    # non-root u; roots label themselves
+    labels = edges.groupBy("u").agg(F.min("v").alias("component"))
+    return nodes.join(
+        labels, nodes["id"] == labels["u"], "left"
+    ).select(
+        "id", F.coalesce(F.col("component"), F.col("id")).alias("component")
+    )
+
+
+def duplicate_groups(
+    items: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Canonicalize duplicate pairs into a keep/drop decision per item.
+
+    Returns `items`' id column plus (component, keep): component is the
+    transitive duplicate-group label (min id; items in no pair label
+    themselves), keep is true exactly for the canonical representative.
+    The drop-list a 100 TB dedup pass actually applies is
+    `where(~keep)` — an anti-join key set, never a wide row shuffle."""
+    comp = connected_components(pairs, src=src, dst=dst)
+    ids = items.select(F.col(id_col))
+    return (
+        ids.join(comp, ids[id_col] == comp["id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+            (
+                F.col("component").isNull()
+                | (F.col("component") == F.col(id_col))
+            ).alias("keep"),
+        )
+    )

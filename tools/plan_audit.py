@@ -240,7 +240,32 @@ def main() -> None:
         )
     )
 
+    # --- connected components: one star-contraction round
+    from jirlbot_spark.operators.graph import _large_star, _small_star
+
+    cc_edges = spark.createDataFrame(
+        [(int(i), int(i) + 1) for i in range(200)], "u long, v long"
+    )
+    cc_df = _small_star(_large_star(cc_edges))
+    cc_plan = capture_plan(cc_df)
+    sections.append(
+        (
+            "Connected components round (large-star + small-star)",
+            "Each contraction round must be narrow equi-joins/aggs on "
+            "the node id — a CartesianProduct here would be quadratic "
+            "in the dup-pair count; the groupBy mins must combine "
+            "map-side (partial_min) so a hot component root never "
+            "ships its whole neighborhood to one reducer pre-agg.",
+            cc_plan,
+        )
+    )
+
     checks = {
+        "CC star round has NO CartesianProduct/NestedLoop":
+        "CartesianProduct" not in cc_plan
+        and "BroadcastNestedLoopJoin" not in cc_plan,
+        "CC star round aggregates map-side (partial_min)":
+        "partial_min" in cc_plan,
         "dedup_phash executes with NO CartesianProduct/NestedLoop":
         "CartesianProduct" not in phash_plan
         and "BroadcastNestedLoopJoin" not in phash_plan,
