@@ -302,3 +302,52 @@ def test_valid_decodes_unaffected():
         assert np.array_equal(
             decode_image(encode_image(src, fmt), fmt, 16, 16), src
         )
+
+
+def test_mp4_mjpeg_bombs_and_fuzz():
+    """Motion-JPEG mp4 path: sample ranges must be validated against the
+    file before any decode; mutated streams must fail clean and fast."""
+    import time
+
+    from jirlbot_spark.functions.mp4 import (
+        decode_mp4_frames,
+        encode_mp4_mjpeg,
+        mp4_sample_ranges,
+    )
+
+    frames = (
+        np.arange(3 * 16 * 16 * 3, dtype=np.int64).reshape(3, 16, 16, 3)
+        % 251
+    ).astype(np.uint8)
+    blob = bytes(encode_mp4_mjpeg(frames, fps=30.0))
+
+    # stsz claiming bytes the file does not ship -> rejected pre-decode
+    with pytest.raises(ValueError, match="past end of file"):
+        mp4_sample_ranges(blob[:-16])
+
+    # corruption fuzz: every mutation either decodes or raises, fast
+    rng = np.random.default_rng(77)
+    t0 = time.monotonic()
+    n_raised = 0
+    for trial in range(120):
+        mutated = bytearray(blob)
+        kind = trial % 3
+        if kind == 0:  # bit flip
+            i = int(rng.integers(0, len(mutated)))
+            mutated[i] ^= 1 << int(rng.integers(0, 8))
+        elif kind == 1:  # truncate
+            mutated = mutated[: int(rng.integers(12, len(mutated)))]
+        else:  # splice random bytes
+            i = int(rng.integers(0, len(mutated) - 8))
+            mutated[i : i + 8] = rng.bytes(8)
+        try:
+            out, _fps = decode_mp4_frames(bytes(mutated))
+            assert isinstance(out, np.ndarray)
+        except Exception:
+            # the operator path maps any decode exception to a failed
+            # row (fetch.py decode_ok=false), same contract as images
+            n_raised += 1
+    # nominal ~1.5 s; the wide budget still catches hangs / GB allocs
+    # without flaking when the box is saturated by a concurrent bench
+    assert time.monotonic() - t0 < 60.0
+    assert n_raised > 0  # mutations do get caught, not silently eaten
