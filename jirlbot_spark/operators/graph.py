@@ -155,6 +155,51 @@ def connected_components(
     )
 
 
+def update_components(
+    prior: DataFrame,
+    new_pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Incrementally fold a batch of NEW duplicate pairs into an
+    existing (id, component) labeling — the per-microbatch shape of
+    dedup in a continuously-growing corpus (recomputing the closure
+    from scratch every batch would rescan every historical pair).
+
+    A prior labeling IS a star edge set ((id, component) with id !=
+    component), already fully contracted — so the union of those stars
+    with the new pairs is a graph whose closure equals the closure of
+    (all historical pairs ∪ new pairs), and contraction restarts from
+    almost-converged state: batches that touch few existing groups
+    converge in 1-2 rounds regardless of corpus size. Returns the new
+    (id, component) labeling covering every id in `prior` or
+    `new_pairs`; labels stay the component MIN, so they are stable
+    unless a merge genuinely introduces a smaller member."""
+    prior_edges = prior.where(
+        F.col("id") != F.col("component")
+    ).select(F.col("id").alias(src), F.col("component").alias(dst))
+    merged = connected_components(
+        new_pairs.select(
+            F.col(src).cast(prior.schema["id"].dataType),
+            F.col(dst).cast(prior.schema["id"].dataType),
+        ).unionByName(prior_edges),
+        src=src,
+        dst=dst,
+        max_iterations=max_iterations,
+        stats=stats,
+    )
+    # singletons from the prior labeling (id == component, no edge)
+    # and brand-new isolated ids keep labeling themselves
+    singles = (
+        prior.select("id")
+        .join(merged.select("id"), "id", "left_anti")
+        .select("id", F.col("id").alias("component"))
+    )
+    return merged.unionByName(singles)
+
+
 def duplicate_groups(
     items: DataFrame,
     pairs: DataFrame,

@@ -166,3 +166,50 @@ def test_cc_iteration_guard(spark):
     )
     with pytest.raises(RuntimeError):
         connected_components(df, max_iterations=1)
+
+
+def test_update_components_equals_batch_recompute(spark):
+    from jirlbot_spark.operators.graph import update_components
+
+    def df_pairs(pairs):
+        return spark.createDataFrame(
+            pd.DataFrame(pairs, columns=["id_a", "id_b"]).astype("int64")
+        )
+
+    rng = np.random.default_rng(11)
+    hist, labeling = [], None
+    for batch in range(3):
+        new = [
+            (int(rng.integers(0, 60)), int(rng.integers(0, 60)))
+            for _ in range(25)
+        ]
+        new = [(a, b) for a, b in new if a != b]
+        hist += new
+        if labeling is None:
+            labeling = connected_components(df_pairs(new))
+        else:
+            labeling = update_components(labeling, df_pairs(new))
+        got = {r.id: r.component for r in labeling.collect()}
+        exp = _dsu_components([], hist)
+        assert got == exp, f"batch {batch}"
+        labeling = spark.createDataFrame(
+            pd.DataFrame(
+                sorted(got.items()), columns=["id", "component"]
+            ).astype("int64")
+        )
+
+
+def test_update_components_preserves_singletons(spark):
+    from jirlbot_spark.operators.graph import update_components
+
+    prior = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, 1), (2, 1), (7, 7)], columns=["id", "component"]
+        ).astype("int64")
+    )
+    new = spark.createDataFrame(
+        pd.DataFrame([(3, 2)], columns=["id_a", "id_b"]).astype("int64")
+    )
+    got = {r.id: r.component for r in update_components(prior, new).collect()}
+    # 3 joins {1,2}; singleton 7 survives untouched
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7}
