@@ -112,8 +112,12 @@ def _track_info(data: bytes, b: int, e: int) -> dict:
             out["codec"] = data[db + 12 : db + 16].decode("latin1")
     span = _find(data, sb, se, b"stts")
     if span is not None:
-        tb2, _ = span
+        tb2, te2 = span
         (n,) = struct.unpack_from(">I", data, tb2 + 4)
+        # clamp the entry count to what the box body actually ships —
+        # a corrupt 32-bit count must not drive a multi-second loop or
+        # read timing entries from unrelated bytes past the box
+        n = min(n, max(0, (te2 - tb2 - 8) // 8))
         total = 0
         for i in range(n):
             cnt, _delta = struct.unpack_from(">II", data, tb2 + 8 + 8 * i)
@@ -227,6 +231,14 @@ def mp4_sample_ranges(data: bytes) -> list[tuple[int, int]]:
             raise ValueError("truncated stsz sample-size table")
         sizes = struct.unpack_from(f">{count}I", data, zb + 12)
     else:
+        # uniform-size path: `count` is attacker-controlled and unchecked
+        # by any table length — bound the CLAIMED total sample bytes by
+        # the file itself before materializing anything (a corrupt count
+        # of ~2^32 would otherwise allocate a multi-GB tuple here).
+        if uniform * count > len(data):
+            raise ValueError(
+                "stsz claims more sample bytes than the file ships"
+            )
         sizes = (uniform,) * count
     width, fmtch = 4, "I"
     span = _find(data, sb, se, b"stco")

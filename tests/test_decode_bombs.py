@@ -351,3 +351,45 @@ def test_mp4_mjpeg_bombs_and_fuzz():
     # without flaking when the box is saturated by a concurrent bench
     assert time.monotonic() - t0 < 60.0
     assert n_raised > 0  # mutations do get caught, not silently eaten
+
+
+def test_mp4_uniform_stsz_and_stts_count_bombs():
+    """Two attacker-controlled 32-bit counts with no table to bound them:
+    a uniform-size stsz count (would materialize a count-sized tuple and
+    claim count*size sample bytes) and the stts entry count (would drive
+    a ~2^32-iteration timing loop). Both must be bounded by the file."""
+    import time
+
+    from jirlbot_spark.functions.mp4 import (
+        encode_mp4_stub,
+        mp4_info,
+        mp4_sample_ranges,
+    )
+
+    blob = bytearray(encode_mp4_stub(16, 16, 4, codec=b"jpeg"))
+
+    # uniform stsz: sample_size=64, sample_count at stsz body +8.
+    zi = bytes(blob).find(b"stsz")
+    assert zi > 0
+    struct_at = zi + 4 + 4  # skip fourcc + version/flags
+    import struct as _s
+
+    uniform, count = _s.unpack_from(">II", blob, struct_at)
+    assert uniform == 64 and count == 4
+    bomb = bytearray(blob)
+    _s.pack_into(">II", bomb, struct_at, uniform, 0xFFFFFFFF)
+    t0 = time.monotonic()
+    with pytest.raises(ValueError, match="more sample bytes"):
+        mp4_sample_ranges(bytes(bomb))
+    assert time.monotonic() - t0 < 1.0
+
+    # stts: entry_count at stts body +4; body ships ONE entry. A corrupt
+    # huge count must clamp to the box body, not loop or read past it.
+    ti = bytes(blob).find(b"stts")
+    assert ti > 0
+    bomb2 = bytearray(blob)
+    _s.pack_into(">I", bomb2, ti + 4 + 4, 0x7FFFFFFF)
+    t0 = time.monotonic()
+    info = mp4_info(bytes(bomb2))
+    assert time.monotonic() - t0 < 1.0
+    assert info["n_frames"] == 4  # the one real entry still counted
