@@ -225,7 +225,11 @@ def resolve_series(urls: pd.Series, bases: pd.Series) -> pd.Series:
     out = out.mask(empty_ref, base_origin + base_path + base_query)
     out = out.mask(scheme_rel, bp["scheme"].fillna("") + ":" + urls)
     out = out.mask(abs_path, base_origin + urls)
-    out = out.mask(query_only | frag_only, base_origin + base_path + urls)
+    out = out.mask(query_only, base_origin + base_path + urls)
+    # fragment-only refs keep the BASE QUERY (RFC 3986 §5.3: query is
+    # only replaced when the reference defines one) — dropping it would
+    # alias href="#section" to a query-stripped sibling page
+    out = out.mask(frag_only, base_origin + base_path + base_query + urls)
     out = out.mask(rel_path, base_origin + base_dir + urls)
     # relative ref with no usable base -> unresolvable
     no_base = bp["host"].isna() | (bp["host"].fillna("") == "")

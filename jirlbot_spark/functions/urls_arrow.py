@@ -204,8 +204,10 @@ def resolve_chunk(urls: pa.Array, bases: pa.Array) -> pa.Array:
     out = pc.if_else(empty_ref, _concat(origin, b_path, b_query), out)
     out = pc.if_else(scheme_rel, _concat(b_scheme, ":", u), out)
     out = pc.if_else(abs_path, _concat(origin, u), out)
+    out = pc.if_else(query_only, _concat(origin, b_path, u), out)
+    # frag-only keeps the base query (RFC 3986 §5.3) — see urls.py twin
     out = pc.if_else(
-        pc.or_(query_only, frag_only), _concat(origin, b_path, u), out
+        frag_only, _concat(origin, b_path, b_query, u), out
     )
     out = pc.if_else(rel_path, _concat(origin, b_dir, u), out)
     no_base = pc.equal(b_host, "")

@@ -66,6 +66,7 @@ HTTP_FETCH_SCHEMA = StructType(
         StructField("content_type", StringType()),
         StructField("body", BinaryType()),
         StructField("fetched_at_s", DoubleType()),
+        StructField("location", StringType()),
     ]
 )
 
@@ -78,16 +79,37 @@ def _real_clock_factory():
 
 def urllib_transport(url: str) -> dict:
     """Default real transport (stdlib only; used on a cluster — this
-    sandbox has no network, so tests inject fakes)."""
+    sandbox has no network, so tests inject fakes).
+
+    Redirects are NOT auto-followed: a crawler must route 3xx targets
+    back through canonicalize -> DRUM dedup -> budgets -> politeness
+    like any other discovered URL (auto-following would fetch the target
+    immediately, outside the target host's politeness schedule). The
+    Location header is surfaced instead; route_redirects turns it into
+    frontier candidates."""
     import urllib.request
 
+    class _NoRedirect(urllib.request.HTTPRedirectHandler):
+        def redirect_request(self, req, fp, code, msg, headers, newurl):
+            return None  # pragma: no cover - network-only path
+
     try:  # pragma: no cover - network-only path
-        with urllib.request.urlopen(url, timeout=30) as resp:
+        opener = urllib.request.build_opener(_NoRedirect)
+        with opener.open(url, timeout=30) as resp:
             return {
                 "status": resp.status,
                 "content_type": resp.headers.get("Content-Type", ""),
                 "body": resp.read(),
+                "location": resp.headers.get("Location", ""),
             }
+    except urllib.error.HTTPError as e:  # pragma: no cover
+        # 3xx land here with redirects disabled; keep their headers
+        return {
+            "status": e.code,
+            "content_type": e.headers.get("Content-Type", ""),
+            "body": b"",
+            "location": e.headers.get("Location", ""),
+        }
     except Exception:  # pragma: no cover
         return {"status": 0, "content_type": "", "body": b""}
 
@@ -143,6 +165,7 @@ def http_fetch(
             "content_type": [""] * len(pdf),
             "body": [b""] * len(pdf),
             "fetched_at_s": np.zeros(len(pdf), np.float64),
+            "location": [""] * len(pdf),
         }
         for i, (planned, url) in enumerate(
             zip(pdf[planned_col].to_numpy(), pdf[url_col].to_numpy())
@@ -155,6 +178,7 @@ def http_fetch(
             out["content_type"][i] = str(r.get("content_type", ""))
             out["body"][i] = bytes(r.get("body", b""))
             out["fetched_at_s"][i] = clock() - t0
+            out["location"][i] = str(r.get("location", "") or "")
         res = pd.DataFrame(
             {
                 "host": pdf[host_col].to_numpy(),
@@ -240,6 +264,32 @@ def extract_links_from_text(
                 F.col(text_col), F.lit(r'href="([^"]+)"'), F.lit(1)
             )
         ).alias("out_url"),
+    )
+
+
+REDIRECT_STATUSES = (301, 302, 303, 307, 308)
+
+
+def route_redirects(
+    fetched: DataFrame,
+    src_col: str = "url",
+    status_col: str = "status",
+    location_col: str = "location",
+) -> DataFrame:
+    """3xx responses become frontier candidates: (src_url, out_url) rows
+    shaped exactly like extracted links, so the crawl loop unions them
+    into the link stream and the normal canonicalize -> DRUM dedup ->
+    budgets -> politeness path applies. Location may be RELATIVE
+    (RFC 7231 §7.1.2); downstream resolution uses src_url as the base
+    (prepare_urls_fused base_col). Redirect loops terminate via url_seen
+    dedup — a target already seen is never re-enqueued. Pure JVM
+    filter+project: no shuffle, vanishes into the fetch stage."""
+    return fetched.filter(
+        F.col(status_col).isin(*REDIRECT_STATUSES)
+        & (F.coalesce(F.col(location_col), F.lit("")) != "")
+    ).select(
+        F.col(src_col).alias("src_url"),
+        F.col(location_col).alias("out_url"),
     )
 
 

@@ -48,7 +48,11 @@ from jirlbot_spark.functions.prepare import prepare_urls_fused
 from jirlbot_spark.operators import robots as robots_ops
 from jirlbot_spark.operators.beast import beast_enforce, split_admitted
 from jirlbot_spark.operators.dedup import check_update_agg
-from jirlbot_spark.operators.fetch import extract_links, table_fetch
+from jirlbot_spark.operators.fetch import (
+    extract_links,
+    route_redirects,
+    table_fetch,
+)
 from jirlbot_spark.operators.politeness import politeness_schedule
 from jirlbot_spark.operators.star import (
     distinct_new_edges,
@@ -347,9 +351,18 @@ class CrawlLoop:
             fetched = scheduled
         fetched = fetched.withColumn("batch", F.lit(j)).cache()
 
-        # link extraction + PLD graph update
+        # link extraction + PLD graph update. Redirect targets (3xx
+        # Location, possibly RELATIVE — live-HTTP backends surface the
+        # header instead of auto-following) join the same stream: they
+        # must pass canonicalize -> DRUM -> budgets -> politeness like
+        # any discovered URL, and redirect loops die in url_seen dedup.
+        links = None
         if self.link_table is not None:
             links = extract_links(fetched, self.link_table, src_col="url")
+        if {"status", "location"}.issubset(set(fetched.columns)):
+            redirs = route_redirects(fetched, src_col="url")
+            links = redirs if links is None else links.unionByName(redirs)
+        if links is not None:
             src_info = fetched.select(
                 F.col("url").alias("src_url"),
                 F.col("depth").alias("src_depth"),
@@ -362,8 +375,16 @@ class CrawlLoop:
             # sources gets its MIN depth (check_update keeps the first
             # arrival under order_col=depth). src_pld rides through
             # canonicalization so edges pair canonical dst with its source.
+            # base_col=src_url: relative refs (redirect Locations, and any
+            # backend-extracted relative hrefs) resolve against the page
+            # that produced them; absolute link-table URLs pass through
+            # resolution untouched.
             prepared = self._prepare_urls(
-                links, "out_url", None, "new_depth", keep=("src_pld",)
+                links,
+                "out_url",
+                "src_url",
+                "new_depth",
+                keep=("src_pld",),
             )
             edges = prepared.select(
                 "src_pld", F.col("pld_hash").alias("dst_pld")

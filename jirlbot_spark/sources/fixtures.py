@@ -582,3 +582,67 @@ def gen_video(seed: int, n: int) -> pd.DataFrame:
             }
         )
     return pd.DataFrame.from_records(recs)
+
+
+def sitemap_scenario() -> list[tuple[str, str]]:
+    """Fixture for the sitemap_parse driver key: (src, body_text) docs —
+    a urlset (entities, lastmod, whitespace, mixed-case tags, a loc-less
+    block dropped per spec), a sitemapindex, a plain-text sitemap with
+    CRLF + junk lines, and a non-sitemap HTML page yielding nothing.
+    Shared verbatim by the Spark key and its DuckDB twin (the twin
+    re-implements the extraction in pure SQL — an independent oracle)."""
+    urlset = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        "  <url>\n"
+        "    <loc> http://ex-a.com/p?x=1&amp;y=2 </loc>\n"
+        "    <lastmod>2026-01-04</lastmod>\n"
+        "  </url>\n"
+        "  <URL><LOC>http://ex-a.com/o&apos;brien</LOC></URL>\n"
+        "  <url><priority>0.5</priority></url>\n"
+        "</urlset>"
+    )
+    index = (
+        "<sitemapindex>\n"
+        "  <sitemap><loc>http://ex-b.com/maps/a.xml.gz</loc>\n"
+        "    <lastmod>2025-12-31T23:59:59+00:00</lastmod></sitemap>\n"
+        "  <sitemap><loc>http://ex-b.com/maps/b.xml</loc></sitemap>\n"
+        "</sitemapindex>"
+    )
+    plain = (
+        "http://ex-c.com/t1\r\n"
+        "  https://ex-c.com/t2  \r\n"
+        "# comment line\r\n"
+        "\r\n"
+        "ftp://ex-c.com/nope"
+    )
+    html = "<html><body><a href=\"/x\">not a sitemap</a></body></html>"
+    return [
+        ("http://ex-a.com/sitemap.xml", urlset),
+        ("http://ex-b.com/sitemap-index.xml", index),
+        ("http://ex-c.com/sitemap.txt", plain),
+        ("http://ex-d.com/page.html", html),
+    ]
+
+
+def redirect_scenario() -> list[tuple[str, int, str]]:
+    """Fixture for the redirect_resolve driver key: (src_url, status,
+    location) covering every RFC 3986 merge class a Location header
+    hits — absolute, scheme-relative, absolute-path, query-only,
+    fragment-only (base query survives), relative-path — plus non-3xx
+    and empty-Location rows the operator must drop. Inputs are chosen
+    canonical-clean (lowercase hosts, no ports/escapes/dot-segments) so
+    the DuckDB twin's pure-SQL resolution is exact; the messy-input
+    space is covered by the urljoin cross-check and canonicalize
+    goldens in tests/."""
+    return [
+        ("http://a-site.com/dir/page?q=7", 301, "/moved?x=1#frag"),
+        ("http://b-site.com/p1", 302, "http://c-site.com/abs"),
+        ("https://d-site.com/a/b", 307, "next/step"),
+        ("http://e-site.com/x?old=1", 308, "?new=2"),
+        ("http://f-site.com/y", 303, "//g-site.com/scheme-rel"),
+        ("http://h-site.com/frag?keep=1", 301, "#anchor-only"),
+        ("http://i-site.com/ok", 200, "/not-a-redirect"),
+        ("http://j-site.com/none", 301, ""),
+        ("https://k-site.com/deep/tree/leaf", 302, "sibling?b=2"),
+    ]
