@@ -89,6 +89,13 @@ class CrawlConfig:
     # Bloom sidecar dir for the url_seen membership fast path (None = off;
     # semantics identical either way — membership.py contract)
     bloom_dir: str | None = None
+    # Parse fetched bodies that look like sitemaps (urlset/sitemapindex
+    # XML or gz with a sitemap-ish URL) and enqueue their entries as
+    # links. Index files recurse naturally: a <sitemap> entry is just a
+    # URL that, once fetched, parses again. Only active when the fetch
+    # backend surfaces a `body` column (live HTTP); candidate selection
+    # is a cheap JVM byte sniff so non-sitemap pages never hit Python.
+    parse_sitemaps: bool = True
     # Fold url_seen's per-batch runs into one every N batches (None = never).
     # Append-only runs keep commits cheap, but the membership anti-join
     # reads every run of a bucket — at 10^10 keys unbounded run counts
@@ -200,6 +207,54 @@ class CrawlLoop:
                     b = int(d.split("=", 1)[1])
                     out[b] = max(out.get(b, -1), eb)
         return out
+
+    def _sitemap_links(self, fetched: DataFrame) -> DataFrame:
+        """Sitemap discovery channel: fetched bodies that look like
+        sitemaps yield their entries as (src_url, out_url) link rows.
+
+        Candidate sniff is pure-JVM over the body bytes — XML sitemaps
+        by their root-element marker in the head, gz members by magic
+        (a non-sitemap gz inflates, parses to nothing, and costs one
+        bounded decode — real .gz responses are overwhelmingly sitemap
+        members since HTTP compresses content transparently), xml
+        content-types, and plain-text ones only when the URL itself
+        says 'sitemap' (a bare text file of URLs is otherwise
+        indistinguishable from content). Only candidates pay the
+        Python decode (gz inflate under the protocol's 50 MiB cap). Both entry kinds enqueue: a
+        <sitemap> index entry is a URL whose own fetch parses again
+        next batch — recursion across batches with no loop-side state,
+        terminated by url_seen dedup like any other URL."""
+        from jirlbot_spark.operators.sitemaps import (
+            sitemap_body_text,
+            sitemap_entries,
+        )
+
+        body = F.col("body")
+        head = F.substring(body, 1, 4096)
+        looks_xml = F.contains(head, F.lit(b"<urlset")) | F.contains(
+            head, F.lit(b"<sitemapindex")
+        )
+        is_gz = F.substring(body, 1, 2) == F.lit(b"\x1f\x8b")
+        urlish = F.lower(F.col("url")).contains("sitemap")
+        ct_xml = (
+            F.lower(F.coalesce(F.col("content_type"), F.lit(""))).contains(
+                "xml"
+            )
+            if "content_type" in fetched.columns
+            else F.lit(False)
+        )
+        cand = fetched.filter(
+            body.isNotNull()
+            & (F.length(body) > 0)
+            & (looks_xml | is_gz | urlish | ct_xml)
+        ).select("url", body.alias("__body"))
+        docs = cand.select(
+            F.col("url").alias("sitemap_url"),
+            sitemap_body_text(F.col("__body")).alias("body_text"),
+        )
+        return sitemap_entries(docs).select(
+            F.col("src").alias("src_url"), F.col("loc").alias("out_url")
+        )
 
     def ingest_seeds(self, seeds: DataFrame, url_col: str = "url") -> int:
         """Batch 0: canonicalize + dedup seeds into the frontier."""
@@ -362,6 +417,11 @@ class CrawlLoop:
         if {"status", "location"}.issubset(set(fetched.columns)):
             redirs = route_redirects(fetched, src_col="url")
             links = redirs if links is None else links.unionByName(redirs)
+        if cfg.parse_sitemaps and "body" in fetched.columns:
+            sm_links = self._sitemap_links(fetched)
+            links = (
+                sm_links if links is None else links.unionByName(sm_links)
+            )
         if links is not None:
             src_info = fetched.select(
                 F.col("url").alias("src_url"),

@@ -228,6 +228,81 @@ def test_loop_routes_relative_redirects(spark, tmp_path):
     assert store.read("url_seen").count() == 2
 
 
+def test_loop_discovers_via_sitemaps(spark, tmp_path):
+    """Fetched sitemap bodies feed the link stream: a seed sitemapindex
+    enqueues its gz member, whose urlset enqueues page URLs (one
+    RELATIVE loc resolving against the sitemap's own URL) — recursion
+    across batches with no loop-side state. HTML bodies never parse."""
+    from jirlbot_spark.operators.fetch import http_backend
+    from jirlbot_spark.plans.loop import CrawlConfig, CrawlLoop
+    from jirlbot_spark.sources.storage import TableStore
+
+    def virtual_clock_factory():
+        state = {"t": 0.0}
+
+        def clock():
+            state["t"] += 0.001
+            return state["t"]
+
+        def sleeper(dt):
+            state["t"] += dt
+
+        return clock, sleeper
+
+    index_xml = (
+        "<sitemapindex><sitemap>"
+        "<loc>http://s-site.com/maps/pages.xml.gz</loc>"
+        "</sitemap></sitemapindex>"
+    ).encode()
+    urlset_gz = gzip.compress(
+        (
+            "<urlset>"
+            "<url><loc>http://s-site.com/p1</loc></url>"
+            "<url><loc>p-rel</loc></url>"  # relative: resolves vs src
+            "</urlset>"
+        ).encode()
+    )
+
+    def transport(url):
+        body = {
+            "http://s-site.com/sitemap.xml": index_xml,
+            "http://s-site.com/maps/pages.xml.gz": urlset_gz,
+        }.get(url, b"<html>ok</html>")
+        return {"status": 200, "content_type": "", "body": body}
+
+    store = TableStore(spark, str(tmp_path / "smcrawl"))
+    robots_src = spark.createDataFrame(
+        [("s-site.com", [], 0.0)],
+        "host string, disallow array<string>, crawl_delay double",
+    )
+    loop = CrawlLoop(
+        spark,
+        store,
+        None,
+        None,  # sitemaps are the only discovery channel here
+        robots_src,
+        CrawlConfig(salt_buckets=4, image_scale=10, min_delay_s=0.0),
+        fetch_backend=http_backend(
+            transport=transport, clock_factory=virtual_clock_factory
+        ),
+    )
+    seeds = spark.createDataFrame(
+        [("http://s-site.com/sitemap.xml",)], ["url"]
+    )
+    loop.ingest_seeds(seeds)
+    loop.run(4)
+    log = {
+        (r.url, r.batch)
+        for r in store.read("fetch_log").select("url", "batch").collect()
+    }
+    assert log == {
+        ("http://s-site.com/sitemap.xml", 2),
+        ("http://s-site.com/maps/pages.xml.gz", 3),
+        ("http://s-site.com/p1", 4),
+        ("http://s-site.com/maps/p-rel", 4),
+    }
+
+
 # ------------------------------------- RFC 3986 §5.4 resolution vectors
 
 RFC_BASE = "http://a/b/c/d;p?q"
