@@ -45,6 +45,48 @@ def robots_requested_new(
     return h.join(requested.select(host_col), host_col, "left_anti")
 
 
+def robots_http_fetcher(transport, scheme: str = "http"):
+    """Package a transport as a CrawlLoop `robots_fetcher`: hosts ->
+    (host, body) raw robots.txt, fetched as {scheme}://{host}/robots.txt
+    inside an Arrow-batched task (hosts are new-this-batch only — the
+    robots_requested anti-join guarantees at most ONE robots fetch per
+    host EVER, so per-host politeness needs no schedule here).
+
+    Failure policy pinned to RFC 9309 §2.3.1: any non-200 outcome maps
+    to an empty body -> parse_robots_txt_df yields no rules ->
+    allow-all. (The RFC's 5xx "assume disallow" refinement needs retry
+    state the once-per-host contract deliberately avoids; a cluster
+    deployment wanting it can inject its own fetcher.)"""
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("host", StringType()),
+            StructField("body", StringType()),
+        ]
+    )
+
+    def fetch(it):
+        for pdf in it:
+            hosts = pdf["host"].tolist()
+            bodies = []
+            for h in hosts:
+                try:
+                    r = transport(f"{scheme}://{h}/robots.txt")
+                    ok = int(r.get("status", 0)) == 200
+                    body = bytes(r.get("body", b"")) if ok else b""
+                except Exception:
+                    body = b""
+                bodies.append(body.decode("utf-8", errors="replace"))
+            yield pd.DataFrame({"host": hosts, "body": bodies})
+
+    def fetcher(hosts: DataFrame) -> DataFrame:
+        return hosts.select("host").distinct().mapInPandas(fetch, schema)
+
+    return fetcher
+
+
 def _rule_regex(rule: Column) -> Column:
     """Anchored regex for one robots rule, built JVM-side: escape regex
     metachars, then `*` -> `.*` and a trailing (escaped) `$` back to a

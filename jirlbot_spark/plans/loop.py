@@ -96,6 +96,9 @@ class CrawlConfig:
     # backend surfaces a `body` column (live HTTP); candidate selection
     # is a cheap JVM byte sniff so non-sitemap pages never hit Python.
     parse_sitemaps: bool = True
+    # UA token for robots group selection when a robots_fetcher supplies
+    # raw robots.txt bodies (parse_robots_txt_df semantics)
+    user_agent: str = "jirlbot"
     # Fold url_seen's per-batch runs into one every N batches (None = never).
     # Append-only runs keep commits cheap, but the membership anti-join
     # reads every run of a bucket — at 10^10 keys unbounded run counts
@@ -115,6 +118,7 @@ class CrawlLoop:
         robots_source: DataFrame | None,
         config: CrawlConfig | None = None,
         fetch_backend=None,
+        robots_fetcher=None,
     ):
         self.spark = spark
         self.store = store
@@ -126,6 +130,13 @@ class CrawlLoop:
         # the live-HTTP path on a cluster (operators.fetch.http_backend);
         # must return the scheduled rows (+frontier metadata) per fetch
         self.fetch_backend = fetch_backend
+        # robots_fetcher(hosts)->DataFrame(host, body): LIVE robots
+        # acquisition — raw bodies go through the RFC 9309 parser
+        # (parse_robots_txt_df) with cfg.user_agent, so Allow lists,
+        # wildcards/$ anchors, UA groups and Crawl-delay all apply.
+        # Takes precedence over robots_source. On a cluster:
+        # robots_http_fetcher(transport) from operators.robots.
+        self.robots_fetcher = robots_fetcher
         if self.cfg.bloom_dir is not None and not store.supports_run_listing:
             # the sidecar epoch contract derives bucket->batch maps from
             # posix run-dir listings; a snapshot-pinned store (Iceberg)
@@ -355,10 +366,33 @@ class CrawlLoop:
         hosts_to_fetch = robots_ops.robots_requested_new(
             checked.select("host_hash", "host"), requested
         ).join(checked.select("host_hash", "host").distinct(), "host_hash")
-        if self.robots_source is not None:
+        empty_rules = F.array().cast("array<string>")
+        if self.robots_fetcher is not None:
+            # LIVE path: fetch raw bodies (once per host ever — the
+            # anti-join above guarantees it) and parse with the full
+            # RFC 9309 grammar; fetch failures parse to no rules =
+            # allow-all (robots_http_fetcher docstring pins the policy)
+            bodies = self.robots_fetcher(hosts_to_fetch.select("host"))
+            parsed = robots_ops.parse_robots_txt_df(
+                bodies, user_agent=cfg.user_agent
+            )
+            new_robots = hosts_to_fetch.join(parsed, "host", "left").select(
+                "host_hash",
+                "host",
+                F.coalesce("allow", empty_rules).alias("allow"),
+                F.coalesce("disallow", empty_rules).alias("disallow"),
+                F.coalesce("crawl_delay", F.lit(0.0)).alias("crawl_delay"),
+            )
+        elif self.robots_source is not None:
             new_robots = (
                 hosts_to_fetch.join(self.robots_source, "host", "inner")
-                .select("host_hash", "host", "disallow", "crawl_delay")
+                .select(
+                    "host_hash",
+                    "host",
+                    empty_rules.alias("allow"),
+                    "disallow",
+                    "crawl_delay",
+                )
             )
             # hosts absent from the source get allow-all
             missing = hosts_to_fetch.join(
@@ -366,7 +400,8 @@ class CrawlLoop:
             ).select(
                 "host_hash",
                 "host",
-                F.array().cast("array<string>").alias("disallow"),
+                empty_rules.alias("allow"),
+                empty_rules.alias("disallow"),
                 F.lit(0.0).alias("crawl_delay"),
             )
             new_robots = new_robots.unionByName(missing)
@@ -374,7 +409,8 @@ class CrawlLoop:
             new_robots = hosts_to_fetch.select(
                 "host_hash",
                 "host",
-                F.array().cast("array<string>").alias("disallow"),
+                empty_rules.alias("allow"),
+                empty_rules.alias("disallow"),
                 F.lit(0.0).alias("crawl_delay"),
             )
 

@@ -277,3 +277,89 @@ def test_robots_regex_degenerates_to_prefix_semantics(spark):
         else:
             exp = "PASS"
         assert got[url_id] == exp, (url_id, hh, path)
+
+
+def test_loop_live_robots_fetcher(spark, tmp_path):
+    """LIVE robots acquisition end-to-end: the loop fetches
+    /robots.txt through the injected transport, parses it with the
+    RFC 9309 grammar (specific-UA group beats `*`, Allow longest-match
+    beats a shorter Disallow), blocks accordingly, and honors the
+    parsed Crawl-delay in the politeness schedule."""
+    from jirlbot_spark.operators.fetch import http_backend
+    from jirlbot_spark.operators.robots import robots_http_fetcher
+    from jirlbot_spark.plans.loop import CrawlConfig, CrawlLoop
+    from jirlbot_spark.sources.storage import TableStore
+
+    ROBOTS_BODY = (
+        b"User-agent: jirlbot\n"
+        b"Disallow: /private\n"
+        b"Allow: /private/ok\n"
+        b"Crawl-delay: 2\n"
+        b"\n"
+        b"User-agent: *\n"
+        b"Disallow: /\n"  # the * group must NOT apply to us
+    )
+
+    def transport(url):
+        if url == "http://l-site.com/robots.txt":
+            return {"status": 200, "content_type": "", "body": ROBOTS_BODY}
+        return {"status": 200, "content_type": "", "body": b"<html>ok</html>"}
+
+    def virtual_clock_factory():
+        state = {"t": 0.0}
+
+        def clock():
+            state["t"] += 0.001
+            return state["t"]
+
+        def sleeper(dt):
+            state["t"] += dt
+
+        return clock, sleeper
+
+    store = TableStore(spark, str(tmp_path / "liverobots"))
+    loop = CrawlLoop(
+        spark,
+        store,
+        None,
+        None,
+        None,  # NO static robots table: rules come from the fetcher
+        CrawlConfig(salt_buckets=4, image_scale=10, min_delay_s=0.5,
+                    user_agent="jirlbot"),
+        fetch_backend=http_backend(
+            transport=transport, clock_factory=virtual_clock_factory
+        ),
+        robots_fetcher=robots_http_fetcher(transport),
+    )
+    seeds = spark.createDataFrame(
+        [
+            ("http://l-site.com/a",),
+            ("http://l-site.com/private/x",),
+            ("http://l-site.com/private/ok",),
+        ],
+        ["url"],
+    )
+    loop.ingest_seeds(seeds)
+    stats = loop.run(2)
+    fetched = {
+        r.url: r
+        for r in store.read("fetch_log")
+        .select("url", "planned_at_s", "seq_in_host")
+        .collect()
+    }
+    assert set(fetched) == {
+        "http://l-site.com/a",
+        "http://l-site.com/private/ok",  # Allow longest-match wins
+    }  # /private/x blocked; `*` group's Disallow:/ correctly ignored
+    # parsed Crawl-delay: 2s spacing between the host's two fetches
+    times = sorted(r.planned_at_s for r in fetched.values())
+    assert times[1] - times[0] >= 2.0
+    # once-per-host-ever robots contract: one requested row, one rules
+    # row, and the parsed rule lists landed in the store
+    assert store.read("robots_requested").count() == 1
+    rules = store.read("robots").collect()
+    assert len(rules) == 1
+    assert rules[0].disallow == ["/private"]
+    assert rules[0].allow == ["/private/ok"]
+    assert rules[0].crawl_delay == 2.0
+    assert sum(s["fetched"] for s in stats) == 2
