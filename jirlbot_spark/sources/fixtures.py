@@ -646,3 +646,18 @@ def redirect_scenario() -> list[tuple[str, int, str]]:
         ("http://j-site.com/none", 301, ""),
         ("https://k-site.com/deep/tree/leaf", 302, "sibling?b=2"),
     ]
+
+
+def warc_scenario() -> list[tuple[str, int, str, bytes]]:
+    """Fixture for the warc_roundtrip driver key: (url, status,
+    content_type, body) fetch results exported to WARC and read back.
+    The DuckDB twin carries the same tuples as VALUES with zlib-crc32
+    payload checksums (an implementation independent of the JVM crc32
+    the Spark side computes)."""
+    return [
+        ("http://wa-site.com/x", 200, "text/html", b"<html>alpha</html>"),
+        ("http://wa-site.com/y", 404, "text/plain", b"gone"),
+        ("http://wb-site.com/img", 200, "image/png", bytes(range(256))),
+        ("http://wc-site.com/empty", 200, "text/plain", b""),
+        ("http://wd-site.com/u?q=%C3%A9", 301, "text/html", b"moved"),
+    ]
