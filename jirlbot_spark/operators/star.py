@@ -86,6 +86,110 @@ def star_budgets(
     )
 
 
+PAGERANK_SCALE = 1_000_000  # fixed-point unit: rank 1.0 == 1e6
+PAGERANK_DAMP_NUM = 17  # damping 0.85 held EXACTLY as the rational 17/20
+PAGERANK_DAMP_DEN = 20
+
+
+def pld_pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src_pld",
+    dst: str = "dst_pld",
+) -> DataFrame:
+    """PageRank over the PLD link graph in EXACT fixed-point arithmetic.
+
+    STAR ranks PLDs by distinct in-degree (spam resistance via source
+    diversity); PageRank is the natural next reputation axis — in-degree
+    weighted by the rank of WHO links — discussed as the
+    budget-function alternative in the IRLbot paper's STAR analysis
+    [PAPER:STAR]. No reference counterpart exists (the reference tree is
+    empty; JIRLbot implements the in-degree variant per the paper), so
+    semantics are pinned here, exactly:
+
+      rank_0(v)  = SCALE                            (unnormalized: total
+                                                     mass ~= n * SCALE)
+      contrib(e) = rank_i(src) DIV outdeg(src)      (integer floor)
+      D_i        = sum of rank_i over dangling nodes (no out-edges)
+      rank_{i+1}(v) = (3*SCALE) DIV 20
+                    + (17 * (in_sum(v) + D_i DIV n)) DIV 20
+
+    i.e. damping 0.85 as the exact rational 17/20 and EVERY operation in
+    int64 — so the result is bit-reproducible regardless of partitioning,
+    aggregation order, or platform (float sums are order-dependent; a
+    reputation table that differs run-to-run is not checkpointable), and
+    an independent SQL engine can recompute it exactly (driver key
+    `pld_pagerank`'s DuckDB oracle unrolls these recurrences in pure SQL
+    — no golden, no shared kernel). Overflow headroom: 17 * (n * SCALE)
+    < 2^63 for n < 5.4e11 PLDs.
+
+    Scale shape (the 10^10-frontier question): the edge table shuffles
+    once per iteration joined against two per-PLD sides (ranks, outdeg)
+    — AQE handles the hot-PLD skew the same way the budget join does;
+    in_sum is a map-side-combinable groupBy; the dangling mass is a
+    1-row agg CROSS-JOINED back (broadcast), never a driver round-trip;
+    each iteration ends in an eager localCheckpoint so the plan stays
+    one-iteration deep. The only driver action is the single upfront
+    node count(). Output: (pld_hash, pagerank) — one row per PLD,
+    budget-table-sized, broadcastable downstream exactly like
+    star_budgets output.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("pld"))
+        .unionByName(e.select(F.col("dst").alias("pld")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    outdeg = (
+        e.groupBy("src").agg(F.count("*").alias("outdeg"))
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    base = (3 * PAGERANK_SCALE) // PAGERANK_DAMP_DEN
+    ranks = nodes.select(
+        "pld", F.lit(PAGERANK_SCALE).cast("long").alias("rank")
+    )
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["pld"])
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("pld"),
+                F.expr("rank DIV outdeg").alias("c"),
+            )
+        )
+        in_sum = contrib.groupBy("pld").agg(F.sum("c").alias("in_sum"))
+        dangling = (
+            ranks.join(outdeg, ranks["pld"] == outdeg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("d"))
+        )
+        ranks = (
+            nodes.join(in_sum, "pld", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "pld",
+                F.expr(
+                    f"CAST({base} AS BIGINT) + ({PAGERANK_DAMP_NUM} * "
+                    f"(coalesce(in_sum, CAST(0 AS BIGINT))"
+                    f" + d DIV {n})) DIV {PAGERANK_DAMP_DEN}"
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        F.col("pld").alias("pld_hash"), F.col("rank").alias("pagerank")
+    )
+
+
 def star_budgets_scalable(
     indegree: DataFrame,
     top_k: int = TOP_K,

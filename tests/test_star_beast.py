@@ -148,3 +148,68 @@ def test_star_budgets_scalable_equivalence(spark):
             assert rank_b == rank_a, pld
         else:
             assert rank_b is None, pld
+
+
+def _pagerank_reference(edges, iterations):
+    """Independent pure-Python replication of the PINNED fixed-point
+    PageRank recurrence (dict/loop formulation — no DataFrames, no shared
+    kernel with the operator)."""
+    e = sorted({(s, d) for s, d in edges if s != d})
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    out = {}
+    for s, _ in e:
+        out[s] = out.get(s, 0) + 1
+    n = len(nodes)
+    rank = {v: 1_000_000 for v in nodes}
+    base = (3 * 1_000_000) // 20
+    for _ in range(iterations):
+        in_sum = {v: 0 for v in nodes}
+        for s, d in e:
+            in_sum[d] += rank[s] // out[s]
+        dangling = sum(rank[v] for v in nodes if v not in out)
+        share = dangling // n
+        rank = {v: base + (17 * (in_sum[v] + share)) // 20 for v in nodes}
+    return rank
+
+
+def test_pagerank_matches_independent_reference(spark):
+    from jirlbot_spark.operators.star import pld_pagerank
+
+    import random
+
+    rng = random.Random(7)
+    # random digraph with self-loops, duplicate edges, and guaranteed
+    # dangling nodes (targets 90..99 never appear as sources)
+    edges = [
+        (rng.randint(0, 89), rng.randint(0, 99)) for _ in range(600)
+    ] + [(5, 5), (7, 7), (3, 4), (3, 4)]
+    df = spark.createDataFrame(edges, "src_pld long, dst_pld long")
+    got = {
+        r.pld_hash: r.pagerank
+        for r in pld_pagerank(df, iterations=3).collect()
+    }
+    want = _pagerank_reference(edges, 3)
+    assert got == want
+
+
+def test_pagerank_partition_invariance_and_semantics(spark):
+    """Bit-identical under repartitioning (the point of the fixed-point
+    arithmetic), and rank-weighted: equal in-degree from a high-rank hub
+    beats equal in-degree from a leaf."""
+    from jirlbot_spark.operators.star import pld_pagerank
+
+    # hub 1 is linked by 50 distinct sources; it links to 100;
+    # leaf 2 (no in-links) links to 200. 100 and 200 both have
+    # in-degree 1, but 100 inherits the hub's mass.
+    edges = (
+        [(10 + i, 1) for i in range(50)] + [(1, 100), (2, 200)]
+    )
+    df = spark.createDataFrame(edges, "src_pld long, dst_pld long")
+    a = {r.pld_hash: r.pagerank for r in pld_pagerank(df, 3).collect()}
+    b = {
+        r.pld_hash: r.pagerank
+        for r in pld_pagerank(df.repartition(13), 3).collect()
+    }
+    assert a == b
+    assert a[100] > a[200]
+    assert a[1] > a[100]
