@@ -160,3 +160,65 @@ def phash_canonical(
     return pages.join(canon, phash_col).select(
         F.col(id_col).alias("image_id"), "canonical_id"
     )
+
+
+def caption_consistency(
+    pages: DataFrame,
+    id_col: str = "image_id",
+    caption_col: str = "caption",
+    phash_col: str = "phash",
+) -> DataFrame:
+    """Caption⇄image consistency signals over the image+caption pair
+    table (the input-hint shape, BASELINE.json:15) — the curation pass
+    a LAION-style pair corpus runs before training:
+
+      images_per_caption  distinct images (by pHash) sharing this row's
+                          caption — >1 flags BOILERPLATE captions
+                          ("photo", CMS defaults) that carry no signal
+                          about the image;
+      pairs_per_caption   raw rows under the caption (dup-pair volume);
+      captions_per_image  distinct captions attached to this row's
+                          image — >1 flags DIVERGENT alt-text for the
+                          same pixels (mirrors, hotlinks), where the
+                          pair's caption is unreliable;
+      boilerplate_caption / divergent_caption — the two flags.
+
+    Scale shape: captions are hashed to int64 FIRST (xxhash64), so both
+    groupBys and both join-backs shuffle only (id, cap_h, phash) longs
+    — caption text never reaches an exchange. Two map-side-combinable
+    count_distinct aggregations (caption-keyed and phash-keyed), each
+    output broadcast-or-shuffle-joined back by its key; a viral
+    boilerplate caption is a hot join key, the same skew AQE handles on
+    hot PLDs. The driver key's DuckDB oracle recomputes both counts
+    INDEPENDENTLY over the raw caption STRINGS — so green also
+    certifies the hash-grouping's no-collision assumption at fixture
+    scale.
+
+    64-bit caption-hash collision risk mirrors exact_dedup's (text
+    dedup): astronomically unlikely, and the failure direction (two
+    captions counted as one) under-flags, never drops rows itself.
+    """
+    rows = pages.select(
+        F.col(id_col),
+        F.xxhash64(F.col(caption_col)).alias("__cap_h"),
+        F.col(phash_col).alias("__ph"),
+    )
+    per_caption = rows.groupBy("__cap_h").agg(
+        F.count_distinct("__ph").alias("images_per_caption"),
+        F.count("*").alias("pairs_per_caption"),
+    )
+    per_image = rows.groupBy("__ph").agg(
+        F.count_distinct("__cap_h").alias("captions_per_image")
+    )
+    return (
+        rows.join(per_caption, "__cap_h")
+        .join(per_image, "__ph")
+        .select(
+            F.col(id_col),
+            "images_per_caption",
+            "pairs_per_caption",
+            "captions_per_image",
+            (F.col("images_per_caption") > 1).alias("boilerplate_caption"),
+            (F.col("captions_per_image") > 1).alias("divergent_caption"),
+        )
+    )

@@ -360,6 +360,36 @@ def gen_phash_corpus(seed: int, n: int) -> pd.DataFrame:
     )
 
 
+def gen_caption_corpus(seed: int, n: int) -> pd.DataFrame:
+    """Seeded (image_id, caption, phash) pair corpus with engineered
+    consistency defects for the caption_consistency driver key:
+      - BOILERPLATE captions: every 10th row draws one of 4 stock
+        captions, shared across distinct images;
+      - DIVERGENT captions: every 8th image's phash reappears under a
+        new image_id with a different caption;
+      - exact dup pairs: every 16th row repeated verbatim under a new
+        image_id (same caption AND same phash);
+      - all other rows are unique on both axes.
+    Captions are quote-free ASCII so the corpus embeds in a SQL VALUES
+    clause verbatim."""
+    rng = np.random.default_rng(seed)
+    phashes = rng.integers(-(2**63), 2**63, size=n, dtype=np.int64)
+    stock = ["a photo", "an image", "picture of something", "img"]
+    rows: list[tuple[str, str, int]] = []
+    for i in range(n):
+        if i % 10 == 0:
+            cap = stock[(i // 10) % len(stock)]
+        else:
+            cap = f"caption {i} {int(rng.integers(0, 1_000_000))}"
+        rows.append((f"img{i:05d}", cap, int(phashes[i])))
+    base = list(rows)
+    for i in range(0, n, 8):
+        rows.append((f"alt{i:05d}", f"different caption {i}", base[i][2]))
+    for i in range(0, n, 16):
+        rows.append((f"dup{i:05d}", base[i][1], base[i][2]))
+    return pd.DataFrame(rows, columns=["image_id", "caption", "phash"])
+
+
 def gen_embeddings(seed: int, n: int, dim: int = 64) -> pd.DataFrame:
     """Seeded float32 embedding corpus (vec_id, embedding[dim]) for the
     fixture-keyed ANN driver checks — sf-independent like the media

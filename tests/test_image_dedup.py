@@ -86,3 +86,82 @@ def test_plan_no_cartesian(spark):
     plan = phash_neardup(df)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _ref_consistency(rows):
+    """Independent dict/loop reference over raw caption strings."""
+    from collections import defaultdict
+
+    cap_imgs, cap_pairs, img_caps = (
+        defaultdict(set),
+        defaultdict(int),
+        defaultdict(set),
+    )
+    for _, cap, ph in rows:
+        cap_imgs[cap].add(ph)
+        cap_pairs[cap] += 1
+        img_caps[ph].add(cap)
+    return {
+        iid: (
+            len(cap_imgs[cap]),
+            cap_pairs[cap],
+            len(img_caps[ph]),
+            len(cap_imgs[cap]) > 1,
+            len(img_caps[ph]) > 1,
+        )
+        for iid, cap, ph in rows
+    }
+
+
+def test_caption_consistency_matches_reference(spark):
+    from jirlbot_spark.operators.image_dedup import caption_consistency
+    from jirlbot_spark.sources.fixtures import gen_caption_corpus
+
+    corpus = gen_caption_corpus(23, 120)
+    rows = list(corpus.itertuples(index=False, name=None))
+    df = spark.createDataFrame(
+        corpus, "image_id string, caption string, phash long"
+    ).repartition(7)
+    got = {
+        r.image_id: (
+            r.images_per_caption,
+            r.pairs_per_caption,
+            r.captions_per_image,
+            r.boilerplate_caption,
+            r.divergent_caption,
+        )
+        for r in caption_consistency(df).collect()
+    }
+    assert got == _ref_consistency(rows)
+    # the engineered defects actually appear
+    assert any(v[3] for v in got.values()), "no boilerplate rows"
+    assert any(v[4] for v in got.values()), "no divergent rows"
+    assert any(not v[3] and not v[4] for v in got.values()), "no clean rows"
+
+
+def test_caption_consistency_hand_cases(spark):
+    from jirlbot_spark.operators.image_dedup import caption_consistency
+
+    rows = [
+        ("a", "photo", 1),       # boilerplate: "photo" spans phash 1,2
+        ("b", "photo", 2),
+        ("c", "unique cat", 3),  # clean
+        ("d", "cat on mat", 4),  # divergent: phash 4 has 2 captions
+        ("e", "a cat sitting", 4),
+        ("f", "same pair", 5),   # exact dup pair: same caption+phash
+        ("g", "same pair", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, caption string, phash long"
+    )
+    got = {r.image_id: r for r in caption_consistency(df).collect()}
+    assert got["a"].boilerplate_caption and got["b"].boilerplate_caption
+    assert not got["a"].divergent_caption
+    assert not got["c"].boilerplate_caption
+    assert not got["c"].divergent_caption
+    assert got["d"].divergent_caption and got["e"].divergent_caption
+    assert not got["d"].boilerplate_caption
+    # exact dup pair: 2 rows, 1 image, 1 caption -> neither flag
+    assert got["f"].pairs_per_caption == 2
+    assert not got["f"].boilerplate_caption
+    assert not got["f"].divergent_caption
