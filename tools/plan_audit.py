@@ -260,7 +260,93 @@ def main() -> None:
         )
     )
 
+    # --- repetition stats: tokenization below the Generates, one split
+    # per doc-level branch (totals + gram side), never per gram row
+    from jirlbot_spark.operators.repetition import repetition_stats
+
+    rep_df = repetition_stats(
+        docs_df
+    )
+    rep_df.collect()
+    rep_plan = rep_df._jdf.queryExecution().executedPlan().toString()
+    sections.append(
+        (
+            "Repetition stats (repetition_stats)",
+            "split(trim(text)) must appear exactly once per doc-level "
+            "branch (the totals projection and the pre-Generate __toks "
+            "projection) and NEVER inside or above a Generate line — "
+            "a re-collapsed plan would re-tokenize once per gram row "
+            "(the shingle_hashes CollapseProject trap, 9 gram sizes "
+            "deep).",
+            rep_plan,
+        )
+    )
+
+    # --- decontamination: benchmark gram set must broadcast (map-side
+    # semi-join; the corpus side never shuffles its grams)
+    from jirlbot_spark.operators.decontam import ngram_decontaminate
+
+    dec_df = ngram_decontaminate(
+        docs_df,
+        docs_df.limit(20),
+        k=5,
+    )
+    dec_plan = capture_plan(dec_df)
+    sections.append(
+        (
+            "Decontamination (ngram_decontaminate)",
+            "The benchmark gram-hash set must arrive as a "
+            "BroadcastExchange feeding a broadcast semi-join — a "
+            "shuffled semi-join here would exchange the corpus-sized "
+            "gram stream against a megabyte benchmark.",
+            dec_plan,
+        )
+    )
+
+    # --- caption consistency: narrow hashed-key aggs, no cartesian
+    from jirlbot_spark.operators.image_dedup import caption_consistency
+    from jirlbot_spark.sources.fixtures import gen_caption_corpus
+
+    cap_df = caption_consistency(
+        spark.createDataFrame(gen_caption_corpus(23, 160))
+    )
+    cap_plan = capture_plan(cap_df)
+    sections.append(
+        (
+            "Caption consistency (caption_consistency)",
+            "Both count-distinct aggregations and both join-backs must "
+            "be equi-hash on int64 keys (cap_h / phash) — caption text "
+            "must not appear in any Exchange.",
+            cap_plan,
+        )
+    )
+
+    def _no_split_at_or_above_generates(plan: str) -> bool:
+        # every split() must live in a doc-level Project (the __toks
+        # projection or the __total/array_join totals projection) —
+        # never inside a Generate or a per-gram expression. The AQE
+        # toString prints final+initial plan copies, so positions are
+        # checked per line, not by global count.
+        lines = plan.splitlines()
+        return (
+            any("Generate" in ln for ln in lines)
+            and all("split(" not in ln for ln in lines if "Generate" in ln)
+            and all(
+                "__toks" in ln or "array_join" in ln
+                for ln in lines
+                if "split(" in ln
+            )
+        )
+
     checks = {
+        "repetition_stats tokenizes per doc, below the Generates":
+        _no_split_at_or_above_generates(rep_plan),
+        "decontaminate benchmark side broadcasts (map-side semi-join)":
+        "BroadcastExchange" in dec_plan
+        and "CartesianProduct" not in dec_plan,
+        "caption_consistency has NO CartesianProduct/NestedLoop":
+        "CartesianProduct" not in cap_plan
+        and "BroadcastNestedLoopJoin" not in cap_plan,
         "CC star round has NO CartesianProduct/NestedLoop":
         "CartesianProduct" not in cc_plan
         and "BroadcastNestedLoopJoin" not in cc_plan,
