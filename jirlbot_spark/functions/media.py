@@ -442,6 +442,19 @@ def _decode_audio(row, allow_fake: bool) -> tuple[np.ndarray, int | None]:
     if is_flac(data):
         wave, sr = decode_flac(data)
         return _mono(wave), sr
+    from jirlbot_spark.functions.aiff_au import (
+        decode_aiff,
+        decode_au,
+        is_aiff,
+        is_au,
+    )
+
+    if is_au(data):
+        wave, sr = decode_au(data)
+        return _mono(wave), sr
+    if is_aiff(data):
+        wave, sr = decode_aiff(data)
+        return _mono(wave), sr
     codec = audio_codec()
     if codec is not None:  # pragma: no cover - cluster-only path
         import io

@@ -453,23 +453,29 @@ def gen_audio(seed: int, n: int) -> pd.DataFrame:
     mono waveforms across PCM 8/16/24/32-bit and float32 — decoded for
     real by media.decode_wav); "flac" rows carry REAL FLAC bitstreams
     (the engine's own rice/fixed-predictor codec, functions/flac.py);
-    "mp3" rows carry CONTAINER-REAL stub streams (functions/mp3.py
+    "au" rows carry REAL Sun AU bytes alternating PCM16 and G.711
+    µ-law, and "aiff" rows REAL AIFF PCM at 8/16/24/32 bits (both via
+    functions/aiff_au.py, wild-validated against CPython's third-party
+    audiodata files); "mp3" rows carry CONTAINER-REAL stub streams
+    (functions/mp3.py
     encode_mp3_stub: valid MPEG frame headers + junk payloads — the
     header walk measures true duration/rate while sample decode stays
     honestly gated behind media's fake backend). Every 4th mp3 row is
     VBR-shaped so the per-frame-length walk is exercised."""
+    from jirlbot_spark.functions.aiff_au import encode_aiff, encode_au
     from jirlbot_spark.functions.flac import encode_flac
     from jirlbot_spark.functions.media import encode_wav
     from jirlbot_spark.functions.mp3 import encode_mp3_stub, mp3_info
 
     rng = np.random.default_rng(seed)
     depths = [(8, False), (16, False), (24, False), (32, False), (32, True)]
+    aiff_bits = [8, 16, 24, 32]
     recs = []
     for idx in range(n):
         sr = int(rng.choice([8000, 16000, 44100]))
         n_samples = int(rng.integers(sr // 2, sr * 3))
-        fmt = str(rng.choice(["wav", "flac", "mp3"]))
-        if fmt in ("wav", "flac"):
+        fmt = str(rng.choice(["wav", "flac", "mp3", "au", "aiff"]))
+        if fmt in ("wav", "flac", "au", "aiff"):
             t = np.arange(n_samples) / sr
             freq = float(rng.uniform(80.0, 2000.0))
             wave = 0.7 * np.sin(2 * np.pi * freq * t) + 0.1 * rng.standard_normal(
@@ -484,6 +490,19 @@ def gen_audio(seed: int, n: int) -> pd.DataFrame:
                     # codec's per-frame stereo-decorrelation choice
                     w = np.stack([w, np.clip(np.roll(w, 7) * 0.8, -1, 1)], 1)
                 blob = encode_flac(w, sr, bits=16 if idx % 2 else 8)
+            elif fmt == "au":
+                # alternate real PCM16 and real G.711 µ-law payloads
+                blob = encode_au(
+                    np.clip(wave, -1, 1),
+                    sr,
+                    encoding="ulaw" if idx % 2 else "pcm16",
+                )
+            elif fmt == "aiff":
+                blob = encode_aiff(
+                    np.clip(wave, -1, 1),
+                    sr,
+                    bits=aiff_bits[idx % len(aiff_bits)],
+                )
             else:
                 bits, f32 = depths[idx % len(depths)]
                 blob = encode_wav(

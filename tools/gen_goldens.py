@@ -181,6 +181,12 @@ def golden_image_resize() -> str:
 
 
 def golden_audio_features() -> str:
+    from jirlbot_spark.functions.aiff_au import (
+        decode_aiff,
+        decode_au,
+        is_aiff,
+        is_au,
+    )
     from jirlbot_spark.functions.flac import decode_flac, is_flac
     from jirlbot_spark.functions.media import decode_wav, is_wav
     from jirlbot_spark.functions.mp3 import is_mp3, mp3_info
@@ -188,15 +194,19 @@ def golden_audio_features() -> str:
     audio = gen_audio(7, 64)
     rows = []
     for r in audio.itertuples():
-        # mirrors media._decode_audio: real RIFF/WAVE + FLAC parses,
-        # multi-channel downmixed by channel mean (one sample per
-        # frame), container-real mp3 frame walk (true length + rate,
-        # fake samples), gated fake for the rest
+        # mirrors media._decode_audio: real RIFF/WAVE + FLAC + AU +
+        # AIFF parses, multi-channel downmixed by channel mean (one
+        # sample per frame), container-real mp3 frame walk (true
+        # length + rate, fake samples), gated fake for the rest
         sr = None
         if is_wav(bytes(r.bytes)):
             wave, sr = decode_wav(bytes(r.bytes))
         elif is_flac(bytes(r.bytes)):
             wave, sr = decode_flac(bytes(r.bytes))
+        elif is_au(bytes(r.bytes)):
+            wave, sr = decode_au(bytes(r.bytes))
+        elif is_aiff(bytes(r.bytes)):
+            wave, sr = decode_aiff(bytes(r.bytes))
         elif is_mp3(bytes(r.bytes)):
             info = mp3_info(bytes(r.bytes))
             wave = fake_decode_audio(bytes(r.bytes), info["n_samples"])
