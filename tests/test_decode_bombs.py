@@ -393,3 +393,51 @@ def test_mp4_uniform_stsz_and_stts_count_bombs():
     info = mp4_info(bytes(bomb2))
     assert time.monotonic() - t0 < 1.0
     assert info["n_frames"] == 4  # the one real entry still counted
+
+
+def test_au_aiff_corruption_fuzz():
+    """AU/AIFF decode allocation is linear in the bytes PRESENT (PCM and
+    G.711 are ~1:1 codings — no expansion bombs exist), so the only
+    hardening needed is clean, fast failure on corrupt streams."""
+    import time
+
+    from jirlbot_spark.functions.aiff_au import (
+        decode_aiff,
+        decode_au,
+        encode_aiff,
+        encode_au,
+    )
+
+    rng = np.random.default_rng(77)
+    wave = (rng.random((400, 2)) * 2 - 1) * 0.8
+    blobs = [
+        (decode_au, bytearray(encode_au(wave, 8000, "pcm16"))),
+        (decode_au, bytearray(encode_au(wave, 8000, "ulaw"))),
+        (decode_aiff, bytearray(encode_aiff(wave, 8000, bits=16))),
+        (decode_aiff, bytearray(encode_aiff(wave, 8000, bits=24))),
+    ]
+    t0 = time.monotonic()
+    for dec, blob in blobs:
+        n = len(blob)
+        for trial in range(150):
+            mutated = bytearray(blob)
+            kind = trial % 3
+            if kind == 0:
+                for _ in range(int(rng.integers(1, 5))):
+                    mutated[int(rng.integers(0, n))] = int(
+                        rng.integers(0, 256)
+                    )
+            elif kind == 1:
+                mutated = mutated[: int(rng.integers(1, n))]
+            else:
+                at = int(rng.integers(0, n))
+                ln = int(rng.integers(1, 48))
+                mutated[at : at + ln] = rng.integers(
+                    0, 256, ln, np.uint8
+                ).tobytes()
+            try:
+                out, sr = dec(bytes(mutated))
+                assert isinstance(out, np.ndarray) and sr >= 1
+            except Exception:
+                pass
+    assert time.monotonic() - t0 < 20.0
