@@ -48,10 +48,24 @@ from pyspark.sql import functions as F
 def _large_star(edges: DataFrame) -> DataFrame:
     """One large-star round: emit (v, m(u)) for every neighbor v > u,
     where m(u) = min(N(u) ∪ {u}). Input/output: distinct (u, v) pairs
-    interpreted as undirected edges."""
-    sym = edges.unionByName(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
+    interpreted as undirected edges.
+
+    Symmetrization is ONE explode pass, not a self-union: half the
+    scans, and — load-bearing — no Union over a re-aliased checkpointed
+    relation. Spark 4.1's Union constraint rewrite
+    (UnionBase.rewriteConstraints) throws `NoSuchElementException: key
+    not found: u#N` when a union child is a newInstance'd LogicalRDD
+    from localCheckpoint under some input lineages (observed: edges
+    built from range ∪ LocalRelation pairs; regression-tested in
+    test_graph.py::test_update_components_live_lineage_inputs)."""
+    sym = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u"), F.col("v")),
+                F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
     mins = (
         sym.groupBy("u")
         .agg(F.min("v").alias("mn"))
@@ -78,15 +92,24 @@ def _small_star(edges: DataFrame) -> DataFrame:
         .distinct()
     )
     mins = d.groupBy("u").agg(F.min("v").alias("m"))
-    hang_neighbors = (
-        d.join(mins, "u")
-        .where(F.col("v") != F.col("m"))
-        .select(F.col("v").alias("n"), F.col("m"))
-    )
-    hang_self = mins.select(F.col("u").alias("n"), F.col("m"))
+    # hang-neighbor and hang-self rows come out of ONE explode over the
+    # joined frame instead of a two-frame union (see _large_star on why
+    # unions are avoided in this loop): hang-self (u, m) repeats per
+    # edge of u, but the trailing distinct dedups it; m < u always (d is
+    # strictly oriented), so the n != m filter only drops the v == m
+    # neighbor rows the old formulation dropped.
     return (
-        hang_neighbors.unionByName(hang_self)
-        .select(F.col("n").alias("u"), F.col("m").alias("v"))
+        d.join(mins, "u")
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("v").alias("n"), F.col("m")),
+                    F.struct(F.col("u").alias("n"), F.col("m")),
+                )
+            ).alias("e")
+        )
+        .where(F.col("e.n") != F.col("e.m"))
+        .select(F.col("e.n").alias("u"), F.col("e.m").alias("v"))
         .distinct()
     )
 
@@ -121,8 +144,7 @@ def connected_components(
         .distinct()
     )
     nodes = (
-        edges.select(F.col("u").alias("id"))
-        .unionByName(edges.select(F.col("v").alias("id")))
+        edges.select(F.explode(F.array("u", "v")).alias("id"))
         .distinct()
     )
     # cut lineage before iterating; eager so each round's cost is its own
@@ -177,14 +199,22 @@ def update_components(
     (id, component) labeling covering every id in `prior` or
     `new_pairs`; labels stay the component MIN, so they are stable
     unless a merge genuinely introduces a smaller member."""
+    # No defensive materialization needed here: the Spark 4.1
+    # Union-constraint-rewrite failure this path used to hit
+    # (`NoSuchElementException: key not found: u#N` at the loop's first
+    # localCheckpoint) was structural in the star steps' self-unions and
+    # is fixed there (see _large_star); live caller lineage — including
+    # feeding connected_components output straight back in — is
+    # regression-tested in test_graph.py.
     prior_edges = prior.where(
         F.col("id") != F.col("component")
     ).select(F.col("id").alias(src), F.col("component").alias(dst))
+    new_cast = new_pairs.select(
+        F.col(src).cast(prior.schema["id"].dataType),
+        F.col(dst).cast(prior.schema["id"].dataType),
+    )
     merged = connected_components(
-        new_pairs.select(
-            F.col(src).cast(prior.schema["id"].dataType),
-            F.col(dst).cast(prior.schema["id"].dataType),
-        ).unionByName(prior_edges),
+        new_cast.unionByName(prior_edges),
         src=src,
         dst=dst,
         max_iterations=max_iterations,

@@ -213,3 +213,41 @@ def test_update_components_preserves_singletons(spark):
     got = {r.id: r.component for r in update_components(prior, new).collect()}
     # 3 joins {1,2}; singleton 7 survives untouched
     assert got == {1: 1, 2: 1, 3: 1, 7: 7}
+
+
+def test_update_components_live_lineage_inputs(spark):
+    """Regression: update_components fed LIVE connected_components
+    output as `prior` and a `range ∪ LocalRelation` frame as the new
+    batch used to fail plan optimization inside the contraction loop
+    (NoSuchElementException: key not found u#N) before the operator
+    materialized the cast batch. Also asserts the incremental result
+    equals the batch recompute over the union of raw pairs."""
+    from pyspark.sql import functions as F
+
+    from jirlbot_spark.operators.graph import (
+        connected_components,
+        update_components,
+    )
+
+    h = (
+        spark.range(0, 100)
+        .filter(F.col("id") % 10 < 3)
+        .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    )
+    n = (
+        spark.range(0, 50)
+        .filter(F.col("id") % 25 == 0)
+        .select(F.col("id").alias("id_a"), (F.col("id") + 50).alias("id_b"))
+        .unionByName(
+            spark.createDataFrame([(200, 201)], "id_a long, id_b long")
+        )
+    )
+    prior = connected_components(h)  # live lineage, no checkpoint
+    got = {
+        r.id: r.component for r in update_components(prior, n).collect()
+    }
+    want = {
+        r.id: r.component
+        for r in connected_components(h.unionByName(n)).collect()
+    }
+    assert got == want
