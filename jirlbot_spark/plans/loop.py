@@ -99,6 +99,9 @@ class CrawlConfig:
     # UA token for robots group selection when a robots_fetcher supplies
     # raw robots.txt bodies (parse_robots_txt_df semantics)
     user_agent: str = "jirlbot"
+    # TTL (in batches — deterministic under resume/replay) for entries
+    # in the dns_cache table when a dns_resolver is injected.
+    dns_ttl_batches: int = 64
     # Fold url_seen's per-batch runs into one every N batches (None = never).
     # Append-only runs keep commits cheap, but the membership anti-join
     # reads every run of a bucket — at 10^10 keys unbounded run counts
@@ -119,6 +122,7 @@ class CrawlLoop:
         config: CrawlConfig | None = None,
         fetch_backend=None,
         robots_fetcher=None,
+        dns_resolver=None,
     ):
         self.spark = spark
         self.store = store
@@ -137,6 +141,16 @@ class CrawlLoop:
         # Takes precedence over robots_source. On a cluster:
         # robots_http_fetcher(transport) from operators.robots.
         self.robots_fetcher = robots_fetcher
+        # dns_resolver(needed)->DataFrame(host_hash, ip): when set, each
+        # batch resolves the needed host DELTA only (cache miss or TTL
+        # expiry — operators.dns semantics, IRLbot's DNS cache), appends
+        # it to the dns_cache table, and politeness partitions on
+        # serve_key (per-SERVER queues: virtual-hosted domains share one
+        # queue; NXDOMAIN/unresolved fall back to host_hash). None keeps
+        # per-host politeness — semantics identical to before, which is
+        # what the oracle-sim equivalence suite pins. On a cluster:
+        # socket_resolver() from operators.dns.
+        self.dns_resolver = dns_resolver
         if self.cfg.bloom_dir is not None and not store.supports_run_listing:
             # the sidecar epoch contract derives bucket->batch maps from
             # posix run-dir listings; a snapshot-pinned store (Iceberg)
@@ -425,8 +439,36 @@ class CrawlLoop:
             if delays is not None
             else passed.withColumn("crawl_delay", F.lit(0.0))
         )
+        polite_col = "host"
+        dns_delta = None
+        if self.dns_resolver is not None:
+            from jirlbot_spark.operators import dns as dns_ops
+
+            dns_prior = self.store.read("dns_cache")
+            if dns_prior is not None:
+                dns_prior = dns_ops.collapse_dns_runs(dns_prior)
+            hosts_named = passed.select("host_hash", "host").distinct()
+            need = dns_ops.dns_needed(hosts_named, dns_prior, j).join(
+                hosts_named, "host_hash"
+            )
+            # eager checkpoint: the delta keys this batch's politeness
+            # AND gets committed below — without it the resolver (real
+            # DNS traffic on a cluster) would run once per consumer
+            resolved = self.dns_resolver(need).localCheckpoint(eager=True)
+            dns_delta = dns_ops.refresh_dns_cache(
+                None, resolved, j, cfg.dns_ttl_batches
+            )
+            cache_now = (
+                dns_delta
+                if dns_prior is None
+                else dns_prior.join(
+                    dns_delta.select("host_hash"), "host_hash", "left_anti"
+                ).unionByName(dns_delta)
+            )
+            to_fetch = dns_ops.attach_server_key(to_fetch, cache_now)
+            polite_col = "serve_key"
         scheduled = politeness_schedule(
-            to_fetch, min_delay_s=cfg.min_delay_s
+            to_fetch, host_col=polite_col, min_delay_s=cfg.min_delay_s
         )
         scheduled = scheduled.withColumn(
             "image_id",
@@ -580,6 +622,8 @@ class CrawlLoop:
             writes["url_seen"] = TableWrite(uniques, partition_by=("bucket",))
         if new_edges is not None:
             writes["pld_graph"] = TableWrite(new_edges)
+        if dns_delta is not None:
+            writes["dns_cache"] = TableWrite(dns_delta)
         self.store.commit_batch(j, writes, pre_commit=self._update_bloom)
 
         stats = {
