@@ -222,3 +222,52 @@ def caption_consistency(
             (F.col("captions_per_image") > 1).alias("divergent_caption"),
         )
     )
+
+
+def image_pair_filter(
+    pairs: DataFrame,
+    min_side: int = 64,
+    max_aspect: float = 3.0,
+    min_caption_words: int = 3,
+    max_caption_chars: int = 512,
+) -> DataFrame:
+    """LAION-recipe curation gates over the input-hint pair table
+    (image_id, w, h, caption, ...) — the rule set the LAION-400M/5B
+    pipeline applies before any model-based scoring (which is covered
+    separately by caption_consistency; CLIP scoring itself needs a
+    model and belongs to the deployment):
+
+      ok_size    — both sides >= min_side px (tiny images carry no
+                   signal and dominate crawled pair counts);
+      ok_aspect  — max(w,h)/min(w,h) <= max_aspect (banners/slivers
+                   out; zero/negative dims fail via ok_size and are
+                   clamped out of the division);
+      ok_caption — caption non-null, >= min_caption_words whitespace
+                   words, <= max_caption_chars chars (empty alt-text
+                   and keyword-stuffed novels both out);
+      keep       — all three.
+
+    Pure projection (whole-stage codegen, no shuffle, no Python):
+    at the 10^10 tier this runs inside the fetch microbatch scan and
+    costs nothing beyond the column reads. Flags are returned rather
+    than filtered so downstream metrics can count per-rule kill rates
+    (the published pipelines report exactly these).
+    """
+    w, h = F.col("w"), F.col("h")
+    aspect = F.greatest(w, h) / F.greatest(F.least(w, h), F.lit(1))
+    wc = F.size(F.split(F.trim(F.col("caption")), r"\s+"))
+    ok_size = (w >= min_side) & (h >= min_side)
+    ok_aspect = aspect <= max_aspect
+    ok_caption = (
+        F.col("caption").isNotNull()
+        & (F.trim(F.col("caption")) != "")
+        & (wc >= min_caption_words)
+        & (F.length(F.col("caption")) <= max_caption_chars)
+    )
+    return pairs.select(
+        "*",
+        ok_size.alias("ok_size"),
+        ok_aspect.alias("ok_aspect"),
+        ok_caption.alias("ok_caption"),
+        (ok_size & ok_aspect & ok_caption).alias("keep"),
+    )

@@ -165,3 +165,32 @@ def test_caption_consistency_hand_cases(spark):
     assert got["f"].pairs_per_caption == 2
     assert not got["f"].boilerplate_caption
     assert not got["f"].divergent_caption
+
+
+def test_image_pair_filter_rules(spark):
+    from jirlbot_spark.operators.image_dedup import image_pair_filter
+
+    rows = [
+        # (id, w, h, caption)
+        ("good", 128, 128, "a clear photo of a dog"),
+        ("tiny", 32, 128, "a clear photo of a dog"),
+        ("sliver", 640, 100, "a clear photo of a dog"),
+        ("nocap", 128, 128, None),
+        ("blankcap", 128, 128, "   "),
+        ("shortcap", 128, 128, "dog photo"),
+        ("longcap", 128, 128, "x" * 600),
+        ("zero", 0, 0, "a clear photo of a dog"),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, w int, h int, caption string"
+    )
+    got = {r.image_id: r for r in image_pair_filter(df).collect()}
+    assert got["good"].keep
+    assert not got["tiny"].ok_size and not got["tiny"].keep
+    assert not got["sliver"].ok_aspect and got["sliver"].ok_size
+    assert not got["nocap"].ok_caption
+    assert not got["blankcap"].ok_caption
+    assert not got["shortcap"].ok_caption  # 2 words < 3
+    assert not got["longcap"].ok_caption
+    # zero dims fail size and do NOT divide by zero in aspect
+    assert not got["zero"].ok_size

@@ -571,6 +571,42 @@ def golden_resume_state() -> str:
     )
 
 
+def golden_bpe_encode() -> str:
+    """Direct-application golden for the BPE driver key: same training
+    (via the bounded-collect ordering replicated exactly: freq desc,
+    word asc) + scalar encode over the seeded corpus. Algorithmic
+    independence lives in tests/test_bpe.py (a separately-written naive
+    trainer + the Sennrich worked example); this golden certifies the
+    DISTRIBUTED plumbing — word_freqs shuffle, bounded collect,
+    broadcast ranks, Arrow-batched memoized encode — reproduces the
+    direct computation bit-for-bit."""
+    from collections import Counter
+
+    from jirlbot_spark.functions.bpe import (
+        encode_word,
+        train_bpe_from_freqs,
+    )
+    from jirlbot_spark.sources.fixtures import gen_documents
+
+    pdf = gen_documents(17, 160)
+    freqs = Counter()
+    for t in pdf.text:
+        freqs.update(t.split())
+    table = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))[:50000]
+    merges = train_bpe_from_freqs(table, 60)
+    assert len(merges) == 60
+    ranks = {p: i for i, p in enumerate(merges)}
+    rows = []
+    for doc_id, text in zip(pdf.doc_id, pdf.text):
+        toks: list[str] = []
+        for w in text.split():
+            toks.extend(encode_word(w, ranks))
+        rows.append((int(doc_id), len(toks), "|".join(toks)))
+    return values_sql(
+        ["doc_id", "n_tokens", "token_str"], rows, int_cols=("n_tokens",)
+    )
+
+
 def main() -> None:
     goldens = {
         "image_verify": golden_image_verify(),
@@ -586,6 +622,7 @@ def main() -> None:
         "url_hash": golden_url_hash(),
         "robots_rfc": golden_robots_rfc(),
         "resume_state": golden_resume_state(),
+        "bpe_encode": golden_bpe_encode(),
     }
     out = Path(__file__).resolve().parent.parent / "jirlbot_spark" / "goldens_sql.py"
     with out.open("w") as f:
