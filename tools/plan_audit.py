@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 import sys
 import tempfile
 from pathlib import Path
@@ -321,6 +322,24 @@ def main() -> None:
         )
     )
 
+    # --- BPE word_freqs: partial count below one narrow word exchange
+    from jirlbot_spark.functions.bpe import word_freqs
+    from jirlbot_spark.sources.fixtures import gen_documents
+
+    bpe_df = word_freqs(spark.createDataFrame(gen_documents(17, 160)))
+    bpe_plan = capture_plan(bpe_df)
+    sections.append(
+        (
+            "BPE word frequencies (bpe_encode training input)",
+            "The frequency agg must combine map-side (partial_count) so "
+            "only (word, partial) pairs reach the exchange — at corpus "
+            "scale the shuffle is vocabulary-sized per partition, not "
+            "token-stream-sized. Document text must never appear in "
+            "the Exchange (the explode projects the word column first).",
+            bpe_plan,
+        )
+    )
+
     def _no_split_at_or_above_generates(plan: str) -> bool:
         # every split() must live in a doc-level Project (the __toks
         # projection or the __total/array_join totals projection) —
@@ -336,6 +355,25 @@ def main() -> None:
                 for ln in lines
                 if "split(" in ln
             )
+        )
+
+    def _exchanges_word_keyed_text_free(plan: str) -> bool:
+        # The AQE toString prints Exchange details as
+        #   (N) Exchange\nInput [..]: [word#.., count#..L]\n
+        #   Arguments: hashpartitioning(word#.., ...)
+        # Assert every shuffle Exchange partitions on the word column
+        # and its Input carries no text column (the doc text must be
+        # pruned by the explode's projection before any shuffle).
+        blocks = re.findall(
+            r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]\s*\n"
+            r"Arguments: (\w+)\(([^,)]*)",
+            plan,
+        )
+        return bool(blocks) and all(
+            kind == "hashpartitioning"
+            and key.startswith("word#")
+            and "text#" not in cols
+            for cols, kind, key in blocks
         )
 
     checks = {
@@ -392,6 +430,10 @@ def main() -> None:
         "salted window before global window": "__salt" in sections[4][2],
         "shingle tokenization below the Generate (once per doc)":
         _split_below_generate(shingle_plan),
+        "BPE word_freqs aggregates map-side (partial_count)":
+        "partial_count" in bpe_plan,
+        "BPE word_freqs exchange is word-keyed, text pruned":
+        _exchanges_word_keyed_text_free(bpe_plan),
     }
 
     out = ["# PLANS — physical-plan audit (sf0.01, local[4])\n"]
