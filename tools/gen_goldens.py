@@ -607,6 +607,88 @@ def golden_bpe_encode() -> str:
     )
 
 
+def golden_dedup_semantic() -> str:
+    """Oracle SQL for q_dedup_semantic. UNLIKE the VALUES-of-outputs
+    goldens, this pins only the two DATA tables (quantized corpus +
+    trained int64 centroids — the same centroid table the Spark query
+    trains, asserted below) and lets DuckDB recompute EVERYTHING else
+    itself: cell assignment (argmax with lowest-index tie-break), exact
+    within-cell int cosine pairing, the recursive-CTE component closure,
+    and the least-centroid-similar keep rule — algebraic independence
+    everywhere except the shared centroid data."""
+    from jirlbot_spark.operators.similarity import (
+        _kmeans_numpy,
+        _quantize_centroids,
+    )
+    from jirlbot_spark.sources.fixtures import gen_embeddings
+
+    n, dim, k, thr = 120, 16, 4, 0.9
+    emb = gen_embeddings(31, n, dim=dim)
+    ids = emb["vec_id"].to_numpy().astype(np.int64)
+    mat = np.floor(
+        np.vstack(emb["embedding"].to_numpy()).astype(np.float64) * 1000.0
+    ).astype(np.int64)
+    # train_centroids' bounded hash sample degenerates to the full corpus
+    # in row order at this scale — the same invariant golden_ann_ivf pins
+    sample_mod = max(1, n // (256 * k))
+    assert sample_mod == 1, "fixture no longer below the training budget"
+    cent_int = _quantize_centroids(_kmeans_numpy(mat.astype(np.float64), k, 31))
+
+    def arr(v) -> str:
+        return "[" + ", ".join(str(int(x)) for x in v) + "]"
+
+    corpus_rows = ",\n              ".join(
+        f"({int(i)}, {arr(v)})" for i, v in zip(ids, mat)
+    )
+    cent_rows = ",\n              ".join(
+        f"({c}, {arr(v)})" for c, v in enumerate(cent_int)
+    )
+    return f"""
+            WITH RECURSIVE corpus(vec_id, v) AS (VALUES
+              {corpus_rows}
+            ), cent(cidx, c) AS (VALUES
+              {cent_rows}
+            ), scored AS (
+              SELECT vec_id, v, cidx,
+                     list_dot_product(v, c)
+                     / sqrt(greatest(list_dot_product(c, c), 1.0)) AS s
+              FROM corpus, cent
+            ), assigned AS (
+              SELECT vec_id, v, cidx AS cell, s AS cent_sim FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY vec_id ORDER BY s DESC, cidx ASC) AS rn
+                FROM scored) WHERE rn = 1
+            ), pairs AS (
+              SELECT a.vec_id AS pu, b.vec_id AS pw
+              FROM assigned a JOIN assigned b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id
+              WHERE CAST(list_dot_product(a.v, b.v) AS DOUBLE)
+                    / SQRT(CAST(CAST(list_dot_product(a.v, a.v) AS BIGINT)
+                           * CAST(list_dot_product(b.v, b.v) AS BIGINT)
+                           AS DOUBLE)) >= {thr}
+            ), sym AS (
+              SELECT pu AS s, pw AS t FROM pairs
+              UNION
+              SELECT pw AS s, pu AS t FROM pairs
+            ), reach(id, lbl) AS (
+              SELECT vec_id, vec_id FROM corpus
+              UNION
+              SELECT sym.t, reach.lbl FROM reach JOIN sym ON sym.s = reach.id
+            ), comp AS (
+              SELECT id, MIN(lbl) AS component FROM reach GROUP BY id
+            ), rows_out AS (
+              SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cell, a.cent_sim,
+                     c.component
+              FROM assigned a JOIN comp c ON c.id = a.vec_id
+            )
+            SELECT vec_id, cell, cent_sim, component,
+                   ROW_NUMBER() OVER (PARTITION BY component
+                                      ORDER BY cent_sim ASC, vec_id ASC) = 1
+                     AS keep
+            FROM rows_out
+        """
+
+
 def main() -> None:
     goldens = {
         "image_verify": golden_image_verify(),
@@ -623,6 +705,7 @@ def main() -> None:
         "robots_rfc": golden_robots_rfc(),
         "resume_state": golden_resume_state(),
         "bpe_encode": golden_bpe_encode(),
+        "dedup_semantic": golden_dedup_semantic(),
     }
     out = Path(__file__).resolve().parent.parent / "jirlbot_spark" / "goldens_sql.py"
     with out.open("w") as f:
