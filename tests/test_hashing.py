@@ -77,3 +77,40 @@ def test_spark_udf_roundtrip(spark):
     for r in rows:
         e1, _ = murmur3_x64_128(r.url.encode())
         assert r.h == int(np.uint64(e1).astype(np.int64))
+
+
+def test_xxhash64_scalar_reference(spark):
+    """Spark's xxhash64 (the engine's universal internal key: DRUM
+    hashes, shingles, minhash permutations, DSIR buckets) against the
+    INDEPENDENT spec-derived pure-Python XXH64
+    (tests/scalar_xxhash64.py) — strings across every length regime
+    (empty, <4, <8, 8..31, >=32), longs incl. extremes, and the
+    multi-argument running-seed fold."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from tests.scalar_xxhash64 import spark_xxhash64
+
+    rng = random.Random(7)
+    strs = ["", "a", "abc", "hello wo", "x" * 31, "y" * 32, "z" * 100,
+            "unicode ✓ ü ß 中文"]
+    strs += ["".join(rng.choice("abcdef ghij") for _ in range(rng.randint(0, 80)))
+             for _ in range(60)]
+    df = spark.createDataFrame([(s,) for s in strs], "s string")
+    for r in df.select("s", F.xxhash64("s").alias("h")).collect():
+        assert spark_xxhash64(r["s"]) == r["h"], repr(r["s"])
+
+    longs = [0, 1, -1, 42, 2**62, -(2**62), 2**63 - 1, -(2**63)]
+    longs += [rng.randint(-(2**63), 2**63 - 1) for _ in range(40)]
+    df2 = spark.createDataFrame([(v,) for v in longs], "v long")
+    for r in df2.select("v", F.xxhash64("v").alias("h")).collect():
+        assert spark_xxhash64(r["v"]) == r["h"], r["v"]
+
+    df3 = spark.createDataFrame(
+        [("ab", 3, "cd"), ("", -5, "x y z")], "a string, b long, c string"
+    )
+    for r in df3.select(
+        "a", "b", "c", F.xxhash64("a", "b", "c").alias("h")
+    ).collect():
+        assert spark_xxhash64(r["a"], r["b"], r["c"]) == r["h"]

@@ -689,6 +689,67 @@ def golden_dedup_semantic() -> str:
         """
 
 
+def golden_dsir_weights() -> str:
+    """Expected (doc_id, n_grams, logw_q, logw) for q_dsir_weights by
+    direct application over the sf0.01 documents table (the one table-
+    derived golden: DuckDB cannot compute xxhash64, so the bucket ids
+    come from the INDEPENDENT spec-derived pure-Python XXH64 in
+    tests/scalar_xxhash64.py — green therefore certifies Spark's
+    xxhash64 against the published algorithm inside this key's whole
+    pipeline, not just plumbing). Tokenization mirrors the pinned
+    tokens_col contract (split(trim(text), '\\s+') — empty text yields
+    one empty token)."""
+    import math
+    import re
+
+    import pandas as pd
+
+    from tests.scalar_xxhash64 import spark_xxhash64
+
+    B, SCALE = 4096, 10**6
+    docs = pd.read_parquet("/root/testdata/sf0.01/documents.parquet")[
+        ["doc_id", "text", "lang"]
+    ]
+
+    def buckets(text: str) -> list[int]:
+        t = re.split(r"\s+", text.strip())
+        out = [spark_xxhash64(w) % B for w in t]
+        out += [spark_xxhash64(a, b) % B for a, b in zip(t, t[1:])]
+        return out
+
+    raw_b = {int(r.doc_id): buckets(r.text) for r in docs.itertuples()}
+    tgt_b = [
+        b
+        for r in docs.itertuples()
+        if r.lang == "en"
+        for b in buckets(r.text)
+    ]
+    r_cnt: dict[int, int] = {}
+    for bs in raw_b.values():
+        for b in bs:
+            r_cnt[b] = r_cnt.get(b, 0) + 1
+    t_cnt: dict[int, int] = {}
+    for b in tgt_b:
+        t_cnt[b] = t_cnt.get(b, 0) + 1
+    T, R = sum(t_cnt.values()), sum(r_cnt.values())
+    lam = [
+        round(
+            SCALE
+            * (
+                math.log((t_cnt.get(b, 0) + 1) / (T + B))
+                - math.log((r_cnt.get(b, 0) + 1) / (R + B))
+            )
+        )
+        for b in range(B)
+    ]
+    rows = []
+    for i, bs in sorted(raw_b.items()):
+        q = sum(lam[b] for b in bs)
+        rows.append((i, len(bs), q, q / float(SCALE)))
+    assert len(rows) == len(docs)
+    return values_sql(["doc_id", "n_grams", "logw_q", "logw"], rows)
+
+
 def main() -> None:
     goldens = {
         "image_verify": golden_image_verify(),
@@ -706,6 +767,7 @@ def main() -> None:
         "resume_state": golden_resume_state(),
         "bpe_encode": golden_bpe_encode(),
         "dedup_semantic": golden_dedup_semantic(),
+        "dsir_weights": golden_dsir_weights(),
     }
     out = Path(__file__).resolve().parent.parent / "jirlbot_spark" / "goldens_sql.py"
     with out.open("w") as f:
