@@ -750,6 +750,99 @@ def golden_dsir_weights() -> str:
     return values_sql(["doc_id", "n_grams", "logw_q", "logw"], rows)
 
 
+def golden_lm_perplexity() -> str:
+    """Oracle SQL for q_lm_perplexity: ONLY the three LM tables (vocab,
+    bigram-q, fallback-q) are pinned as VALUES — trained here by an
+    independent pure-Python replication of the pinned recipe over the
+    sf0.01 documents (reference = lang='en') — and DuckDB recomputes
+    tokenization, OOV mapping, bigram formation via lead(), the
+    lookup+fallback, and the exact int64 sums ITSELF."""
+    import math
+    import re
+
+    import pandas as pd
+
+    MAX_VOCAB, MAX_BIGRAMS, SCALE = 500, 2000, 10**6
+    docs = pd.read_parquet("/root/testdata/sf0.01/documents.parquet")[
+        ["doc_id", "text", "lang"]
+    ]
+    ref_toks = [
+        re.split(r"\s+", r.text.strip()) if r.text.strip() else []
+        for r in docs.itertuples()
+        if r.lang == "en"
+    ]
+    freq: dict[str, int] = {}
+    for ts in ref_toks:
+        for t in ts:
+            freq[t] = freq.get(t, 0) + 1
+    vocab = [
+        t for t, _ in sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+    ][:MAX_VOCAB]
+    wid = {t: i + 1 for i, t in enumerate(vocab)}
+    V = len(vocab) + 1
+    c1: dict[int, int] = {}
+    c12: dict[tuple[int, int], int] = {}
+    for ts in ref_toks:
+        ids = [wid.get(t, 0) for t in ts]
+        for a, b in zip(ids, ids[1:]):
+            c1[a] = c1.get(a, 0) + 1
+            c12[(a, b)] = c12.get((a, b), 0) + 1
+    top = sorted(c12.items(), key=lambda kv: (-kv[1], kv[0]))[:MAX_BIGRAMS]
+    vocab_rows = ",\n              ".join(
+        f"({lit(t)}, {i + 1})" for i, t in enumerate(vocab)
+    )
+    biq_rows = ",\n              ".join(
+        f"({a}, {b}, {round(SCALE * math.log((c + 1) / (c1[a] + V)))})"
+        for (a, b), c in top
+    )
+    uq_rows = ",\n              ".join(
+        f"({w}, {round(SCALE * math.log(1.0 / (c1.get(w, 0) + V)))})"
+        for w in range(V)
+    )
+    return f"""
+            WITH vocab(tok, wid) AS (VALUES
+              {vocab_rows}
+            ), biq(bw1, bw2, q) AS (VALUES
+              {biq_rows}
+            ), uq(uw1, q0) AS (VALUES
+              {uq_rows}
+            ), toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 t -> t <> '') AS t
+              FROM documents
+            ), pos AS (
+              SELECT doc_id, i, t[i] AS tok
+              FROM toks, UNNEST(generate_series(1, len(t))) AS g(i)
+            ), mapped AS (
+              SELECT p.doc_id, p.i, COALESCE(v.wid, 0) AS wid
+              FROM pos p LEFT JOIN vocab v ON v.tok = p.tok
+            ), pairs AS (
+              SELECT doc_id, wid AS w1,
+                     LEAD(wid) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+              FROM mapped
+            ), scored AS (
+              SELECT pr.doc_id, COALESCE(b.q, u.q0) AS q
+              FROM pairs pr
+              LEFT JOIN biq b ON b.bw1 = pr.w1 AND b.bw2 = pr.w2
+              JOIN uq u ON u.uw1 = pr.w1
+              WHERE pr.w2 IS NOT NULL
+            ), agg AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                     CAST(SUM(q) AS BIGINT) AS logp_q
+              FROM scored GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CAST(COALESCE(a.logp_q, 0) AS BIGINT) AS logp_q,
+                   CASE WHEN COALESCE(a.n_bigrams, 0) = 0 THEN 0.0
+                        ELSE CAST(-a.logp_q AS DOUBLE)
+                             / CAST(a.n_bigrams * {SCALE} AS DOUBLE)
+                   END AS avg_nll
+            FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        """
+
+
 def main() -> None:
     goldens = {
         "image_verify": golden_image_verify(),
@@ -768,6 +861,7 @@ def main() -> None:
         "bpe_encode": golden_bpe_encode(),
         "dedup_semantic": golden_dedup_semantic(),
         "dsir_weights": golden_dsir_weights(),
+        "lm_perplexity": golden_lm_perplexity(),
     }
     out = Path(__file__).resolve().parent.parent / "jirlbot_spark" / "goldens_sql.py"
     with out.open("w") as f:
