@@ -81,6 +81,14 @@ BENCH_QUERY_KEYS = [
     "json_props",
     "image_verify",
     "image_verify_lossy",
+    # round-3 additions (purely additive — prior keys stay comparable
+    # across rounds): the new curation operators' measured cost
+    "dedup_lines",
+    "dedup_substrings",
+    "dsir_weights",
+    "lm_perplexity",
+    "dedup_semantic",
+    "url_filter",
 ]
 
 
