@@ -67,6 +67,7 @@ HTTP_FETCH_SCHEMA = StructType(
         StructField("body", BinaryType()),
         StructField("fetched_at_s", DoubleType()),
         StructField("location", StringType()),
+        StructField("rtt_ms", LongType()),
     ]
 )
 
@@ -166,6 +167,7 @@ def http_fetch(
             "body": [b""] * len(pdf),
             "fetched_at_s": np.zeros(len(pdf), np.float64),
             "location": [""] * len(pdf),
+            "rtt_ms": np.zeros(len(pdf), np.int64),
         }
         for i, (planned, url) in enumerate(
             zip(pdf[planned_col].to_numpy(), pdf[url_col].to_numpy())
@@ -173,7 +175,9 @@ def http_fetch(
             dt = float(planned) - (clock() - t0)
             if dt > 0:
                 sleeper(dt)
+            t_req = clock()
             r = transport(url)
+            out["rtt_ms"][i] = int(round((clock() - t_req) * 1000))
             out["status"][i] = int(r.get("status", 0))
             out["content_type"][i] = str(r.get("content_type", ""))
             out["body"][i] = bytes(r.get("body", b""))

@@ -102,6 +102,23 @@ class CrawlConfig:
     # TTL (in batches — deterministic under resume/replay) for entries
     # in the dns_cache table when a dns_resolver is injected.
     dns_ttl_batches: int = 64
+    # URL spam-filter gate (operators/url_filter.url_spam_filter kwargs,
+    # e.g. {"blocked_domains": ("spam.net",)}; None = gate off). Applied
+    # to CANONICALIZED discovered links BEFORE the PLD-graph update and
+    # the DRUM exchange: rejected URLs never reach a shuffle and never
+    # pollute reputation — the map-side-gate posture the operator
+    # docstring pins.
+    url_filter_opts: dict | None = None
+    # Adaptive politeness (operators/adaptive_politeness): when True and
+    # the fetch backend logs rtt_ms (live HTTP does), each batch derives
+    # per-host delays from the last `adaptive_lookback` batches of
+    # fetch_log via the Heritrix delay-factor rule; robots Crawl-delay
+    # still wins where larger. Table-backed fetches have no rtt column,
+    # so the flag is inert there — semantics unchanged.
+    adaptive_delay: bool = False
+    adaptive_factor: int = 5
+    adaptive_lookback: int = 8
+    adaptive_max_delay_ms: int = 30000
     # Fold url_seen's per-batch runs into one every N batches (None = never).
     # Append-only runs keep commits cheap, but the membership anti-join
     # reads every run of a bucket — at 10^10 keys unbounded run counts
@@ -439,6 +456,28 @@ class CrawlLoop:
             if delays is not None
             else passed.withColumn("crawl_delay", F.lit(0.0))
         )
+        if cfg.adaptive_delay:
+            prior_log = self.store.read("fetch_log")
+            if prior_log is not None and "rtt_ms" in prior_log.columns:
+                from jirlbot_spark.operators.adaptive_politeness import (
+                    adaptive_host_delays,
+                    with_adaptive_delay,
+                )
+
+                window_log = prior_log.filter(
+                    (F.col("batch") >= j - cfg.adaptive_lookback)
+                    & F.col("rtt_ms").isNotNull()
+                )
+                to_fetch = with_adaptive_delay(
+                    to_fetch,
+                    adaptive_host_delays(
+                        window_log,
+                        factor_num=cfg.adaptive_factor,
+                        min_delay_ms=int(cfg.min_delay_s * 1000),
+                        max_delay_ms=cfg.adaptive_max_delay_ms,
+                    ),
+                    min_delay_s=cfg.min_delay_s,
+                )
         polite_col = "host"
         dns_delta = None
         if self.dns_resolver is not None:
@@ -524,6 +563,18 @@ class CrawlLoop:
                 "new_depth",
                 keep=("src_pld",),
             )
+            if cfg.url_filter_opts is not None:
+                from jirlbot_spark.operators.url_filter import (
+                    url_spam_filter,
+                )
+
+                flagged = url_spam_filter(
+                    prepared, url_col="url", **cfg.url_filter_opts
+                )
+                prepared = flagged.filter("keep").drop(
+                    "keep",
+                    *[c for c in flagged.columns if c.startswith("flag_")],
+                )
             edges = prepared.select(
                 "src_pld", F.col("pld_hash").alias("dst_pld")
             )
@@ -558,7 +609,8 @@ class CrawlLoop:
             # body — fetch_log must stay narrow at 10^10 rows)
             *[
                 c
-                for c in ("status", "content_type", "fetched_at_s")
+                for c in ("status", "content_type", "fetched_at_s",
+                          "rtt_ms")
                 if c in fetched.columns
             ],
         )

@@ -340,6 +340,69 @@ def main() -> None:
         )
     )
 
+    # --- DSIR gram buckets: partial count below a bucket-keyed exchange
+    from jirlbot_spark.operators.dsir import bucket_counts, hashed_gram_buckets
+
+    dsir_df = bucket_counts(hashed_gram_buckets(docs_df, n_buckets=256))
+    dsir_df.collect()
+    # toString tree for the position test (the shingle_plan rationale)
+    dsir_plan = dsir_df._jdf.queryExecution().executedPlan().toString()
+    sections.append(
+        (
+            "DSIR hashed-gram bucket counts (dsir_weights input)",
+            "The per-bucket count must combine map-side (partial_count) "
+            "so the exchange carries at most B rows per partition; the "
+            "token split must live below the Generate (one tokenize per "
+            "document), and document text must never reach the "
+            "exchange.",
+            dsir_plan,
+        )
+    )
+
+    # --- line dedup: per-hash agg combines map-side; text never shuffles
+    from jirlbot_spark.operators.line_dedup import line_occurrences
+
+    ld_df = (
+        line_occurrences(spark.createDataFrame(gen_documents(21, 160)))
+        .groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.struct("doc_id", "line_no")).alias("keep"),
+        )
+    )
+    ld_plan = capture_plan(ld_df)
+    sections.append(
+        (
+            "Line-dedup per-hash aggregation (dedup_lines hot stage)",
+            "Count + canonical-min must both combine map-side "
+            "(partial_count / partial_min) and the exchange must be "
+            "keyed on the int64 line hash — raw line text must never "
+            "appear in the Exchange.",
+            ld_plan,
+        )
+    )
+
+    # --- URL spam filter: pure projection, zero exchanges
+    from jirlbot_spark.operators.url_filter import url_spam_filter
+
+    uf_df = url_spam_filter(
+        spark.range(200).select(
+            F.format_string("http://s%d.com/a/b?x=%d", F.col("id"), F.col("id"))
+            .alias("url")
+        ),
+        blocked_domains=("spam.net",),
+    )
+    uf_plan = capture_plan(uf_df)
+    sections.append(
+        (
+            "URL spam filter (url_filter frontier gate)",
+            "The gate must be a pure map-side projection — zero "
+            "Exchange operators — so rejected URLs never reach the DRUM "
+            "shuffle.",
+            uf_plan,
+        )
+    )
+
     def _no_split_at_or_above_generates(plan: str) -> bool:
         # every split() must live in a doc-level Project (the __toks
         # projection or the __total/array_join totals projection) —
@@ -434,6 +497,19 @@ def main() -> None:
         "partial_count" in bpe_plan,
         "BPE word_freqs exchange is word-keyed, text pruned":
         _exchanges_word_keyed_text_free(bpe_plan),
+        "DSIR bucket counts aggregate map-side (partial_count)":
+        "partial_count" in dsir_plan,
+        "DSIR tokenization below the Generate (once per doc)":
+        _split_below_generate(dsir_plan),
+        "line-dedup agg combines map-side (partial_count + partial_min)":
+        "partial_count" in ld_plan and "partial_min" in ld_plan,
+        "line-dedup exchange is hash-keyed, line text pruned": all(
+            "__l" not in ln and "__norm" not in ln
+            for ln in ld_plan.splitlines()
+            if "Exchange" in ln
+        ),
+        "url filter is exchange-free (map-side gate)":
+        "Exchange" not in uf_plan,
     }
 
     out = ["# PLANS — physical-plan audit (sf0.01, local[4])\n"]
