@@ -271,3 +271,41 @@ def image_pair_filter(
         ok_caption.alias("ok_caption"),
         (ok_size & ok_aspect & ok_caption).alias("keep"),
     )
+
+
+def image_dup_groups(
+    pages: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    max_hamming: int = 7,
+    block_bits: int = 8,
+) -> DataFrame:
+    """(image_id, component, keep) — the TRANSITIVE closure of the
+    pHash near-dup relation (`phash_neardup` pairs through
+    `connected_components`' star contraction), with one canonical
+    keeper per duplicate group: the component label is already the
+    group's MIN id (graph.py contract), so keep == (id == component) —
+    no extra aggregation. Images in no pair label themselves and are
+    kept. This is the image-side twin of the SemDeDup keep stage:
+    dedup_phash answers "which pairs are near-dups", this answers
+    "which images survive" — the question a curation pipeline asks.
+
+    Scale posture inherits from the pieces: distinct-hash banded join
+    (a billion copies of one logo = one row in the band), O(log)
+    contraction rounds, and a final broadcast-sized label join per
+    group. The pair fan-out caveat in phash_neardup's docstring applies
+    (use phash_canonical first when exact-dup groups are unbounded).
+    """
+    from jirlbot_spark.operators.graph import connected_components
+
+    pairs = phash_neardup(pages, id_col, phash_col, max_hamming, block_bits)
+    comp = connected_components(pairs)
+    ids = pages.select(F.col(id_col)).distinct()
+    return (
+        ids.join(comp, ids[id_col] == comp["id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("component"),
+        )
+        .withColumn("keep", F.col(id_col) == F.col("component"))
+    )

@@ -194,3 +194,41 @@ def test_image_pair_filter_rules(spark):
     assert not got["longcap"].ok_caption
     # zero dims fail size and do NOT divide by zero in aspect
     assert not got["zero"].ok_size
+
+
+def test_image_dup_groups_matches_union_find(spark):
+    """image_dup_groups vs an independent union-find closure over the
+    naive O(n²) Hamming pair set."""
+    import numpy as np
+
+    from jirlbot_spark.operators.image_dedup import image_dup_groups
+    from jirlbot_spark.sources.fixtures import gen_phash_corpus
+
+    corpus = gen_phash_corpus(17, 96)
+    ids = list(corpus["image_id"])
+    hashes = [int(h) for h in corpus["phash"]]
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            if bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1") <= 7:
+                ra, rb = find(ids[a]), find(ids[b])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in ids}
+    df = spark.createDataFrame(corpus)
+    got = {
+        r["image_id"]: (r["component"], r["keep"])
+        for r in image_dup_groups(df).collect()
+    }
+    assert len(got) == len(ids)
+    for i in ids:
+        assert got[i] == (want[i], want[i] == i), (i, got[i], want[i])
+    # fixture engineering guarantees real multi-member groups exist
+    assert sum(1 for i in ids if not got[i][1]) > 5
