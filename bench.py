@@ -89,6 +89,7 @@ BENCH_QUERY_KEYS = [
     "lm_perplexity",
     "dedup_semantic",
     "url_filter",
+    "quality_classify",
 ]
 
 

@@ -359,6 +359,27 @@ def main() -> None:
         )
     )
 
+    # --- quality classifier: broadcast weight attach, map-side pooling
+    from jirlbot_spark.operators.quality_classifier import score_documents
+
+    qc_w = spark.createDataFrame(
+        [(i * 7919, i * 1000) for i in range(64)], "gh long, w_q long"
+    )
+    qc_df = score_documents(docs_df, qc_w)
+    qc_df.collect()
+    qc_plan = qc_df._jdf.queryExecution().executedPlan().toString()
+    sections.append(
+        (
+            "Quality classifier scoring (quality_classify)",
+            "The model must arrive as a BroadcastExchange (a shuffled "
+            "join would exchange the corpus-sized gram stream against "
+            "a megabyte model); the per-doc pooling agg must combine "
+            "map-side; the token split must live below the Generate "
+            "(one tokenize per document).",
+            qc_plan,
+        )
+    )
+
     # --- line dedup: per-hash agg combines map-side; text never shuffles
     from jirlbot_spark.operators.line_dedup import line_occurrences
 
@@ -510,6 +531,13 @@ def main() -> None:
         ),
         "url filter is exchange-free (map-side gate)":
         "Exchange" not in uf_plan,
+        "classifier model attaches via BroadcastExchange":
+        "BroadcastExchange" in qc_plan
+        and "CartesianProduct" not in qc_plan,
+        "classifier pooling combines map-side (partial_count+partial_sum)":
+        "partial_count" in qc_plan and "partial_sum" in qc_plan,
+        "classifier tokenization below the Generate (once per doc)":
+        _split_below_generate(qc_plan),
     }
 
     out = ["# PLANS — physical-plan audit (sf0.01, local[4])\n"]
