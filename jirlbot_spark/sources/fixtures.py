@@ -710,3 +710,69 @@ def warc_scenario() -> list[tuple[str, int, str, bytes]]:
         ("http://wc-site.com/empty", 200, "text/plain", b""),
         ("http://wd-site.com/u?q=%C3%A9", 301, "text/html", b"moved"),
     ]
+
+
+def gen_meta_images(seed: int, n: int) -> pd.DataFrame:
+    """Fixture for the image_scrub driver key: (image_id, fmt, bytes)
+    rows in PNG/JPEG/GIF with REAL metadata blocks spliced into the
+    engine's own encodes — PNG tEXt/tIME/eXIf chunks after IHDR, JPEG
+    COM + APP1-Exif after SOI, GIF comment + XMP application extensions
+    after the color table — plus every third row left as the bare
+    encode (the scrub must count, not assume). Pixel payloads are
+    untouched by the splice, so decode(original) == decode(scrubbed)
+    byte-for-byte (pinned at golden-generation time and in pytest)."""
+    from jirlbot_spark.functions.images import _chunk, encode_image
+    from jirlbot_spark.functions.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    recs = []
+    for idx in range(n):
+        fmt = ("png", "jpeg", "gif")[idx % 3]
+        w = int(rng.choice([16, 32]))
+        h = int(rng.choice([16, 32]))
+        px = gen_pixels(rng, w, h)
+        if fmt == "png":
+            data = encode_image(px, "png")
+        elif fmt == "gif":
+            from jirlbot_spark.functions.gif import posterize
+
+            px = posterize(px)
+            data = encode_image(px, "gif")
+        else:
+            data = encode_jpeg(px, quality=90)
+        bare = idx % 3 == idx % 9 // 3  # deterministic mix of bare rows
+        if not bare:
+            note = f"camera note {idx}".encode()
+            if fmt == "png":
+                head, rest = data[:33], data[33:]  # sig + IHDR = 33
+                data = (
+                    head
+                    + _chunk(b"tEXt", b"Comment\x00" + note)
+                    + _chunk(b"tIME", bytes(7))
+                    + _chunk(b"eXIf", b"II*\x00" + bytes(4))
+                    + rest
+                )
+            elif fmt == "jpeg":
+                com = b"\xff\xfe" + (len(note) + 2).to_bytes(2, "big") + note
+                exif = b"Exif\x00\x00II*\x00" + bytes(8)
+                app1 = (
+                    b"\xff\xe1"
+                    + (len(exif) + 2).to_bytes(2, "big")
+                    + exif
+                )
+                data = data[:2] + com + app1 + data[2:]
+            else:
+                packed = data[10]
+                cut = 13 + (3 * (2 << (packed & 7)) if packed & 0x80 else 0)
+                comment = b"\x21\xfe" + bytes([len(note)]) + note + b"\x00"
+                xmp = (
+                    b"\x21\xff\x0bXMP DataXMP"
+                    + bytes([4])
+                    + b"<x/>"
+                    + b"\x00"
+                )
+                data = data[:cut] + comment + xmp + data[cut:]
+        recs.append(
+            {"image_id": f"meta{idx:06d}", "fmt": fmt, "bytes": data}
+        )
+    return pd.DataFrame.from_records(recs)

@@ -843,6 +843,57 @@ def golden_lm_perplexity() -> str:
         """
 
 
+def golden_image_scrub() -> str:
+    """Direct application of strip_metadata over gen_meta_images(11, 24)
+    — the byte-level walk, NOT the Spark operator. clean_crc uses
+    zlib.crc32 (the Spark side computes JVM F.crc32 — two independent
+    crc32 implementations must agree, the warc_roundtrip pattern).
+    Generation-time assert: decoded pixels identical before/after."""
+    import zlib
+
+    from jirlbot_spark.functions.image_meta import strip_metadata
+    from jirlbot_spark.functions.jpeg import decode_jpeg
+    from jirlbot_spark.sources.fixtures import gen_meta_images
+
+    rows = []
+    for r in gen_meta_images(11, 24).itertuples(index=False):
+        raw = bytes(r.bytes)
+        clean, n, sup = strip_metadata(raw, r.fmt)
+        assert sup
+        if r.fmt == "jpeg":
+            a, b = decode_jpeg(raw), decode_jpeg(clean)
+        else:
+            a = decode_image(raw, r.fmt, 0, 0)
+            b = decode_image(clean, r.fmt, 0, 0)
+        assert np.array_equal(a, b), r.image_id
+        rows.append(
+            (
+                r.image_id,
+                r.fmt,
+                len(raw),
+                len(clean),
+                n,
+                True,
+                True,
+                zlib.crc32(clean),
+            )
+        )
+    return values_sql(
+        [
+            "image_id",
+            "fmt",
+            "orig_len",
+            "clean_len",
+            "n_stripped",
+            "supported",
+            "scrub_ok",
+            "clean_crc",
+        ],
+        rows,
+        int_cols=("n_stripped",),
+    )
+
+
 def main() -> None:
     goldens = {
         "image_verify": golden_image_verify(),
@@ -862,6 +913,7 @@ def main() -> None:
         "dedup_semantic": golden_dedup_semantic(),
         "dsir_weights": golden_dsir_weights(),
         "lm_perplexity": golden_lm_perplexity(),
+        "image_scrub": golden_image_scrub(),
     }
     out = Path(__file__).resolve().parent.parent / "jirlbot_spark" / "goldens_sql.py"
     with out.open("w") as f:
