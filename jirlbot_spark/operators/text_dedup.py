@@ -353,3 +353,52 @@ def simhash_candidates(
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return pairs.withColumn("hamming", ham).select("id_a", "id_b", "hamming")
+
+
+def text_dup_groups(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+    scratch_dir: str | None = None,
+) -> DataFrame:
+    """(id, component, keep) — the TRANSITIVE closure of the MinHash
+    near-dup relation (minhash_dedup pairs through connected_components'
+    star contraction), one canonical keeper per duplicate group: the
+    component label is the group MIN id (graph.py contract), so
+    keep == (id == component). Documents in no pair label themselves.
+
+    This is the text-side twin of image_dup_groups: dedup_minhash
+    answers "which pairs are near-dups", this answers "which documents
+    survive" — near-dup CLUSTERS are what the published curation
+    recipes drop (RefinedWeb/FineWeb keep one representative per
+    MinHash cluster, not one per pair). Scale posture inherits from the
+    pieces: banded LSH candidate generation, semi-join-pruned exact
+    verify, O(log) contraction rounds; nothing corpus-sized reaches the
+    driver.
+    """
+    from jirlbot_spark.operators.graph import connected_components
+
+    pairs = minhash_dedup(
+        docs,
+        text_col,
+        id_col,
+        k_shingle,
+        num_hashes,
+        bands,
+        threshold,
+        scratch_dir,
+    )
+    comp = connected_components(pairs)
+    ids = docs.select(F.col(id_col)).distinct()
+    return (
+        ids.join(comp, ids[id_col] == comp["id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("component"),
+        )
+        .withColumn("keep", F.col(id_col) == F.col("component"))
+    )
