@@ -309,3 +309,85 @@ def image_dup_groups(
         )
         .withColumn("keep", F.col(id_col) == F.col("component"))
     )
+
+
+def phash_blocklist(
+    pages: DataFrame,
+    blocklist: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    max_hamming: int = 7,
+    block_bits: int = 8,
+) -> DataFrame:
+    """Match every image against a SMALL pinned pHash blocklist (known
+    watermark overlays, boilerplate logos, registry-listed content) at
+    Hamming <= max_hamming: (id, phash, matched, best_hamming,
+    matched_phash), best/matched NULL-free only where matched.
+
+    Physical shape at 10^10 rows: the blocklist (thousands of hashes at
+    most) explodes into its 64/block_bits pigeonhole blocks and
+    BROADCASTS; the corpus side collapses to DISTINCT hashes first (a
+    billion copies of one watermark = one probe row), emits one probe
+    per block per distinct hash, and the broadcast join + bit_count
+    verify never shuffle the corpus. Only verified matches (rare by
+    construction) reach the per-hash min agg; the final per-image
+    attach joins on the narrow phash column. Recall is exactly 1 for
+    max_hamming <= 64/block_bits - 1 (same pigeonhole as
+    phash_neardup; larger values are rejected loudly).
+    """
+    n_blocks = 64 // block_bits
+    if 64 % block_bits:
+        raise ValueError("block_bits must divide 64")
+    if max_hamming > n_blocks - 1:
+        raise ValueError(
+            f"max_hamming {max_hamming} exceeds the pigeonhole recall "
+            f"bound {n_blocks - 1} for {n_blocks} blocks"
+        )
+    mask = (1 << block_bits) - 1
+
+    def _blocks(df, col, out):
+        parts = [
+            df.select(
+                F.col(col).alias(out),
+                F.lit(i).alias("blk"),
+                (
+                    F.shiftrightunsigned(col, i * block_bits)
+                    .bitwiseAND(F.lit(mask))
+                ).alias("bval"),
+            )
+            for i in range(n_blocks)
+        ]
+        b = parts[0]
+        for x in parts[1:]:
+            b = b.unionByName(x)
+        return b
+
+    bad = blocklist.select(F.col("bad_phash").cast("long"))
+    bad_blocks = F.broadcast(_blocks(bad, "bad_phash", "bad_ph"))
+    corpus = pages.select(F.col(phash_col).alias("ph")).distinct()
+    cand = (
+        _blocks(corpus, "ph", "ph")
+        .join(bad_blocks, ["blk", "bval"])
+        .select("ph", "bad_ph")
+        .distinct()
+    )
+    verified = cand.withColumn(
+        "hamming", F.bit_count(F.col("ph").bitwiseXOR(F.col("bad_ph")))
+    ).filter(F.col("hamming") <= max_hamming)
+    best = verified.groupBy("ph").agg(
+        F.min("hamming").cast("int").alias("best_hamming"),
+        F.min_by("bad_ph", F.struct("hamming", "bad_ph")).alias(
+            "matched_phash"
+        ),
+    )
+    return (
+        pages.select(F.col(id_col), F.col(phash_col))
+        .join(best, F.col(phash_col) == best["ph"], "left")
+        .select(
+            F.col(id_col),
+            F.col(phash_col),
+            F.col("best_hamming").isNotNull().alias("matched"),
+            "best_hamming",
+            "matched_phash",
+        )
+    )
