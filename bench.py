@@ -90,6 +90,11 @@ BENCH_QUERY_KEYS = [
     "dedup_semantic",
     "url_filter",
     "quality_classify",
+    "dedup_text_groups",
+    "aspect_batch",
+    "image_scrub",
+    "phash_blocklist",
+    "recrawl_schedule",
 ]
 
 

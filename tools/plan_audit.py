@@ -380,6 +380,50 @@ def main() -> None:
         )
     )
 
+    # --- phash blocklist: corpus probes meet the blocklist via broadcast
+    from jirlbot_spark.operators.image_dedup import phash_blocklist
+    from jirlbot_spark.sources.fixtures import gen_phash_corpus
+
+    pb_df = phash_blocklist(
+        spark.createDataFrame(gen_phash_corpus(17, 160)),
+        spark.createDataFrame([(99,), (1234567,)], "bad_phash long"),
+    )
+    pb_plan = capture_plan(pb_df)
+    sections.append(
+        (
+            "pHash blocklist matching (phash_blocklist)",
+            "The blocklist side must arrive as BroadcastExchange (the "
+            "corpus must never shuffle against it) and no "
+            "CartesianProduct/NestedLoop may appear.",
+            pb_plan,
+        )
+    )
+
+    # --- aspect bucket assignment: pure projection, zero exchanges
+    from jirlbot_spark.operators.aspect_buckets import assign_aspect_buckets
+
+    ab_df = assign_aspect_buckets(
+        spark.range(500).select(
+            F.col("id").alias("image_id"),
+            (F.pmod(F.col("id") * 37, F.lit(1987)) + 64)
+            .cast("int")
+            .alias("w"),
+            (F.pmod(F.col("id") * 53, F.lit(1993)) + 64)
+            .cast("int")
+            .alias("h"),
+        )
+    )
+    ab_plan = capture_plan(ab_df)
+    sections.append(
+        (
+            "Aspect bucket assignment (aspect_batch stage 1)",
+            "The exact-integer argmin must be a pure map-side "
+            "projection — zero Exchange operators — so it fuses into "
+            "the scan.",
+            ab_plan,
+        )
+    )
+
     # --- line dedup: per-hash agg combines map-side; text never shuffles
     from jirlbot_spark.operators.line_dedup import line_occurrences
 
@@ -538,6 +582,12 @@ def main() -> None:
         "partial_count" in qc_plan and "partial_sum" in qc_plan,
         "classifier tokenization below the Generate (once per doc)":
         _split_below_generate(qc_plan),
+        "phash blocklist broadcasts, never cartesian":
+        "BroadcastExchange" in pb_plan
+        and "CartesianProduct" not in pb_plan
+        and "BroadcastNestedLoopJoin" not in pb_plan,
+        "aspect bucket assignment is exchange-free (map-side argmin)":
+        "Exchange" not in ab_plan,
     }
 
     out = ["# PLANS — physical-plan audit (sf0.01, local[4])\n"]
