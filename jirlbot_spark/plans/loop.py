@@ -119,6 +119,17 @@ class CrawlConfig:
     adaptive_factor: int = 5
     adaptive_lookback: int = 8
     adaptive_max_delay_ms: int = 30000
+    # Freshness-driven revisits (operators/recrawl): when set, each batch
+    # re-enqueues URLs whose exact-integer staleness score crosses this
+    # threshold (in batch units), spaced by the +0.5-smoothed change-rate
+    # estimator over fetch_log's content_hash history. Revisits bypass
+    # url_seen BY DESIGN (a revisit is deliberate) and re-enter ahead of
+    # BEAST/politeness like any candidate; an anti-join against the
+    # assembled next frontier prevents double-enqueue while a prior
+    # revisit is still queued. None = single-pass crawl (prior
+    # semantics; fetch_log simply gains a content_hash column when the
+    # backend surfaces payload bytes).
+    recrawl_threshold: int | None = None
     # Fold url_seen's per-batch runs into one every N batches (None = never).
     # Append-only runs keep commits cheap, but the membership anti-join
     # reads every run of a bucket — at 10^10 keys unbounded run counts
@@ -199,6 +210,49 @@ class CrawlLoop:
             df, url_col, base_col, keep=("depth",) + tuple(keep)
         )
         return prepared.withColumn("priority", F.col("depth").cast("double"))
+
+    def _recrawl_due(self, j: int, frontier: DataFrame | None):
+        """Frontier rows for URLs due for a freshness revisit at batch j
+        (None when no history exists). Committed fetch_log only — see
+        run_batch's call-site comment for the no-echo argument. URLs
+        already queued (deferred, or a still-unfetched prior revisit)
+        are anti-joined out so at most one copy is ever in flight."""
+        from jirlbot_spark.operators.recrawl import (
+            change_stats,
+            recrawl_priority,
+        )
+
+        log = self.store.read("fetch_log")
+        if log is None or "content_hash" not in log.columns:
+            return None
+        hist = log.filter(F.col("content_hash").isNotNull())
+        due = (
+            recrawl_priority(
+                change_stats(
+                    hist,
+                    url_col="url_hash",
+                    batch_col="batch",
+                    content_col="content_hash",
+                ),
+                j,
+                self.cfg.recrawl_threshold,
+            )
+            .filter("due")
+            .select("url_hash")
+        )
+        latest = hist.groupBy("url_hash").agg(
+            F.max_by("url", "batch").alias("url")
+        )
+        revisit = self._prepare_urls(
+            due.join(latest, "url_hash").select("url"), "url", None, 0
+        ).withColumn("enqueue_batch", F.lit(j).cast("int"))
+        if frontier is not None:
+            revisit = revisit.join(
+                frontier.select("url_hash").distinct(),
+                "url_hash",
+                "left_anti",
+            )
+        return revisit.select(*[f.name for f in FRONTIER_SCHEMA.fields])
 
     def _dedup_new(self, prepared: DataFrame, batch_id: int) -> tuple[DataFrame, DataFrame]:
         """DRUM check_update: returns (new frontier rows, new url_seen keys)."""
@@ -350,8 +404,31 @@ class CrawlLoop:
         assert j >= 1, "batch 0 is seed ingest"
         cfg = self.cfg
         frontier = self.store.read("frontier")
+        # freshness-driven revisits join THIS batch's candidates: due
+        # URLs (exact-integer staleness rule over the COMMITTED
+        # content_hash history — a refetch is committed before its next
+        # evaluation, so revisits self-space with no echo) re-enter
+        # ahead of BEAST/robots/politeness like any candidate and never
+        # touch url_seen. Evaluated before the empty-frontier check: a
+        # continuous crawl goes idle, not done, while pages age.
+        if cfg.recrawl_threshold is not None:
+            revisit = self._recrawl_due(j, frontier)
+            if revisit is not None:
+                frontier = (
+                    revisit
+                    if frontier is None
+                    else frontier.unionByName(revisit)
+                )
         if frontier is None or not frontier.head(1):
-            return {"batch": j, "rows_in": 0, "fetched": 0, "done": True}
+            # with recrawl on, an empty batch is IDLE, not done — pages
+            # keep aging toward their next revisit (run() keeps going)
+            return {
+                "batch": j,
+                "rows_in": 0,
+                "fetched": 0,
+                "done": cfg.recrawl_threshold is None,
+                "idle": cfg.recrawl_threshold is not None,
+            }
         frontier = frontier.cache()
         rows_in = frontier.count()
 
@@ -613,6 +690,13 @@ class CrawlLoop:
                           "rtt_ms")
                 if c in fetched.columns
             ],
+            # change signal for recrawl scheduling: a 32-bit payload
+            # checksum (narrow — never the body) when bytes are present
+            *(
+                [F.crc32("bytes").cast("long").alias("content_hash")]
+                if "bytes" in fetched.columns
+                else []
+            ),
         )
         # payload verification (north rule: per-row decoded-pixel +
         # caption invariant inside the fetch microbatch). Verified per
