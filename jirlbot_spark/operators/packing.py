@@ -51,6 +51,7 @@ def pack_sequences(
     n_shards: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shuffle_seed: int | None = None,
 ) -> DataFrame:
     """Assign every document its place in the packed token stream.
 
@@ -59,6 +60,15 @@ def pack_sequences(
     where pack_id is shard-local (pair it with shard for a global key).
     Empty documents occupy zero tokens: they inherit the current stream
     position and advance nothing — harmless and deterministic.
+
+    `shuffle_seed`: when set, documents concatenate in SEEDED
+    PSEUDO-RANDOM order within each shard — xxhash64(doc_id, seed)
+    ascending, doc_id tie-break — instead of doc_id order: the
+    published pretraining recipe shuffles documents before packing so
+    adjacent windows don't replay corpus order. Same determinism
+    contract (stable across runs, retries, partitionings); different
+    seeds give independent epoch orders. Default None keeps the pinned
+    doc_id order (the driver key's oracle contract).
     """
     if window < 1:
         raise ValueError("window must be >= 1")
@@ -69,9 +79,14 @@ def pack_sequences(
         token_count(text_col).cast("long").alias("n_tokens"),
         F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard"),
     )
+    order = (
+        [F.xxhash64(F.col(id_col), F.lit(shuffle_seed)), F.col(id_col)]
+        if shuffle_seed is not None
+        else [F.col(id_col)]
+    )
     w = (
         Window.partitionBy("shard")
-        .orderBy(id_col)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")

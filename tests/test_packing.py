@@ -54,3 +54,51 @@ def test_pack_sequences_stream_properties(spark):
             assert r.pack_id == pos // 10
             assert r.offset == pos % 10
             pos += r.n_tokens
+
+
+def test_pack_shuffled_order(spark):
+    """shuffle_seed: a permutation of the same stream — same totals,
+    different order, deterministic under repartitioning, seed-dependent."""
+    from pyspark.sql import functions as F
+
+    from jirlbot_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (1 + i % 7)) for i in range(60)],
+        "doc_id long, text string",
+    )
+    plain = pack_sequences(docs, window=16, n_shards=4)
+    shuf = pack_sequences(docs, window=16, n_shards=4, shuffle_seed=9)
+    p = {r["doc_id"]: r for r in plain.collect()}
+    s = {r["doc_id"]: r for r in shuf.collect()}
+    # same shards and token counts; per-shard stream length preserved
+    assert all(
+        (p[i]["shard"], p[i]["n_tokens"]) == (s[i]["shard"], s[i]["n_tokens"])
+        for i in p
+    )
+    for sh in range(4):
+        tot_p = sum(r["n_tokens"] for r in p.values() if r["shard"] == sh)
+        ends_s = [
+            r["start_token"] + r["n_tokens"]
+            for r in s.values()
+            if r["shard"] == sh
+        ]
+        assert max(ends_s) == tot_p
+    # the order actually changed somewhere
+    assert any(p[i]["start_token"] != s[i]["start_token"] for i in p)
+    # deterministic under repartitioning
+    s2 = {
+        r["doc_id"]: r["start_token"]
+        for r in pack_sequences(
+            docs.repartition(7), window=16, n_shards=4, shuffle_seed=9
+        ).collect()
+    }
+    assert s2 == {i: r["start_token"] for i, r in s.items()}
+    # a different seed gives a different epoch order
+    s3 = {
+        r["doc_id"]: r["start_token"]
+        for r in pack_sequences(
+            docs, window=16, n_shards=4, shuffle_seed=10
+        ).collect()
+    }
+    assert s3 != s2
