@@ -100,3 +100,51 @@ def test_spark_roundtrip(spark, tmp_path):
         meta = _json.loads(r["meta_json"])
         assert (meta["w"], meta["h"], meta["fmt"]) == (t.w, t.h, t.fmt)
         assert meta["phash"] == int(t.phash)
+
+
+def test_tar_corruption_fuzz_fails_clean_and_fast():
+    """The tar walk parses untrusted archive bytes — same posture as
+    the codec family: every mutation either parses or raises, quickly,
+    with bounded allocation (size fields are bounded by the actual
+    buffer, so no header lie can allocate past the input)."""
+    import time
+
+    import numpy as np
+
+    rng = np.random.default_rng(77)
+    blob = bytearray(
+        build_tar(
+            [
+                (f"k{i:04d}", "bin", bytes(rng.integers(0, 256, 200,
+                 np.uint8)), f"cap {i}", "{}")
+                for i in range(10)
+            ]
+        )
+    )
+    n = len(blob)
+    t0 = time.monotonic()
+    n_raised = 0
+    for trial in range(600):
+        mutated = bytearray(blob)
+        kind = trial % 3
+        if kind == 0:
+            for _ in range(int(rng.integers(1, 5))):
+                mutated[int(rng.integers(0, n))] = int(
+                    rng.integers(0, 256)
+                )
+        elif kind == 1:
+            mutated = mutated[: int(rng.integers(1, n))]
+        else:
+            at = int(rng.integers(0, n))
+            ln = int(rng.integers(1, 128))
+            mutated[at : at + ln] = rng.integers(
+                0, 256, ln, np.uint8
+            ).tobytes()
+        try:
+            out = parse_tar(bytes(mutated))
+            assert isinstance(out, list)
+        except ValueError:
+            n_raised += 1
+    elapsed = time.monotonic() - t0
+    assert elapsed < 20.0, f"corrupt tar walks too slow: {elapsed:.1f}s"
+    assert n_raised > 200
