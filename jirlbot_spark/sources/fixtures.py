@@ -443,7 +443,11 @@ def resume_scenario():
     robots["priv.site9.com"] = (["/secret"], 0.0)
     robots["site9.com"] = ([], 1.0)
     cfg = dict(top_k=4, b_hi=6, b_lo=2, default_budget=3, min_delay_s=1.0)
-    return seeds, graph, robots, cfg, 4
+    # 3 batches (2 before the resume split + 1 after): 20 fetches, still
+    # covering dedup, the disallowed host, varied delays, and BEAST
+    # deferral — batch 4 added 6 more fetches for ~15 s of extra wall
+    # time in the driver's correctness window (r3 verdict item 6)
+    return seeds, graph, robots, cfg, 3
 
 
 def gen_audio(seed: int, n: int) -> pd.DataFrame:

@@ -563,7 +563,7 @@ def golden_resume_state() -> str:
         )
         for e in sim.fetch_log
     ]
-    assert len(rows) >= 25, f"scenario too small: {len(rows)} fetches"
+    assert len(rows) >= 18, f"scenario too small: {len(rows)} fetches"
     return values_sql(
         ["batch", "url", "host", "seq_in_host", "planned_at_s"],
         rows,
