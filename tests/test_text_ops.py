@@ -135,6 +135,69 @@ def test_brute_topk_exact(spark, vectors):
         assert sims == sorted(sims, reverse=True)
 
 
+def test_brute_topk_blocked_queries_identical(spark, vectors):
+    """Query-block streaming (driver holds at most max_query_block query
+    rows at once) must be invisible in the result: forcing >1 block gives
+    the bit-identical top-k of the single-block plan, and the block
+    iterator really does split."""
+    from jirlbot_spark.operators.similarity import (
+        _iter_query_blocks,
+        ivf_topk,
+    )
+
+    queries = vectors.filter(F.col("vec_id") < 10)
+    blocks = list(_iter_query_blocks(queries, "vec_id", "embedding", 3))
+    assert len(blocks) > 1  # the split actually happened
+    assert sum(len(q) for q, _ in blocks) == 10  # no query lost/duplicated
+    assert len(np.unique(np.concatenate([q for q, _ in blocks]))) == 10
+
+    def cmp(one, many, exact):
+        one, many = sorted(one), sorted(many)
+        assert [r[:3] for r in one] == [r[:3] for r in many]
+        if exact:
+            assert [r[3] for r in one] == [r[3] for r in many]
+        else:
+            # float path: BLAS may re-order dot-product summation when
+            # the block row count changes kernels — last-ulp only
+            np.testing.assert_allclose(
+                [r[3] for r in one], [r[3] for r in many], rtol=1e-12
+            )
+
+    rows = lambda df: [  # noqa: E731
+        (r.query_id, r.rank, r.vec_id, r.cosine) for r in df.collect()
+    ]
+    cmp(
+        rows(brute_topk(queries, vectors, k=4)),
+        rows(brute_topk(queries, vectors, k=4, max_query_block=3)),
+        exact=False,
+    )
+    cmp(
+        rows(ivf_topk(queries, vectors, k=4, n_centroids=8, nprobe=4)),
+        rows(
+            ivf_topk(
+                queries, vectors, k=4, n_centroids=8, nprobe=4,
+                max_query_block=3,
+            )
+        ),
+        exact=False,
+    )
+
+    # integer vectors: int64 matmul is exact -> BIT-identical across
+    # blockings, the property the exact golden oracles rely on
+    rng = np.random.default_rng(11)
+    imat = rng.integers(-40, 40, size=(12, 16))
+    ivec = spark.createDataFrame(
+        [(i, [int(v) for v in imat[i]]) for i in range(12)],
+        "vec_id long, embedding array<long>",
+    )
+    iq = ivec.filter(F.col("vec_id") < 6)
+    cmp(
+        rows(brute_topk(iq, ivec, k=3)),
+        rows(brute_topk(iq, ivec, k=3, max_query_block=2)),
+        exact=True,
+    )
+
+
 def test_lsh_recall_vs_brute(spark, vectors):
     queries = vectors.filter(F.col("vec_id") == 3)
     brute = {r.vec_id for r in brute_topk(queries, vectors, k=3).collect()}
