@@ -51,10 +51,13 @@ PNG_KEEP = {
     b"sBIT",
     b"bKGD",
 }
-# structural JPEG markers kept pre-SOS: DQT, SOF0-15 (excl. DHT/DAC
-# slots which are listed separately), DHT, DRI, DNL, EXP
+# structural JPEG markers kept pre-SOS: DQT, DHT, DAC, DRI, DNL, EXP and
+# SOF0-15 (the SOFn range minus the DHT/JPG/DAC slots, which are not
+# frame headers — DHT 0xC4 and DAC 0xCC are decode tables and listed
+# explicitly: dropping DAC would strip an arithmetic-coded JPEG's
+# conditioning tables and break the decoded-pixels-identical contract)
 _JPEG_KEEP = (
-    {0xDB, 0xC4, 0xDD, 0xDC, 0xDF}
+    {0xDB, 0xC4, 0xCC, 0xDD, 0xDC, 0xDF}
     | {0xC0 + i for i in range(16) if i not in (4, 8, 12)}
 )
 

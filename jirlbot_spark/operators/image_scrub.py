@@ -49,7 +49,10 @@ def scrub_image_metadata(
     payload when the format is unsupported or the walk fails."""
     from jirlbot_spark.functions.image_meta import strip_metadata
 
-    keep = [f for f in df.schema.fields if f.name in id_cols]
+    # keep MUST be in id_cols order (not schema order): row tuples below
+    # are built in id_cols order, and two same-typed id columns passed in
+    # a different order than the schema would otherwise swap silently
+    keep = [df.schema[c] for c in id_cols]
     out_schema = StructType(keep + _SCRUB_EXTRA)
     # id_cols may include fmt_col itself — select each column once
     cols = list(dict.fromkeys([*id_cols, bytes_col, fmt_col]))

@@ -115,9 +115,12 @@ def score_documents(
     Returns (id, n_grams, sum_q, score, keep):
       score = (sum_q + bias_q·n_grams) / (n_grams·scale)   [n_grams>0]
               bias_q / scale                               [n_grams=0]
-      keep  = sum_q + bias_q·n ≥ threshold_q·n  (exact int64; for
-              n=0 this degenerates to bias_q ≥ 0·…, i.e. blank docs
-              keep iff bias_q ≥ 0 — document your bias accordingly).
+      keep  = sum_q + bias_q·n ≥ threshold_q·n             [n_grams>0]
+              bias_q ≥ threshold_q                         [n_grams=0]
+    Both exact int64; the n=0 rule is the n>0 cross-multiplication rule
+    applied to the n=0 score (score ≥ threshold_q/scale), so a blank
+    document is kept exactly when its reported score clears the
+    threshold — not unconditionally.
     """
     grams = gram_hashes(docs, text_col, id_col)
     scored = (
@@ -144,7 +147,9 @@ def score_documents(
             n.alias("n_grams"),
             s.alias("sum_q"),
             score.alias("score"),
-            (num >= F.lit(int(threshold_q)) * n).alias("keep"),
+            F.when(n > 0, num >= F.lit(int(threshold_q)) * n)
+            .otherwise(F.lit(int(bias_q) >= int(threshold_q)))
+            .alias("keep"),
         )
     )
 

@@ -232,7 +232,13 @@ def read_webdataset(spark: SparkSession, path_glob: str) -> DataFrame:
                 groups: dict[str, dict[str, bytes]] = {}
                 order: list[str] = []
                 for name, payload in parse_tar(bytes(t.content)):
-                    key, _, ext = name.rpartition(".")
+                    # WebDataset keys samples by everything before the
+                    # FIRST dot of the basename (extensions are multi-dot,
+                    # e.g. "seg.png"); splitting at the last dot would
+                    # fragment such samples from external shards
+                    dirname, _, base = name.rpartition("/")
+                    stem, _, ext = base.partition(".")
+                    key = f"{dirname}/{stem}" if dirname else stem
                     if key not in groups:
                         groups[key] = {}
                         order.append(key)

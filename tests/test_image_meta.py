@@ -77,6 +77,20 @@ def test_jpeg_strips_app_com_pre_sos_only():
     assert sos > 0 and clean[sos:] == data[data.find(b"\xff\xda"):]
 
 
+def test_jpeg_keeps_dac_conditioning_tables():
+    """A DAC (0xCC) segment — arithmetic-coding conditioning tables — is
+    structural decode state, not metadata: stripping it would break the
+    decoded-pixels-identical contract for arithmetic-coded JPEGs."""
+    data = encode_jpeg(_px(), quality=90)
+    dac = b"\xff\xcc\x00\x04\x01\x11"
+    com = b"\xff\xfe\x00\x06beef"
+    dirty = data[:2] + dac + com + data[2:]
+    clean, n = strip_jpeg(dirty)
+    assert dac in clean
+    assert b"beef" not in clean
+    assert n == 2  # APP0 (JFIF) + COM, never the DAC
+
+
 def test_jpeg_fails_closed():
     with pytest.raises(ValueError):
         strip_jpeg(b"\x00\x00")
@@ -158,6 +172,20 @@ def test_scrub_operator(spark):
         assert r["supported"] is sup and r["scrub_ok"]
         assert r["orig_len"] == len(bytes(t.bytes))
         assert r["clean_len"] == len(clean)
+
+
+def test_scrub_operator_id_cols_order_independent(spark):
+    """Two same-typed id columns passed in the REVERSE of schema order
+    must still land under their own names (output schema follows
+    id_cols order, matching the row-tuple construction)."""
+    from jirlbot_spark.operators.image_scrub import scrub_image_metadata
+
+    df = spark.createDataFrame(
+        [("idA", "srcB", "png", b"\x89PNG\r\n\x1a\nbroken")],
+        "image_id string, src string, fmt string, bytes binary",
+    )
+    r = scrub_image_metadata(df, id_cols=("src", "image_id")).collect()[0]
+    assert (r["src"], r["image_id"]) == ("srcB", "idA")
 
 
 def test_scrub_operator_corrupt_row_passthrough(spark):

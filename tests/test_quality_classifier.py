@@ -61,7 +61,10 @@ def _ref_scores(bias_q: int, threshold_q: int):
         s = sum(W_STR.get(g, 0) for g in gs)
         num = s + bias_q * n
         score = num / (n * SCALE) if n else bias_q / SCALE
-        out[i] = (n, s, score, num >= threshold_q * n)
+        # n=0: keep iff the blank-doc score (bias_q/scale) clears the
+        # threshold — NOT the degenerate 0 >= 0 (always-keep) rule
+        keep = num >= threshold_q * n if n else bias_q >= threshold_q
+        out[i] = (n, s, score, keep)
     return out
 
 
@@ -96,6 +99,17 @@ def test_score_documents_exact(spark):
         assert (r["n_grams"], r["sum_q"]) == (n, s)
         assert r["score"] == score  # one correctly-rounded division
         assert r["keep"] == keep
+    # blank docs (4, 5): bias below threshold -> dropped...
+    blank = {r["doc_id"]: r["keep"] for r in out if r["doc_id"] in (4, 5)}
+    assert blank == {4: False, 5: False}
+    # ...and kept when the bias clears it (both n=0 branches exercised)
+    out2 = {
+        r["doc_id"]: r["keep"]
+        for r in score_documents(
+            df, _weights_df(spark), bias_q=bias_q, threshold_q=bias_q
+        ).collect()
+    }
+    assert out2[4] and out2[5]
 
 
 def test_score_partition_invariant(spark):

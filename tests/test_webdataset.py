@@ -102,6 +102,37 @@ def test_spark_roundtrip(spark, tmp_path):
         assert meta["phash"] == int(t.phash)
 
 
+def test_read_groups_multidot_extensions_by_first_dot(spark, tmp_path):
+    """External shards key samples by everything before the FIRST dot of
+    the basename (WebDataset convention — extensions like 'seg.png' are
+    multi-dot); the reader must not fragment such samples."""
+    p = tmp_path / "shard-00000.tar"
+    with tarfile.open(p, mode="w") as tf:
+        for name, payload in [
+            ("s1.seg.png", b"\x89PNGseg"),
+            ("s1.txt", b"cap one"),
+            ("s1.json", b'{"k":1}'),
+            ("train/s2.jpg", b"\xff\xd8two"),
+            ("train/s2.txt", b"cap two"),
+        ]:
+            ti = tarfile.TarInfo(name)
+            ti.size = len(payload)
+            tf.addfile(ti, io.BytesIO(payload))
+    rows = {
+        r.key: r
+        for r in read_webdataset(spark, str(tmp_path / "*.tar")).collect()
+    }
+    assert set(rows) == {"s1", "train/s2"}
+    r1 = rows["s1"]
+    assert (r1.ext, bytes(r1.image_bytes), r1.caption, r1.meta_json) == (
+        "seg.png", b"\x89PNGseg", "cap one", '{"k":1}'
+    )
+    r2 = rows["train/s2"]
+    assert (r2.ext, bytes(r2.image_bytes), r2.caption) == (
+        "jpg", b"\xff\xd8two", "cap two"
+    )
+
+
 def test_tar_corruption_fuzz_fails_clean_and_fast():
     """The tar walk parses untrusted archive bytes — same posture as
     the codec family: every mutation either parses or raises, quickly,
