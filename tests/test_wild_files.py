@@ -244,3 +244,68 @@ def test_wild_jpeg_psnr(truth):
     assert 10 * np.log10(255.0**2 / mse_luma) >= 35.0  # measured: 35.54
     mse = np.mean((af - t) ** 2)
     assert 10 * np.log10(255.0**2 / mse) >= 22.0  # measured: 23.44
+
+
+# ------------------------------------------------- operators over wild files
+#
+# The image_scrub / image_stats OPERATORS (not just the decoders) must
+# handle third-party-encoded bytes: a metadata walk or stats batch that
+# only ever saw in-tree-encoded fixtures could share a blind spot with
+# the encoder.
+
+
+def test_wild_image_scrub_operator_preserves_pixels(spark):
+    """Scrub the wild PNG/JPEG/GIF through scrub_image_metadata: the
+    walk must succeed (scrub_ok), never grow the payload, and the
+    scrubbed bytes must decode to EXACTLY the original pixels."""
+    from jirlbot_spark.functions.images import decode_image
+    from jirlbot_spark.operators.image_scrub import scrub_image_metadata
+
+    cases = [("python.png", "png"), ("python.jpg", "jpeg"),
+             ("python.gif", "gif")]
+    df = spark.createDataFrame(
+        [(n, f, _load(n)) for n, f in cases],
+        "image_id string, fmt string, bytes binary",
+    )
+    rows = {r["image_id"]: r for r in scrub_image_metadata(df).collect()}
+    assert len(rows) == len(cases)
+    for name, fmt in cases:
+        r = rows[name]
+        assert r["scrub_ok"] and r["supported"]
+        assert r["clean_len"] <= r["orig_len"]
+        before = decode_image(_load(name), fmt, 16, 16)
+        after = decode_image(bytes(r["clean_bytes"]), fmt, 16, 16)
+        assert np.array_equal(before, after), name
+
+
+def test_wild_image_stats_operator(spark, truth):
+    """image_stats over wild-encoder payloads: decode_ok for every
+    supported format, stats equal to the direct numpy computation on
+    the decoded pixels, and the exact-lossless formats agree with the
+    PPM ground truth's stats; junk bytes emit decode_ok=False."""
+    from jirlbot_spark.functions.images import (
+        decode_image,
+        image_stats_array,
+    )
+    from jirlbot_spark.operators.fetch import image_stats
+
+    cases = [("python.png", "png"), ("python.bmp", "bmp"),
+             ("python.tiff", "tiff"), ("python.jpg", "jpeg"),
+             ("python.gif", "gif"), ("python.ppm", "ppm")]
+    rows_in = [(n, f, _load(n), 16, 16) for n, f in cases]
+    rows_in.append(("junk", "png", b"\x00notanimage", 16, 16))
+    df = spark.createDataFrame(
+        rows_in, "image_id string, fmt string, bytes binary, w int, h int"
+    )
+    got = {r["image_id"]: r for r in image_stats(df).collect()}
+    assert not got["junk"]["decode_ok"]
+    truth_stats = image_stats_array(truth)
+    for name, fmt in cases:
+        r = got[name]
+        assert r["decode_ok"], name
+        want = image_stats_array(decode_image(_load(name), fmt, 16, 16))
+        for k, v in want.items():
+            assert r[k] == v, (name, k)
+        if fmt in ("png", "bmp", "tiff", "ppm"):  # lossless wild formats
+            for k, v in truth_stats.items():
+                assert r[k] == v, (name, k)
