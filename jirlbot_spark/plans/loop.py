@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -130,6 +130,19 @@ class CrawlConfig:
     # semantics; fetch_log simply gains a content_hash column when the
     # backend surfaces payload bytes).
     recrawl_threshold: int | None = None
+    # Backpressure: cap the candidates one crawl pass takes from the
+    # frontier (the maxOffsetsPerTrigger analog for the frontier source;
+    # None = unbounded). Scalable exact-per-bucket form: each DRUM bucket
+    # admits its ceil(max/num_buckets) best-(priority, url_hash) rows via
+    # a bucket-partitioned window — never a global sort/limit — so the
+    # per-pass total is <= num_buckets * ceil(max/num_buckets) (= max
+    # when num_buckets divides it; hash-uniform buckets make the bound
+    # tight in expectation). Overflow rows ride to the next frontier
+    # untouched and age normally. A burst of discovered links therefore
+    # cannot blow up one microbatch's memory/shuffle footprint: batch
+    # cost is bounded by max, burst size only affects how many batches
+    # drain it.
+    max_urls_per_batch: int | None = None
     # Fold url_seen's per-batch runs into one every N batches (None = never).
     # Append-only runs keep commits cheap, but the membership anti-join
     # reads every run of a bucket — at 10^10 keys unbounded run counts
@@ -429,6 +442,21 @@ class CrawlLoop:
                 "done": cfg.recrawl_threshold is None,
                 "idle": cfg.recrawl_threshold is not None,
             }
+        # backpressure: per-bucket windowed top-k (the O20 shape — never a
+        # global sort/limit) splits the pass's candidates from overflow,
+        # which rides to the next frontier untouched (cfg.max_urls_per_batch
+        # docstring pins the bound)
+        overflow = None
+        if cfg.max_urls_per_batch is not None:
+            k = -(-cfg.max_urls_per_batch // cfg.num_buckets)
+            w = Window.partitionBy(
+                F.pmod(F.col("url_hash"), F.lit(cfg.num_buckets))
+            ).orderBy(F.asc("priority"), F.asc("url_hash"))
+            ranked = frontier.withColumn(
+                "__rn", F.row_number().over(w)
+            ).cache()
+            frontier = ranked.filter(F.col("__rn") <= k).drop("__rn")
+            overflow = ranked.filter(F.col("__rn") > k).drop("__rn")
         frontier = frontier.cache()
         rows_in = frontier.count()
 
@@ -672,6 +700,12 @@ class CrawlLoop:
         )
         if fresh is not None:
             next_frontier = next_frontier.unionByName(fresh.select(*cols))
+        if overflow is not None:
+            # backpressure overflow re-queues as-is (same enqueue_batch:
+            # it was never admitted, so it keeps aging for priority)
+            next_frontier = next_frontier.unionByName(
+                overflow.select(*cols)
+            )
 
         fetch_log = fetched.select(
             "url_hash",
@@ -770,6 +804,8 @@ class CrawlLoop:
             "done": False,
         }
         frontier.unpersist()
+        if overflow is not None:
+            ranked.unpersist()
         checked.unpersist()
         fetched.unpersist()
         return stats

@@ -36,6 +36,7 @@ def stream_crawl(
     checkpoint_dir: str,
     max_batches: int | None = None,
     passes_per_trigger: int = 1,
+    max_urls_per_pass: int | None = None,
 ):
     """Drive the crawl loop from a streaming seed source via foreachBatch.
 
@@ -44,7 +45,18 @@ def stream_crawl(
     passes (the first pass after a cold start only requests robots — hosts
     are fetchable from the second pass on, mirroring batch mode). Returns
     the StreamingQuery (caller awaits/stops it).
+
+    Backpressure: `max_urls_per_pass` is the frontier-source analog of a
+    Kafka source's maxOffsetsPerTrigger — it sets
+    `loop.cfg.max_urls_per_batch`, so each pass admits at most that many
+    frontier candidates (scalable per-bucket top-k; see CrawlConfig) and
+    a seed/link burst drains over several triggers instead of inflating
+    one. Rate-limit the SEED side with the source's own knobs
+    (`rate` source rowsPerSecond, file source maxFilesPerTrigger) —
+    foreachBatch inherits them for free.
     """
+    if max_urls_per_pass is not None:
+        loop.cfg.max_urls_per_batch = max_urls_per_pass
     state = {"batches": 0}
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:

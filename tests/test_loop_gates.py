@@ -142,3 +142,29 @@ def test_adaptive_inert_without_rtt(spark, tmp_path):
     )
     stats = loop.run(2)
     assert stats[-1]["fetched"] > 0
+
+
+def test_backpressure_caps_passes_and_drains_burst(spark, tmp_path):
+    """cfg.max_urls_per_batch (the frontier maxOffsetsPerTrigger analog):
+    a 120-URL seed burst must drain over several bounded passes — no
+    pass admits more than the cap, nothing is lost, nothing fetched
+    twice."""
+    seeds = [f"http://h{i:03d}.com/" for i in range(120)]
+    store = TableStore(spark, str(tmp_path / "bp"))
+    cfg = CrawlConfig(
+        num_buckets=8, max_urls_per_batch=40, min_delay_s=0.0,
+        salt_buckets=2,
+    )
+    loop = CrawlLoop(spark, store, None, None, None, cfg)
+    loop.ingest_seeds(spark.createDataFrame([(u,) for u in seeds], ["url"]))
+    fetched = []
+    for _ in range(14):
+        s = loop.run(1)[0]
+        fetched.append(s["fetched"])
+        assert s["rows_in"] <= 40  # the admission bound itself
+        if s["done"]:
+            break
+    assert max(fetched) <= 40
+    assert sum(1 for n in fetched if n) >= 3  # the burst really split
+    urls = [r.url for r in store.read("fetch_log").select("url").collect()]
+    assert len(urls) == len(set(urls)) == 120  # drained exactly once

@@ -92,3 +92,50 @@ def test_stream_crawl_foreachbatch(spark, tmp_path):
     assert store.read("url_seen").count() >= 2
     log = store.read("fetch_log")
     assert log is not None and log.count() >= 2
+
+
+def test_stream_crawl_backpressure_bounds_per_pass(spark, tmp_path):
+    """max_urls_per_pass: a bursty seed file (40 URLs in one trigger)
+    drains over several bounded passes inside the trigger — every
+    batch's fetch count stays under the cap and the burst completes."""
+    from jirlbot_spark.plans.loop import CrawlConfig, CrawlLoop
+    from jirlbot_spark.sources.storage import TableStore
+
+    hosts = [f"b{i:02d}.com" for i in range(40)]
+    robots = spark.createDataFrame(
+        [(h, [], 0.0) for h in hosts],
+        "host string, disallow array<string>, crawl_delay double",
+    )
+    store = TableStore(spark, str(tmp_path / "bp_state"))
+    loop = CrawlLoop(
+        spark, store, None, None, robots,
+        CrawlConfig(salt_buckets=2, num_buckets=8, min_delay_s=0.0),
+    )
+    seeds_dir = tmp_path / "bp_seeds"
+    seeds_dir.mkdir()
+    (seeds_dir / "burst.txt").write_text(
+        "".join(f"http://{h}/\n" for h in hosts)
+    )
+    seeds_stream = (
+        spark.readStream.format("text")
+        .load(str(seeds_dir))
+        .select(F.col("value").alias("url"))
+    )
+    q = stream_crawl(
+        spark, loop, seeds_stream, str(tmp_path / "bp_ckpt"),
+        passes_per_trigger=13, max_urls_per_pass=16,
+    )
+    q.awaitTermination(400)
+    if q.isActive:
+        q.stop()
+    assert loop.cfg.max_urls_per_batch == 16  # the knob reached the loop
+    per_batch = {
+        r["batch"]: r["n"]
+        for r in store.read("fetch_log")
+        .groupBy("batch")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert per_batch and max(per_batch.values()) <= 16
+    assert sum(per_batch.values()) == 40  # the whole burst drained
+    assert len(per_batch) >= 3  # across several bounded passes
