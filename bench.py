@@ -142,6 +142,34 @@ def prepare_urls(df):
     return prepare_urls_fused(df, "url", None, keep=("id", "priority"))
 
 
+# Multi-pass bucket-range dedup (the DRUM sequential-bucket move): with
+# JIRLBOT_BENCH_RANGES=R > 1, the dedup exchange and the budget/schedule
+# stages each run as R sequential passes over disjoint key ranges, so
+# LIVE shuffle storage is bounded by one range's footprint instead of the
+# whole frontier's. That is what the 10^9 one-box attempt died on
+# (SCALE.md addendum 4: ~90 GB of dedup shuffle on tmpfs + 36 GB JVM >
+# the 126 GiB they share); a cluster scales shuffle storage with N
+# per-node disks, one box cannot. Exactness: phase-2 ranges partition on
+# the DEDUP key (url_hash bucket), so every duplicate pair lands in one
+# pass; phase-3 ranges partition on pld_hash, and a host belongs to
+# exactly one PLD, so each BEAST ranking and each per-host politeness
+# window is entirely inside one pass. STAR budgets stay GLOBAL (one
+# map-side-combined aggregate whose shuffle carries (pld, count)
+# partials — tiny at any scale).
+N_RANGES = int(os.environ.get("JIRLBOT_BENCH_RANGES", "1"))
+
+
+def _reclaim_shuffle(spark) -> None:
+    """Between ranged passes: drop references and nudge both GCs so the
+    ContextCleaner deletes the finished pass's shuffle files before the
+    next pass writes its own — the storage bound the ranged mode exists
+    for."""
+    import gc
+
+    gc.collect()
+    spark._jvm.System.gc()
+
+
 def run_frontier_pipeline(spark, n: int, workdir: str) -> dict:
     from pyspark.sql import functions as F
 
@@ -180,32 +208,78 @@ def run_frontier_pipeline(spark, n: int, workdir: str) -> dict:
     # phase 2: DRUM check_update (in-batch first-arrival agg + shuffled-
     # hash anti-join, no Window — see check_update_agg); the unique set
     # is committed to the table store like the real loop's atomic batch
-    # commit, so phase 3 reads it instead of recomputing the join chain
+    # commit, so phase 3 reads it instead of recomputing the join chain.
+    # Ranged mode (N_RANGES > 1) runs it as sequential bucket-range
+    # passes — dedup key ranges are exact (every duplicate pair shares a
+    # bucket) and live shuffle stays at one range's footprint.
     t0 = time.time()
-    fresh, uniques = check_update_agg(
-        prepared, seen, key_col="url_hash", order_col="id"
-    )
     fresh_path = os.path.join(workdir, "fresh")
-    fresh.write.mode("overwrite").parquet(fresh_path)
+    n_ranges = N_RANGES
+    if n_ranges > 1:
+        assert 32 % n_ranges == 0, "ranges must divide the 32 buckets"
+        per = 32 // n_ranges
+        for r in range(n_ranges):
+            lo, hi = r * per, (r + 1) * per - 1
+            sub = prepared.filter(
+                F.pmod("url_hash", F.lit(32)).between(lo, hi)
+            )
+            seen_r = seen.filter(F.col("bucket").between(lo, hi))
+            fresh_r, _uniq = check_update_agg(
+                sub, seen_r, key_col="url_hash", order_col="id"
+            )
+            fresh_r.write.mode("append").parquet(fresh_path)
+            del sub, seen_r, fresh_r, _uniq
+            _reclaim_shuffle(spark)
+    else:
+        fresh, uniques = check_update_agg(
+            prepared, seen, key_col="url_hash", order_col="id"
+        )
+        fresh.write.mode("overwrite").parquet(fresh_path)
     fresh = spark.read.parquet(fresh_path)
     n_unique = fresh.count()
     timings["dedup_s"] = time.time() - t0
 
     # phase 3: STAR budgets (synthetic indegree), salted BEAST admission,
-    # politeness schedule
+    # politeness schedule. Budgets stay GLOBAL in ranged mode (small
+    # map-side-combined agg, cached once); BEAST + politeness range on
+    # pld_hash — a host belongs to one PLD, so every ranking and every
+    # per-host window is whole inside its pass.
     t0 = time.time()
+    salt = int(os.environ.get("JIRLBOT_BENCH_SALT", "16"))
     deg = fresh.groupBy("pld_hash").agg(F.count("*").alias("indegree"))
     budgets = star_budgets(deg, top_k=10_000, b_hi=10_000, b_lo=10).select(
         "pld_hash", "budget"
     )
-    enforced = beast_enforce(
-        fresh.withColumn("enqueue_batch", F.lit(0)),
-        budgets,
-        salt_buckets=int(os.environ.get("JIRLBOT_BENCH_SALT", "16")),
-    )
-    admitted, _deferred = split_admitted(enforced)
-    sched = politeness_schedule(admitted, host_col="host_hash", min_delay_s=1.0)
-    n_admitted = sched.count()
+    if n_ranges > 1:
+        budgets = budgets.cache()
+        budgets.count()  # materialize once, reuse across passes
+        n_admitted = 0
+        for r in range(n_ranges):
+            subf = fresh.filter(F.pmod("pld_hash", F.lit(n_ranges)) == r)
+            enforced = beast_enforce(
+                subf.withColumn("enqueue_batch", F.lit(0)),
+                budgets,
+                salt_buckets=salt,
+            )
+            admitted, _deferred = split_admitted(enforced)
+            sched = politeness_schedule(
+                admitted, host_col="host_hash", min_delay_s=1.0
+            )
+            n_admitted += sched.count()
+            del subf, enforced, admitted, _deferred, sched
+            _reclaim_shuffle(spark)
+        budgets.unpersist()
+    else:
+        enforced = beast_enforce(
+            fresh.withColumn("enqueue_batch", F.lit(0)),
+            budgets,
+            salt_buckets=salt,
+        )
+        admitted, _deferred = split_admitted(enforced)
+        sched = politeness_schedule(
+            admitted, host_col="host_hash", min_delay_s=1.0
+        )
+        n_admitted = sched.count()
     timings["schedule_s"] = time.time() - t0
 
     wall = sum(timings.values())
@@ -213,6 +287,7 @@ def run_frontier_pipeline(spark, n: int, workdir: str) -> dict:
         "n_urls": n,
         "n_unique": n_unique,
         "n_admitted": n_admitted,
+        "n_ranges": n_ranges,
         "timings": timings,
         "wall_s": wall,
         "urls_per_sec": n / wall,

@@ -179,3 +179,35 @@ def test_own_encoders_round_trip():
     ints = np.round(dec_u * 32768.0).astype(np.int32)
     assert set(ints.reshape(-1).tolist()) <= table_vals
     assert np.abs(dec_u - wave).max() < 0.04
+
+
+# ------------------------------------------------------- wild MP3 walk
+
+_WILD_MP3 = (
+    "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/test_data/"
+    "test.mp3"
+)
+
+
+@pytest.mark.skipif(
+    not os.path.isfile(_WILD_MP3), reason="gsutil wild mp3 not present"
+)
+def test_wild_mp3_header_walk():
+    """The one third-party MP3 in the sandbox (gsutil test data): an
+    ID3v2-prefixed MPEG-2 Layer III mono stream. The container walk
+    must skip the tag, count every frame, and report the structural
+    facts pinned here (sample decode itself stays gated — see
+    functions/mp3.py's measured-infeasibility note)."""
+    from jirlbot_spark.functions.mp3 import is_mp3, mp3_info
+
+    with open(_WILD_MP3, "rb") as f:
+        data = f.read()
+    assert is_mp3(data)
+    info = mp3_info(data)
+    assert info["sample_rate"] == 22050  # MPEG-2, sr_idx 0
+    assert info["channels"] == 1
+    # MPEG-2 Layer III: 576 samples per frame; whole stream walks clean
+    assert info["n_frames"] == 45
+    assert info["n_samples"] == 45 * 576
+    assert round(info["bitrate_kbps"]) == 64 and not info["vbr"]
+    assert 1.1 < info["duration_s"] < 1.3
