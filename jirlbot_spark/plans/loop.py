@@ -76,6 +76,27 @@ FRONTIER_SCHEMA = StructType(
 )
 
 
+def throttle_frontier(
+    frontier: DataFrame, max_urls: int, num_buckets: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Backpressure split: (ranked, admitted, overflow).
+
+    Admits each DRUM bucket's ceil(max_urls/num_buckets) best
+    (priority asc, url_hash asc) rows via a bucket-partitioned window —
+    the O20 top-k shape, never a global sort or single-partition window
+    (plan-asserted in PLANS.md) — so one pass's candidate set is bounded
+    by ~max_urls while overflow re-queues untouched. `ranked` is the
+    shared parent; callers cache it so the two filters scan once."""
+    k = -(-max_urls // num_buckets)
+    w = Window.partitionBy(
+        F.pmod(F.col("url_hash"), F.lit(num_buckets))
+    ).orderBy(F.asc("priority"), F.asc("url_hash"))
+    ranked = frontier.withColumn("__rn", F.row_number().over(w))
+    admitted = ranked.filter(F.col("__rn") <= k).drop("__rn")
+    overflow = ranked.filter(F.col("__rn") > k).drop("__rn")
+    return ranked, admitted, overflow
+
+
 @dataclass
 class CrawlConfig:
     top_k: int = 100
@@ -448,15 +469,10 @@ class CrawlLoop:
         # docstring pins the bound)
         overflow = None
         if cfg.max_urls_per_batch is not None:
-            k = -(-cfg.max_urls_per_batch // cfg.num_buckets)
-            w = Window.partitionBy(
-                F.pmod(F.col("url_hash"), F.lit(cfg.num_buckets))
-            ).orderBy(F.asc("priority"), F.asc("url_hash"))
-            ranked = frontier.withColumn(
-                "__rn", F.row_number().over(w)
-            ).cache()
-            frontier = ranked.filter(F.col("__rn") <= k).drop("__rn")
-            overflow = ranked.filter(F.col("__rn") > k).drop("__rn")
+            ranked, frontier, overflow = throttle_frontier(
+                frontier, cfg.max_urls_per_batch, cfg.num_buckets
+            )
+            ranked = ranked.cache()
         frontier = frontier.cache()
         rows_in = frontier.count()
 

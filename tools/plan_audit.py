@@ -468,6 +468,54 @@ def main() -> None:
         )
     )
 
+    # --- frontier backpressure throttle (r4): per-bucket window, never
+    # a global sort/limit or single-partition window
+    from jirlbot_spark.plans.loop import throttle_frontier
+
+    synth_frontier = spark.range(20000).select(
+        F.col("id").alias("url_hash"),
+        (F.col("id") % 3).cast("double").alias("priority"),
+    )
+    _ranked, th_admitted, _overflow = throttle_frontier(
+        synth_frontier, max_urls=512, num_buckets=32
+    )
+    th_plan = capture_plan(th_admitted)
+    sections.append(
+        (
+            "Frontier backpressure throttle (max_urls_per_batch)",
+            "The per-pass candidate cap must rank inside each DRUM "
+            "bucket (window partitioned on pmod(url_hash, buckets)) — "
+            "a global Sort/Limit or SinglePartition exchange would "
+            "serialize a 10^10-row frontier through one task.",
+            th_plan,
+        )
+    )
+
+    # --- blocked ANN query streaming (r4): >1 query block unions
+    # partials; global top-k windows per query_id (hash-partitioned)
+    from jirlbot_spark.operators.similarity import brute_topk
+
+    vecs = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[(F.col("id") * (i + 3) % 97).cast("long") for i in range(8)]
+        ).alias("embedding"),
+    )
+    ann_blocked = brute_topk(
+        vecs.filter(F.col("vec_id") < 50), vecs, k=3, max_query_block=16
+    )
+    annb_plan = capture_plan(ann_blocked)
+    sections.append(
+        (
+            "Blocked brute_topk (query set streamed in bounded blocks)",
+            "With max_query_block below |Q|, the partials of several "
+            "query blocks union before ONE per-query window — no "
+            "SinglePartition exchange, no cartesian; the driver never "
+            "holds the full query matrix.",
+            annb_plan,
+        )
+    )
+
     def _no_split_at_or_above_generates(plan: str) -> bool:
         # every split() must live in a doc-level Project (the __toks
         # projection or the __total/array_join totals projection) —
@@ -588,6 +636,17 @@ def main() -> None:
         and "BroadcastNestedLoopJoin" not in pb_plan,
         "aspect bucket assignment is exchange-free (map-side argmin)":
         "Exchange" not in ab_plan,
+        "frontier throttle windows per bucket (no SinglePartition/global sort)":
+        "Window" in th_plan
+        and "SinglePartition" not in th_plan
+        and "GlobalLimit" not in th_plan
+        # the bucket expr pmod(<url_hash input>, 32) feeds the window
+        # partitioning (aliasing may collapse url_hash to its source col)
+        and bool(re.search(r"pmod\(\w+#\d+L?, 32\)", th_plan)),
+        "blocked brute_topk unions query blocks, no SinglePartition":
+        "Union" in annb_plan
+        and "SinglePartition" not in annb_plan
+        and "CartesianProduct" not in annb_plan,
     }
 
     out = ["# PLANS — physical-plan audit (sf0.01, local[4])\n"]
