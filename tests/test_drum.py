@@ -200,3 +200,37 @@ def test_iceberg_store_gated(spark, tmp_path):
 
     with _pytest.raises(NotImplementedError, match="STUB-GATE"):
         IcebergTableStore(spark, str(tmp_path / "ice"))
+
+
+def test_concurrent_commit_crash_leaves_manifest_untouched(spark, tmp_path):
+    """The concurrent multi-table commit keeps the crash contract: if ANY
+    table's write fails, the manifest must not move (readers still see
+    the old state), already-written sibling run dirs become orphans that
+    gc_orphans removes, and the same batch id can then be re-committed
+    cleanly."""
+    import pytest as _pytest
+
+    root = str(tmp_path / "state")
+    store = TableStore(spark, root)
+    good = spark.range(10).select(F.col("id").alias("url_hash"))
+    store.commit_batch(0, {"a": TableWrite(good)})
+    before = store.manifest()
+
+    # a DataFrame whose evaluation throws inside the write job
+    bad = spark.range(4).select(
+        F.assert_true(F.col("id") < 2).alias("boom")
+    )
+    with _pytest.raises(Exception):
+        store.commit_batch(
+            1, {"a": TableWrite(good), "b": TableWrite(bad)}
+        )
+    after = store.manifest()
+    assert after == before  # atomic: nothing moved
+    assert store.read("a").count() == 10
+    assert store.read("b") is None
+    removed = store.gc_orphans()
+    assert all(r.startswith(("a/", "b/")) for r in removed)
+    # the batch id is still free — re-commit succeeds
+    store.commit_batch(1, {"a": TableWrite(good), "b": TableWrite(good)})
+    assert store.read("b").count() == 10
+    assert store.gc_orphans() == []
