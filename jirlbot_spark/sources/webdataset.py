@@ -103,9 +103,18 @@ def _member(name: str, data: bytes) -> bytes:
 
 def build_tar(samples: list[tuple[str, str, bytes, str, str]]) -> bytes:
     """samples: (key, ext, image_bytes, caption, meta_json), pre-sorted
-    by key. Returns the full archive bytes (two zero-blocks appended)."""
+    by key. Returns the full archive bytes (two zero-blocks appended).
+
+    Keys must be dot-free: WebDataset readers (ours included) split a
+    member's basename at the FIRST dot, so a dotted key would silently
+    fragment its sample on read — fail loudly at write time instead."""
     out = []
     for key, ext, img, caption, meta in samples:
+        if "." in key:
+            raise ValueError(
+                f"WebDataset sample key {key!r} contains '.' — readers "
+                "treat everything after the first dot as the extension"
+            )
         out.append(_member(f"{key}.{ext}", img))
         out.append(_member(f"{key}.txt", caption.encode()))
         out.append(_member(f"{key}.json", meta.encode()))

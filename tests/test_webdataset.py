@@ -179,3 +179,10 @@ def test_tar_corruption_fuzz_fails_clean_and_fast():
     elapsed = time.monotonic() - t0
     assert elapsed < 20.0, f"corrupt tar walks too slow: {elapsed:.1f}s"
     assert n_raised > 200
+
+
+def test_build_rejects_dotted_keys():
+    """A dotted key would fragment on first-dot read grouping — the
+    writer must refuse it loudly rather than round-trip wrongly."""
+    with pytest.raises(ValueError, match="contains '.'"):
+        build_tar([("img.v2", "png", b"x", "c", "{}")])
