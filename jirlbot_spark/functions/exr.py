@@ -8,7 +8,14 @@ Tiled coverage: ONE_LEVEL fully, MIPMAP/RIPMAP assemble the
 full-resolution level (0,0) and skip coarser levels (their offsets are
 still counted exactly — _tile_offset_count — so the table parses).
 PIZ/PXR24/B44/DWA, deep and multi-part files raise the explicit
-NotImplementedError gate.
+NotImplementedError gate. (PIZ is implementable in principle — its
+Huffman table travels INSIDE each chunk, unlike MP3/VP8's fixed spec
+tables — but its bit-packing and 16-bit wavelet details are pinned only
+by the OpenEXR source, no copy of which exists in this sandbox, and no
+PIZ-compressed validation file exists here either: an unvalidatable
+decoder of from-memory details would be a liability, so the gate
+stands, stated as a validation-data limitation rather than a table
+one.)
 
 Byte-level details pinned here (OpenEXR file-format doc):
   - header = magic 20000630 | version | attr list (name\\0 type\\0

@@ -11,7 +11,13 @@ payload codec family gains a VP8L branch:
     reverse read order — predictor (14 modes, spec border rules),
     cross-color, subtract-green, color-indexing with sub-byte pixel
     bundling. Lossy WebP ("VP8 " chunks, boolean-arithmetic coded)
-    needs a real codec library and raises the explicit gate.
+    needs a real codec library and raises the explicit gate — a
+    MEASURED infeasibility, same class as MP3 (functions/mp3.py): the
+    VP8 intra decoder requires the spec's default coefficient/mode
+    probability tables (hundreds of tabulated uint8 entries driving
+    the boolean decoder; one wrong entry desynchronizes the whole
+    partition) and no spec text or third-party VP8 source exists in
+    this sandbox to transcribe them from.
   - encode_webp: minimal VALID VP8L writer — no transforms, no LZ77,
     one prefix group (literal 8-bit R/G/B codes, single-symbol alpha
     and distance codes). ~3 bytes/pixel, bit-exact lossless; exists so
