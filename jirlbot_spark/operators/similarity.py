@@ -115,24 +115,33 @@ def _iter_query_blocks(
     A query set that fits one block skips the filter entirely — the
     single-block plan is identical to the pre-blocking implementation.
     """
+    # persist the narrow (qid, vec) projection: the sizing count and
+    # every block filter otherwise re-run the FULL upstream query plan
+    # (joins/UDF features) once per block — n_blocks+1 evaluations of
+    # exactly the pipeline the blocking exists to make affordable
     q = queries.select(
         F.col(qid_col).cast("long").alias("qid"),
         F.col(vec_col).alias("qv"),
-    )
-    n = q.count()
-    if n == 0:
-        return
-    n_blocks = max(1, -(-n // max_block))
-    for b in range(n_blocks):
-        blk = (
-            q
-            if n_blocks == 1
-            else q.filter(F.pmod(F.xxhash64(F.col("qid")), n_blocks) == b)
-        )
-        pdf = blk.toPandas()
-        if len(pdf) == 0:
-            continue
-        yield pdf["qid"].to_numpy(), np.vstack(pdf["qv"].to_numpy())
+    ).persist()
+    try:
+        n = q.count()
+        if n == 0:
+            return
+        n_blocks = max(1, -(-n // max_block))
+        for b in range(n_blocks):
+            blk = (
+                q
+                if n_blocks == 1
+                else q.filter(
+                    F.pmod(F.xxhash64(F.col("qid")), n_blocks) == b
+                )
+            )
+            pdf = blk.toPandas()
+            if len(pdf) == 0:
+                continue
+            yield pdf["qid"].to_numpy(), np.vstack(pdf["qv"].to_numpy())
+    finally:
+        q.unpersist()
 
 
 def _empty_ranked(df: DataFrame) -> DataFrame:
@@ -520,15 +529,34 @@ def ivf_topk(
     qid = query_id_col or id_col
     sc = corpus.sparkSession.sparkContext
     train_budget = max(train_rows_per_centroid * n_centroids, n_centroids)
+    if corpus_rows is not None and int(corpus_rows) < 1:
+        # a stale 0 must not silently return an empty result for a
+        # non-empty corpus — the hint is an optimization, never a gate
+        raise ValueError(
+            f"corpus_rows hint must be >= 1 (got {corpus_rows}); omit it "
+            "to let ivf_topk count the corpus"
+        )
     n_corpus = corpus.count() if corpus_rows is None else int(corpus_rows)
     if n_corpus == 0:
         return _empty_ranked(corpus)
     sample_mod = max(1, n_corpus // train_budget)
+    # limit() bounds the DRIVER collect even under a badly-low hint:
+    # below the cap, limit-past-the-end returns the complete (hence
+    # deterministic) hash-filtered set; AT the cap the hint was wrong
+    # by >=64x and the caller gets an error instead of a driver OOM
+    sample_cap = 64 * train_budget
     sample = (
         corpus.filter(F.pmod(F.xxhash64(F.col(id_col)), sample_mod) == 0)
         .select(F.col(vec_col))
+        .limit(sample_cap + 1)
         .toPandas()
     )
+    if len(sample) > sample_cap:
+        raise ValueError(
+            f"corpus_rows hint ({corpus_rows}) is >=64x below the true "
+            "corpus size (training sample overflowed its budget); pass a "
+            "closer hint or omit it"
+        )
     if len(sample) == 0:  # degenerate hash-sample on tiny/sparse corpora
         sample = corpus.select(F.col(vec_col)).toPandas()
     cent = _kmeans_numpy(

@@ -468,12 +468,17 @@ class CrawlLoop:
         # which rides to the next frontier untouched (cfg.max_urls_per_batch
         # docstring pins the bound)
         overflow = None
+        ranked = None
         if cfg.max_urls_per_batch is not None:
             ranked, frontier, overflow = throttle_frontier(
                 frontier, cfg.max_urls_per_batch, cfg.num_buckets
             )
+            # cache ONLY the shared ranked parent: the admitted subset
+            # reads through it (caching it separately would hold every
+            # admitted row in executor storage twice)
             ranked = ranked.cache()
-        frontier = frontier.cache()
+        else:
+            frontier = frontier.cache()
         rows_in = frontier.count()
 
         # STAR budgets from the pld graph as of the last commit
@@ -819,9 +824,7 @@ class CrawlLoop:
             "blocked": int(counts.get("blocked", 0)),
             "done": False,
         }
-        frontier.unpersist()
-        if overflow is not None:
-            ranked.unpersist()
+        (ranked if ranked is not None else frontier).unpersist()
         checked.unpersist()
         fetched.unpersist()
         return stats

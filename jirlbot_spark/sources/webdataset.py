@@ -231,7 +231,17 @@ def read_webdataset(spark: SparkSession, path_glob: str) -> DataFrame:
     """Scan shard-*.tar archives back into one row per sample:
     (src_file, key, ext, image_bytes, caption, meta_json). Members are
     grouped by basename key as encountered (the WebDataset adjacency
-    contract); samples missing an image member are dropped."""
+    contract); samples missing an image member are dropped.
+
+    Keying follows the WebDataset convention: everything before the
+    FIRST dot of the basename is the key, the rest is the (possibly
+    multi-dot) extension. Migration note: shards written with DOTTED
+    sample keys by a pre-convention writer cannot be read correctly
+    under ANY first-dot reader (the dot is indistinguishable from an
+    extension separator) — such keys fragment silently here exactly as
+    they would under the reference WebDataset loader. build_tar has
+    rejected dotted keys since the convention switch, so only external
+    legacy shards are affected."""
     files = spark.read.format("binaryFile").load(path_glob)
 
     def walk(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

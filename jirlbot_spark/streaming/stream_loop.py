@@ -47,16 +47,24 @@ def stream_crawl(
     the StreamingQuery (caller awaits/stops it).
 
     Backpressure: `max_urls_per_pass` is the frontier-source analog of a
-    Kafka source's maxOffsetsPerTrigger — it sets
-    `loop.cfg.max_urls_per_batch`, so each pass admits at most that many
-    frontier candidates (scalable per-bucket top-k; see CrawlConfig) and
-    a seed/link burst drains over several triggers instead of inflating
-    one. Rate-limit the SEED side with the source's own knobs
-    (`rate` source rowsPerSecond, file source maxFilesPerTrigger) —
-    foreachBatch inherits them for free.
+    Kafka source's maxOffsetsPerTrigger: each pass admits at most that
+    many frontier candidates (scalable per-bucket top-k; see
+    CrawlConfig.max_urls_per_batch) and a seed/link burst drains over
+    several triggers instead of inflating one. The loop adopts a COPY of
+    its config with the cap applied — the caller's CrawlConfig object is
+    never mutated, but the loop keeps the capped config for its
+    lifetime (streaming hands the loop to this query; reuse it
+    elsewhere by constructing a new CrawlLoop or reassigning loop.cfg).
+    Rate-limit the SEED side with the source's own knobs (`rate` source
+    rowsPerSecond, file source maxFilesPerTrigger) — foreachBatch
+    inherits them for free.
     """
     if max_urls_per_pass is not None:
-        loop.cfg.max_urls_per_batch = max_urls_per_pass
+        import dataclasses
+
+        loop.cfg = dataclasses.replace(
+            loop.cfg, max_urls_per_batch=max_urls_per_pass
+        )
     state = {"batches": 0}
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
