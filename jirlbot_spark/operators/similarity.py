@@ -102,8 +102,11 @@ def _iter_query_blocks(
     qid_col: str,
     vec_col: str,
     max_block: int,
-) -> Iterator[tuple[np.ndarray, np.ndarray]]:
-    """Yield (qids, qmat) numpy blocks of ~max_block query rows each.
+) -> Iterator[tuple[np.ndarray, np.ndarray, int]]:
+    """Yield (qids, qmat, n_blocks) numpy blocks of ~max_block query rows
+    each (`n_blocks` is the total block count, so callers can keep the
+    single-block plan unchanged and only pay materialization overhead in
+    genuinely blocked runs).
 
     One narrow count sizes the block structure; each block is then a
     hash-mod filter + bounded toPandas — driver memory stays O(max_block)
@@ -139,9 +142,36 @@ def _iter_query_blocks(
             pdf = blk.toPandas()
             if len(pdf) == 0:
                 continue
-            yield pdf["qid"].to_numpy(), np.vstack(pdf["qv"].to_numpy())
+            yield (
+                pdf["qid"].to_numpy(),
+                np.vstack(pdf["qv"].to_numpy()),
+                n_blocks,
+            )
     finally:
         q.unpersist()
+
+
+def _seal_query_block(part: DataFrame, bq, n_blocks: int) -> DataFrame:
+    """Bound executor storage in multi-block ANN runs (r4 advice).
+
+    A blocked run used to keep every block's query broadcast referenced
+    by the lazy unioned plan, so block-manager storage still held ~the
+    full query matrix. Here each block's partial top-k is materialized
+    eagerly (localCheckpoint — |block|·k·P id/score rows, never vectors)
+    and the block's broadcast destroyed before the next block ships:
+    storage holds ONE block's broadcast at a time, so the
+    O(max_query_block) bound covers executor storage as well as the
+    Python heap. Each materialization is its own full corpus scan — a
+    blocked run costs n_blocks corpus scans by construction; that is the
+    price of bounding driver + broadcast memory, and the caller picks the
+    tradeoff via max_query_block. Single-block runs (the common case)
+    return the untouched lazy plan, identical to the pre-blocking
+    implementation."""
+    if n_blocks <= 1:
+        return part
+    part = part.localCheckpoint(eager=True)
+    bq.destroy()
+    return part
 
 
 def _empty_ranked(df: DataFrame) -> DataFrame:
@@ -177,7 +207,10 @@ def brute_topk(
     closure capture); per block, corpus Arrow batches compute the partial
     top-k with one numpy matmul, then one window over the unioned
     partials keeps the global top-k — the shuffle carries only
-    |Q|·k·P candidate rows, never the vectors. For INTEGER vectors the
+    |Q|·k·P candidate rows, never the vectors. A blocked run scans the
+    corpus once PER BLOCK and holds only one block's broadcast at a time
+    (_seal_query_block); size max_query_block to trade corpus rescans
+    against driver/broadcast memory. For INTEGER vectors the
     results are bit-identical under any blocking (int64 matmul is exact);
     for float vectors BLAS may re-order the dot-product summation when
     the block's row count changes kernels, so cosines can differ in the
@@ -190,7 +223,7 @@ def brute_topk(
         F.col(vec_col).alias("__cv"),
     )
     partials: DataFrame | None = None
-    for qids, qmat in _iter_query_blocks(
+    for qids, qmat, n_blocks in _iter_query_blocks(
         queries, qid, vec_col, max_query_block
     ):
         bq = sc.broadcast((qids, qmat))
@@ -206,7 +239,9 @@ def brute_topk(
                 cmat = np.vstack(pdf["__cv"].to_numpy())
                 yield _topk_pairs_numpy(bqids, bqmat, cids, cmat, k)
 
-        part = corpus_narrow.mapInPandas(run, schema=_PAIR_SCHEMA)
+        part = _seal_query_block(
+            corpus_narrow.mapInPandas(run, schema=_PAIR_SCHEMA), bq, n_blocks
+        )
         partials = part if partials is None else partials.unionByName(part)
     if partials is None:
         return _empty_ranked(corpus)
@@ -519,7 +554,9 @@ def ivf_topk(
     scores only (query, row) pairs whose cell is probed — that filter is
     the IVF saving (≈ nprobe/n_centroids of the brute work). The shuffle
     carries only candidate top-k rows, never vectors — same scale posture
-    as brute_topk, minus most of the matmul. Cell assignment depends only
+    as brute_topk, minus most of the matmul (including the per-block
+    corpus rescan + one-live-broadcast bound of _seal_query_block). Cell
+    assignment depends only
     on the trained centroids, so blocking the queries cannot change any
     probe set or score.
 
@@ -558,7 +595,24 @@ def ivf_topk(
             "closer hint or omit it"
         )
     if len(sample) == 0:  # degenerate hash-sample on tiny/sparse corpora
-        sample = corpus.select(F.col(vec_col)).toPandas()
+        # the fallback must stay bounded too: a stale-HIGH corpus_rows
+        # hint inflates sample_mod until the hash sample comes back empty
+        # on a LARGE corpus, and an uncapped fallback here would be the
+        # unbounded full-corpus driver collect the hint guard exists to
+        # prevent (r4 advice). Under the cap the corpus is genuinely tiny
+        # and the limit returns the complete (hence deterministic) set.
+        sample = (
+            corpus.select(F.col(vec_col)).limit(sample_cap + 1).toPandas()
+        )
+        if len(sample) > sample_cap:
+            raise ValueError(
+                f"corpus_rows hint ({corpus_rows}) looks far too HIGH: "
+                "the hash sample came back empty yet the corpus holds "
+                f"more than {sample_cap} rows; pass a closer hint or "
+                "omit it to let ivf_topk count the corpus"
+            )
+        if len(sample) == 0:
+            return _empty_ranked(corpus)
     cent = _kmeans_numpy(
         np.vstack(sample[vec_col].to_numpy()), n_centroids, seed
     )
@@ -569,7 +623,7 @@ def ivf_topk(
         F.col(vec_col).alias("__cv"),
     )
     partials: DataFrame | None = None
-    for qids, qmat in _iter_query_blocks(
+    for qids, qmat, n_blocks in _iter_query_blocks(
         queries, qid, vec_col, max_query_block
     ):
         int_vecs = np.issubdtype(qmat.dtype, np.integer)
@@ -620,7 +674,9 @@ def ivf_topk(
                         bqids[qsel], bqmat[qsel], cids[rows], cmat[rows], k
                     )
 
-        part = corpus_narrow.mapInPandas(run, schema=_PAIR_SCHEMA)
+        part = _seal_query_block(
+            corpus_narrow.mapInPandas(run, schema=_PAIR_SCHEMA), bq, n_blocks
+        )
         partials = part if partials is None else partials.unionByName(part)
     if partials is None:
         return _empty_ranked(corpus)

@@ -24,6 +24,7 @@ Scale notes:
 from __future__ import annotations
 
 import json
+import logging
 import os
 import shutil
 import time
@@ -34,6 +35,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST = "_manifest.json"
+
+_log = logging.getLogger("jirlbot_spark.storage")
 
 
 def _parquet_rows(run_dir: str) -> int:
@@ -167,9 +170,33 @@ class TableStore:
                 name: ex.submit(_write_one, name, w)
                 for name, w in writes.items()
             }
+        # Collect EVERY table's outcome before raising: the first failing
+        # future must not mask sibling failures (their data dirs stay as
+        # gc-able orphans either way, but the operator needs the full
+        # failure list to diagnose a multi-table outage). The first
+        # failure in deterministic dict order is re-raised after all are
+        # logged.
+        errors: dict[str, BaseException] = {}
+        results: dict[str, str | None] = {}
+        for name in writes:
+            try:
+                results[name] = futs[name].result()
+            except BaseException as e:  # noqa: BLE001 - logged + re-raised
+                errors[name] = e
+        if errors:
+            for name, e in errors.items():
+                _log.error(
+                    "commit_batch(batch=%s): write for table %r failed: "
+                    "%s: %s",
+                    batch_id,
+                    name,
+                    type(e).__name__,
+                    e,
+                )
+            raise next(iter(errors.values()))
         runs_written: dict[str, str] = {}
         for name, w in writes.items():  # deterministic manifest order
-            run = futs[name].result()
+            run = results[name]
             if run is None:
                 continue
             runs_written[name] = run

@@ -234,3 +234,36 @@ def test_concurrent_commit_crash_leaves_manifest_untouched(spark, tmp_path):
     store.commit_batch(1, {"a": TableWrite(good), "b": TableWrite(good)})
     assert store.read("b").count() == 10
     assert store.gc_orphans() == []
+
+
+def test_concurrent_commit_logs_every_failed_table(spark, tmp_path, caplog):
+    """Sibling failures must not be masked by the first raising future
+    (r4 ADVICE): with TWO failing tables in one batch, both land in the
+    log, the raise is the first failure in deterministic dict order, and
+    the manifest still doesn't move."""
+    import logging as _logging
+
+    import pytest as _pytest
+
+    root = str(tmp_path / "state")
+    store = TableStore(spark, root)
+    good = spark.range(10).select(F.col("id").alias("url_hash"))
+    bad = spark.range(4).select(
+        F.assert_true(F.col("id") < 2).alias("boom")
+    )
+    with caplog.at_level(_logging.ERROR, logger="jirlbot_spark.storage"):
+        with _pytest.raises(Exception):
+            store.commit_batch(
+                0,
+                {
+                    "a": TableWrite(good),
+                    "b": TableWrite(bad),
+                    "c": TableWrite(bad),
+                },
+            )
+    logged = [r.getMessage() for r in caplog.records]
+    assert any("'b'" in m for m in logged), logged
+    assert any("'c'" in m for m in logged), logged
+    assert store.manifest()["batch_id"] == -1  # nothing committed
+    store.gc_orphans()
+    store.commit_batch(0, {"a": TableWrite(good)})  # id still free

@@ -148,8 +148,11 @@ def test_brute_topk_blocked_queries_identical(spark, vectors):
     queries = vectors.filter(F.col("vec_id") < 10)
     blocks = list(_iter_query_blocks(queries, "vec_id", "embedding", 3))
     assert len(blocks) > 1  # the split actually happened
-    assert sum(len(q) for q, _ in blocks) == 10  # no query lost/duplicated
-    assert len(np.unique(np.concatenate([q for q, _ in blocks]))) == 10
+    assert sum(len(q) for q, _, _ in blocks) == 10  # no query lost/dup'd
+    assert len(np.unique(np.concatenate([q for q, _, _ in blocks]))) == 10
+    # n_blocks = ceil(10/3); yielded blocks may be fewer (a hash-mod
+    # block can come up empty) but never more
+    assert all(nb == 4 for _, _, nb in blocks) and len(blocks) <= 4
 
     def cmp(one, many, exact):
         one, many = sorted(one), sorted(many)
@@ -246,6 +249,47 @@ def test_ivf_recall_vs_brute(spark, vectors):
         n_centroids=4, nprobe=2,
     ).collect()
     assert {r.vec_id for r in near} == {3, 7}  # engineered near-dup found
+
+
+def test_ivf_stale_high_hint_bounded(spark, vectors):
+    """A stale-HIGH corpus_rows hint empties the hash sample; the
+    tiny-corpus fallback must stay BOUNDED (r4 advice): on a genuinely
+    tiny corpus it degrades gracefully (trains on the full corpus, same
+    answer as no hint), but on a corpus larger than the fallback cap it
+    raises instead of collecting the whole corpus onto the driver."""
+    from jirlbot_spark.operators.similarity import ivf_topk
+
+    queries = vectors.filter(F.col("vec_id") < 3)
+    # tiny corpus (30 rows << 64*train_budget): huge hint is harmless
+    with_hint = {
+        (r.query_id, r.rank, r.vec_id)
+        for r in ivf_topk(
+            queries, vectors, k=3, n_centroids=8, nprobe=8,
+            corpus_rows=10**12,
+        ).collect()
+    }
+    no_hint = {
+        (r.query_id, r.rank, r.vec_id)
+        for r in ivf_topk(
+            queries, vectors, k=3, n_centroids=8, nprobe=8,
+        ).collect()
+    }
+    assert with_hint == no_hint
+
+    # corpus (100) > fallback cap (64*train_budget = 64): loud error,
+    # not a full-corpus driver collect
+    big = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[(F.col("id") * (i + 3) % 97).cast("long") for i in range(8)]
+        ).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="HIGH"):
+        ivf_topk(
+            big.filter(F.col("vec_id") < 2), big, k=2,
+            n_centroids=1, nprobe=1, train_rows_per_centroid=1,
+            corpus_rows=10**12,
+        )
 
 
 def test_blocked_neardup_exact_equals_brute_force(spark):
