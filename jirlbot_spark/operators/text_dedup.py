@@ -26,6 +26,9 @@ explosion carries only (key, shingle_hash) longs, not text.
 
 from __future__ import annotations
 
+import logging
+from collections.abc import Sequence
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -33,6 +36,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
 from jirlbot_spark.functions.text import tokens_col
+
+_log = logging.getLogger("jirlbot_spark.text_dedup")
+
+# Per-(band, bucket) cap for the LSH/simhash candidate self-joins. Web
+# boilerplate produces mega-buckets (thousands of documents sharing one
+# band hash) whose in-bucket pair count grows quadratically — the classic
+# MinHash skew killer at the 100 TB tier (r4 verdict). The pipelines
+# default to this cap with hot_mode="salted" (identical output, skew
+# spread across tasks); a crawl-scale run with heavy boilerplate should
+# pass hot_mode="drop" (see bounded_bucket_self_join).
+DEFAULT_MAX_BUCKET_SIZE = 4096
 
 # ---- exact dedup ----
 
@@ -129,11 +143,127 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def bounded_bucket_self_join(
+    buckets: DataFrame,
+    key_cols: Sequence[str],
+    payload_cols: Sequence[str],
+    a_names: Sequence[str],
+    b_names: Sequence[str],
+    max_bucket_size: int | None = None,
+    hot_mode: str = "salted",
+    max_salts: int = 256,
+) -> DataFrame:
+    """All (a < b) row pairs sharing a bucket key, with hot buckets bounded.
+
+    The naive self-join on key_cols blows up quadratically inside any
+    mega-bucket (boilerplate-heavy web text puts thousands of docs behind
+    one band hash). With `max_bucket_size` set, bucket sizes are counted
+    first and over-cap buckets are routed by `hot_mode`:
+
+      "salted" — the hot rows all-pairs join runs SALTED: the left side
+        gets salt = hash(id) % S (S sized from the largest hot bucket),
+        the right side is replicated once per salt, and the join adds the
+        salt to its keys — the SAME pair set as the unsalted join (each
+        left row meets each right row in exactly one salt group), but a
+        size-m bucket's work spreads across S tasks at ~m·m/S per task
+        instead of one m² straggler. Total work is still quadratic in m —
+        salting bounds the straggler, not the candidate count.
+      "drop" — hot buckets are EXCLUDED and the drop is logged loudly
+        (bucket count, largest size, entries, distinct ids) per the
+        no-silent-caps rule. Pairs co-occurring ONLY in dropped buckets
+        are lost; with b bands a true near-dup pair shares several
+        buckets w.h.p., and a bucket too big to enumerate is almost pure
+        boilerplate false positives, so this is the right mode for
+        crawl-scale corpora.
+
+    `max_bucket_size=None` keeps the single self-join plan untouched.
+    Capped mode materializes the bucket table (localCheckpoint) — it is
+    scanned by the sizing pass and both join sides, and the uncapped plan
+    was already evaluating the upstream pipeline once per side.
+
+    Output columns: key_cols + a_names + b_names, filtered to
+    a_names[0] < b_names[0]; dedup across buckets (distinct) is the
+    caller's job.
+    """
+    keys = list(key_cols)
+    ida, idb = a_names[0], b_names[0]
+
+    def sides(src: DataFrame) -> tuple[DataFrame, DataFrame]:
+        left = src.select(
+            *keys,
+            *[F.col(c).alias(n) for c, n in zip(payload_cols, a_names)],
+        )
+        right = src.select(
+            *keys,
+            *[F.col(c).alias(n) for c, n in zip(payload_cols, b_names)],
+        )
+        return left, right
+
+    lt = F.col(ida) < F.col(idb)
+    if max_bucket_size is None:
+        left, right = sides(buckets)
+        return left.join(right, keys).filter(lt)
+    if hot_mode not in ("salted", "drop"):
+        raise ValueError(
+            f"hot_mode must be 'salted' or 'drop', got {hot_mode!r}"
+        )
+    buckets = buckets.localCheckpoint(eager=True)
+    sizes = buckets.groupBy(*keys).agg(F.count("*").alias("__n"))
+    hot = sizes.filter(F.col("__n") > max_bucket_size)
+    stats = hot.agg(
+        F.count("*").alias("k"),
+        F.max("__n").alias("mx"),
+        F.sum("__n").alias("tot"),
+    ).first()
+    if stats["k"] == 0:
+        left, right = sides(buckets)
+        return left.join(right, keys).filter(lt)
+    # the hot KEY set is small by construction (≤ entries/cap rows of
+    # key columns) — broadcast it to both the anti and semi prune
+    hot_keys = hot.select(*keys).localCheckpoint(eager=True)
+    cold = buckets.join(F.broadcast(hot_keys), keys, "left_anti")
+    cleft, cright = sides(cold)
+    cold_pairs = cleft.join(cright, keys).filter(lt)
+    hot_rows = buckets.join(F.broadcast(hot_keys), keys, "left_semi")
+    if hot_mode == "drop":
+        n_ids = hot_rows.select(payload_cols[0]).distinct().count()
+        _log.warning(
+            "bounded_bucket_self_join: DROPPED %d hot bucket(s) over cap "
+            "%d (largest %d rows, %d bucket entries, %d distinct ids); "
+            "pairs co-occurring only in dropped buckets are lost — raise "
+            "max_bucket_size or use hot_mode='salted' to keep them",
+            stats["k"], max_bucket_size, stats["mx"], stats["tot"], n_ids,
+        )
+        return cold_pairs
+    n_salts = min(max(2, -(-int(stats["mx"]) // max_bucket_size)), max_salts)
+    _log.info(
+        "bounded_bucket_self_join: %d hot bucket(s) over cap %d (largest "
+        "%d rows, %d entries) routed to a salted sub-join with %d salts",
+        stats["k"], max_bucket_size, stats["mx"], stats["tot"], n_salts,
+    )
+    hleft, hright = sides(hot_rows)
+    hleft = hleft.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.col(ida), F.lit(1129)), F.lit(n_salts)).cast(
+            "int"
+        ),
+    )
+    hright = hright.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    hot_pairs = (
+        hleft.join(hright, keys + ["__salt"]).filter(lt).drop("__salt")
+    )
+    return cold_pairs.unionByName(hot_pairs)
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = 32,
     bands: int = 8,
+    max_bucket_size: int | None = None,
+    hot_mode: str = "salted",
 ) -> DataFrame:
     """Band the signature, hash each band, self-join on (band, band_hash).
 
@@ -143,7 +273,9 @@ def lsh_candidate_pairs(
     Plan shape: ONE posexplode of an array of per-band hashes — not a
     union of `bands` separate selects over the signature frame, which
     plans as `bands` re-scans of the whole shingle->signature pipeline
-    (measured 10x slower at bands=16, sf0.1)."""
+    (measured 10x slower at bands=16, sf0.1). Hot band buckets are
+    bounded via bounded_bucket_self_join when `max_bucket_size` is set
+    (the pipelines default it to DEFAULT_MAX_BUCKET_SIZE)."""
     r = num_hashes // bands
     band_hashes = F.array(
         *[
@@ -154,18 +286,16 @@ def lsh_candidate_pairs(
     buckets = signatures.select(
         F.col(id_col), F.posexplode(band_hashes).alias("band", "bh")
     )
-    left = buckets.select(
-        "band", "bh", F.col(id_col).alias("id_a")
+    pairs = bounded_bucket_self_join(
+        buckets,
+        ["band", "bh"],
+        [id_col],
+        ["id_a"],
+        ["id_b"],
+        max_bucket_size,
+        hot_mode,
     )
-    right = buckets.select(
-        "band", "bh", F.col(id_col).alias("id_b")
-    )
-    return (
-        left.join(right, ["band", "bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    return pairs.select("id_a", "id_b").distinct()
 
 
 def exact_jaccard(
@@ -222,6 +352,8 @@ def minhash_dedup(
     bands: int = 8,
     threshold: float = 0.8,
     scratch_dir: str | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    hot_mode: str = "salted",
 ) -> DataFrame:
     """Full near-dup pipeline: shingle -> minhash -> band -> bucket join ->
     exact-Jaccard verify >= threshold. Returns (id_a, id_b, jaccard).
@@ -259,7 +391,10 @@ def minhash_dedup(
     )
     sig = minhash_signatures(sh, id_col, num_hashes)
     cand = _materialize(
-        lsh_candidate_pairs(sig, id_col, num_hashes, bands), "cand"
+        lsh_candidate_pairs(
+            sig, id_col, num_hashes, bands, max_bucket_size, hot_mode
+        ),
+        "cand",
     )
     jac = exact_jaccard(sh, cand, id_col)
     return jac.filter(F.col("jaccard") >= threshold).select(
@@ -316,10 +451,14 @@ def simhash_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     block_bits: int = 16,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    hot_mode: str = "salted",
 ) -> DataFrame:
     """Near-dup candidates: equal SimHash block (4 blocks of 16 bits — any
     pair within Hamming distance 3 shares ≥1 exact block, pigeonhole).
-    Returns (id_a, id_b, hamming)."""
+    Returns (id_a, id_b, hamming). Hot (blk, bval) buckets — web
+    boilerplate collapses many docs onto one block value — are bounded by
+    bounded_bucket_self_join (salted by default: identical output)."""
     sh = docs.select(
         F.col(id_col), simhash64_udf(F.col(text_col)).alias("simhash")
     )
@@ -341,13 +480,16 @@ def simhash_candidates(
     b = blocks[0]
     for x in blocks[1:]:
         b = b.unionByName(x)
-    left = b.select("blk", "bval", F.col(id_col).alias("id_a"),
-                    F.col("simhash").alias("sh_a"))
-    right = b.select("blk", "bval", F.col(id_col).alias("id_b"),
-                     F.col("simhash").alias("sh_b"))
     pairs = (
-        left.join(right, ["blk", "bval"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        bounded_bucket_self_join(
+            b,
+            ["blk", "bval"],
+            [id_col, "simhash"],
+            ["id_a", "sh_a"],
+            ["id_b", "sh_b"],
+            max_bucket_size,
+            hot_mode,
+        )
         .select("id_a", "id_b", "sh_a", "sh_b")
         .distinct()
     )
@@ -364,6 +506,8 @@ def text_dup_groups(
     bands: int = 8,
     threshold: float = 0.8,
     scratch_dir: str | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    hot_mode: str = "salted",
 ) -> DataFrame:
     """(id, component, keep) — the TRANSITIVE closure of the MinHash
     near-dup relation (minhash_dedup pairs through connected_components'
@@ -391,6 +535,8 @@ def text_dup_groups(
         bands,
         threshold,
         scratch_dir,
+        max_bucket_size,
+        hot_mode,
     )
     comp = connected_components(pairs)
     ids = docs.select(F.col(id_col)).distinct()

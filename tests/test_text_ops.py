@@ -84,6 +84,133 @@ def test_minhash_finds_near_dups(spark, docs):
     assert all({a, b} & {3, 4} == set() for a, b in got)
 
 
+@pytest.fixture(scope="module")
+def boilerplate_docs(spark):
+    """Adversarial LSH fixture (r4 verdict): 120 documents share identical
+    boilerplate text, so EVERY band hash collides and each of the 8 bands
+    forms one 120-doc mega-bucket (>10% of the corpus behind one band
+    hash); 6 distinct docs ride along."""
+    rows = [(i, "common boilerplate header footer nav terms of service "
+                "all rights reserved cookie banner") for i in range(120)]
+    rows += [
+        (200 + i, f"unique document number {i} about topic {i * 7} with "
+                  f"original words {i * 13} and phrasing {i * 31}")
+        for i in range(6)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_lsh_hot_bucket_salted_identical(spark, boilerplate_docs, caplog):
+    """Salted hot-bucket routing must be invisible in the candidate set:
+    with the cap far below the 120-doc mega-buckets, the capped run
+    returns EXACTLY the uncapped pair set (salting spreads the skew, it
+    never changes the pairs), and the salted sub-join actually ran."""
+    import logging as _logging
+
+    from jirlbot_spark.operators.text_dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_hashes,
+    )
+
+    sig = minhash_signatures(shingle_hashes(boilerplate_docs, k=3))
+    base = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(sig, max_bucket_size=None).collect()
+    }
+    assert len(base) >= 120 * 119 // 2  # the mega-bucket really is hot
+    with caplog.at_level(
+        _logging.INFO, logger="jirlbot_spark.text_dedup"
+    ):
+        salted = {
+            (r.id_a, r.id_b)
+            for r in lsh_candidate_pairs(
+                sig, max_bucket_size=16, hot_mode="salted"
+            ).collect()
+        }
+    assert salted == base
+    assert any("salted sub-join" in r.getMessage() for r in caplog.records)
+
+
+def test_lsh_hot_bucket_drop_logged(spark, boilerplate_docs, caplog):
+    """Drop mode removes pairs that co-occur ONLY in hot buckets — here
+    every boilerplate pair — keeps cold-bucket pairs, and logs the drop
+    loudly (no-silent-caps rule)."""
+    import logging as _logging
+
+    from jirlbot_spark.operators.text_dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_hashes,
+    )
+
+    sig = minhash_signatures(shingle_hashes(boilerplate_docs, k=3))
+    base = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(sig, max_bucket_size=None).collect()
+    }
+    with caplog.at_level(
+        _logging.WARNING, logger="jirlbot_spark.text_dedup"
+    ):
+        dropped = {
+            (r.id_a, r.id_b)
+            for r in lsh_candidate_pairs(
+                sig, max_bucket_size=16, hot_mode="drop"
+            ).collect()
+        }
+    assert dropped <= base
+    # every pure-boilerplate pair lived only in hot buckets -> gone
+    assert not any(a < 120 and b < 120 for a, b in dropped)
+    msgs = [r.getMessage() for r in caplog.records]
+    assert any("DROPPED" in m and "120" in m for m in msgs), msgs
+
+
+def test_simhash_hot_bucket_salted_identical(spark, boilerplate_docs):
+    """The same bound on the simhash pigeonhole join: capped+salted ==
+    uncapped, pair for pair, hamming for hamming."""
+    base = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_candidates(
+            boilerplate_docs, max_bucket_size=None
+        ).collect()
+    }
+    salted = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_candidates(
+            boilerplate_docs, max_bucket_size=16, hot_mode="salted"
+        ).collect()
+    }
+    assert salted == base and len(base) >= 120 * 119 // 2
+
+
+def test_minhash_dedup_default_cap_unchanged(spark, docs):
+    """The pipeline's default (capped, salted) path returns the same
+    verified pairs as an uncapped run on a normal corpus, and rejects an
+    unknown hot_mode loudly."""
+    from jirlbot_spark.operators.text_dedup import minhash_dedup as md
+
+    base = {
+        (r.id_a, r.id_b)
+        for r in md(docs, threshold=0.5, max_bucket_size=None).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b) for r in md(docs, threshold=0.5).collect()
+    }
+    assert capped == base
+    with pytest.raises(ValueError, match="hot_mode"):
+        from jirlbot_spark.operators.text_dedup import (
+            lsh_candidate_pairs,
+            minhash_signatures,
+            shingle_hashes,
+        )
+
+        lsh_candidate_pairs(
+            minhash_signatures(shingle_hashes(docs, k=3)),
+            max_bucket_size=4,
+            hot_mode="nope",
+        )
+
+
 def test_exact_jaccard_values(spark, docs):
     sh = shingle_hashes(docs, k=3)
     pairs = spark.createDataFrame([(0, 1), (0, 4)], ["id_a", "id_b"])

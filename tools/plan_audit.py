@@ -188,6 +188,40 @@ def main() -> None:
         )
     )
 
+    # --- LSH hot-bucket bound (r4 verdict #2): with a cap below a
+    # mega-bucket's size, the hot rows must route through the SALTED
+    # sub-join (salt visible in the join keys), the hot-key prunes must
+    # broadcast, and nothing may plan as a cartesian
+    from jirlbot_spark.operators.text_dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_hashes,
+    )
+
+    hot_docs = spark.range(80).select(
+        F.col("id").alias("doc_id"),
+        # 60 docs share one shingle set -> every band mega-buckets
+        F.when(F.col("id") < 60, F.lit("common boilerplate text block"))
+        .otherwise(F.concat(F.lit("unique words "), F.col("id")))
+        .alias("text"),
+    )
+    hot_sig = minhash_signatures(shingle_hashes(hot_docs))
+    hot_lsh = lsh_candidate_pairs(
+        hot_sig, max_bucket_size=8, hot_mode="salted"
+    )
+    hotb_plan = capture_plan(hot_lsh)
+    sections.append(
+        (
+            "LSH hot-bucket bound (bounded_bucket_self_join, salted)",
+            "Over-cap band buckets route to a salted sub-join: the salt "
+            "column joins alongside (band, bh) so one mega-bucket's "
+            "quadratic pair enumeration spreads across salt tasks; the "
+            "hot-key anti/semi prunes broadcast; cold buckets keep the "
+            "plain self-join; no CartesianProduct.",
+            hotb_plan,
+        )
+    )
+
     # --- shingle plan shape: tokenization must run ONCE PER DOC, in a
     # project BELOW the Generate — if CollapseProject ever pulls the
     # split above the explode it re-tokenizes per shingle row (4.7x,
@@ -647,6 +681,13 @@ def main() -> None:
         "Union" in annb_plan
         and "SinglePartition" not in annb_plan
         and "CartesianProduct" not in annb_plan,
+        "LSH hot buckets route to a salted sub-join (salt in join keys, "
+        "broadcast hot-key prunes, no cartesian)":
+        "__salt" in hotb_plan
+        and "Union" in hotb_plan
+        and "BroadcastExchange" in hotb_plan
+        and "CartesianProduct" not in hotb_plan
+        and "BroadcastNestedLoopJoin" not in hotb_plan,
     }
 
     out = ["# PLANS — physical-plan audit (sf0.01, local[4])\n"]
