@@ -170,13 +170,15 @@ def _reclaim_shuffle(spark) -> None:
     spark._jvm.System.gc()
 
 
-def run_frontier_pipeline(spark, n: int, workdir: str) -> dict:
+def run_frontier_pipeline(
+    spark, n: int, workdir: str, n_ranges: int | None = None
+) -> dict:
     from pyspark.sql import functions as F
 
     from jirlbot_spark.operators.beast import beast_enforce, split_admitted
     from jirlbot_spark.operators.dedup import check_update_agg
     from jirlbot_spark.operators.politeness import politeness_schedule
-    from jirlbot_spark.operators.star import star_budgets
+    from jirlbot_spark.operators.star import star_budgets_scalable
 
     timings = {}
 
@@ -214,7 +216,8 @@ def run_frontier_pipeline(spark, n: int, workdir: str) -> dict:
     # bucket) and live shuffle stays at one range's footprint.
     t0 = time.time()
     fresh_path = os.path.join(workdir, "fresh")
-    n_ranges = N_RANGES
+    if n_ranges is None:
+        n_ranges = N_RANGES
     if n_ranges > 1:
         assert 32 % n_ranges == 0, "ranges must divide the 32 buckets"
         per = 32 // n_ranges
@@ -247,9 +250,13 @@ def run_frontier_pipeline(spark, n: int, workdir: str) -> dict:
     t0 = time.time()
     salt = int(os.environ.get("JIRLBOT_BENCH_SALT", "16"))
     deg = fresh.groupBy("pld_hash").agg(F.count("*").alias("indegree"))
-    budgets = star_budgets(deg, top_k=10_000, b_hi=10_000, b_lo=10).select(
-        "pld_hash", "budget"
-    )
+    # the SHIPPED variant (the loop + driver key run star_budgets_scalable;
+    # the all-PLD single-window star_budgets exists only as the
+    # property-test reference) — r4 verdict: the headline must measure
+    # the path the engine actually ships
+    budgets = star_budgets_scalable(
+        deg, top_k=10_000, b_hi=10_000, b_lo=10
+    ).select("pld_hash", "budget")
     if n_ranges > 1:
         budgets = budgets.cache()
         budgets.count()  # materialize once, reuse across passes
@@ -430,15 +437,25 @@ def frontier_only_main() -> None:
 def run_query_timings(
     spark, deadline: float | None = None
 ) -> tuple[dict[str, float], dict[str, dict]]:
-    """Per-key timings, noise-armored (r2 verdict #9): each key runs
-    JIRLBOT_BENCH_QUERY_REPEATS times (default 3) and reports the MIN —
-    on a host with documented ~4x CPU swings a single sample can
-    masquerade as a regression. The detail dict keeps every run plus a
-    cpu probe per repeat so a degraded window is visible in the artifact
-    itself."""
+    """Per-key timings, noise-armored (r2 verdict #9, probe-gated per r4
+    verdict #3): each key runs JIRLBOT_BENCH_QUERY_REPEATS times (default
+    3) and reports the MIN — on a host with documented ~4x CPU swings a
+    single sample can masquerade as a regression. The per-query armor now
+    carries the SAME probe gate as the frontier armor (the r4 asymmetry):
+    before each attempt, wait (bounded by the shared wait budget) until a
+    0.5 s cpu probe clears JIRLBOT_PROBE_FLOOR, and if every recorded
+    attempt for a key ran under a collapsed probe, spend up to
+    JIRLBOT_BENCH_QUERY_EXTRA (default 2) extra attempts chasing one
+    healthy-window sample. The detail dict keeps every run plus its probe
+    so a degraded window is visible in the artifact itself."""
     import __spark_entry__ as entrymod
 
     repeats = max(1, int(os.environ.get("JIRLBOT_BENCH_QUERY_REPEATS", "3")))
+    floor = float(os.environ.get("JIRLBOT_PROBE_FLOOR", "150"))
+    extra = max(0, int(os.environ.get("JIRLBOT_BENCH_QUERY_EXTRA", "2")))
+    # one shared wait pool for the whole table (28 keys x a per-key wait
+    # would blow any outer deadline on a bad host)
+    wait_pool = float(os.environ.get("JIRLBOT_BENCH_QUERY_WAIT_S", "60"))
     qs = entrymod.queries()
     out: dict[str, float] = {}
     detail: dict[str, dict] = {}
@@ -446,19 +463,31 @@ def run_query_timings(
         fn = qs[key]
         # past the deadline, one run per remaining key (never zero —
         # a missing key would look like a dropped operator)
-        n_runs = (
-            1
-            if deadline is not None and time.time() > deadline
-            else repeats
-        )
+        past = deadline is not None and time.time() > deadline
+        n_runs = 1 if past else repeats
         runs = []
-        for r in range(n_runs):
-            probe = cpu_probe(0.5) if n_runs > 1 else 0.0
+        attempts_left = n_runs if past else n_runs + extra
+        while attempts_left > 0:
+            attempts_left -= 1
+            probe = cpu_probe(0.5) if not past else 0.0
+            while probe < floor and wait_pool > 0 and not past:
+                time.sleep(3.0)
+                wait_pool -= 3.5
+                probe = cpu_probe(0.5)
             t0 = time.time()
             fn(spark, SF_DIR).count()
             runs.append(
                 {"s": round(time.time() - t0, 3), "probe": round(probe)}
             )
+            if len(runs) < n_runs:
+                continue
+            # planned repeats done: stop unless EVERY attempt ran under
+            # a collapsed probe (then chase one healthy sample with the
+            # extra budget, deadline permitting)
+            if past or any(r["probe"] >= floor for r in runs):
+                break
+            if deadline is not None and time.time() > deadline:
+                break
         out[key] = min(r["s"] for r in runs)
         detail[key] = {"runs": runs}
     return out, detail
@@ -567,6 +596,30 @@ def driver_main() -> None:
         frontier, attempts = run_frontier_headline(
             spark, deadline=t0 + budget * 0.6
         )
+        # ranged-mode reproducibility artifact (r4 verdict #8): the
+        # sequential bucket-range scale mode (JIRLBOT_BENCH_RANGES, the
+        # 10^9 one-box move) must be reproducible by the harness, not
+        # only by a builder session — run ONE ranged pass over the same
+        # input and record it. Ranges partition on the dedup/PLD keys so
+        # the counts must equal the unranged headline's exactly.
+        ranged = None
+        if time.time() < t0 + budget * 0.5:
+            wd = _mkworkdir("bench_frontier_ranged_")
+            try:
+                r = run_frontier_pipeline(spark, N_URLS, wd, n_ranges=4)
+            finally:
+                shutil.rmtree(wd, ignore_errors=True)
+            ranged = {
+                "n_ranges": r["n_ranges"],
+                "urls_per_sec": round(r["urls_per_sec"], 1),
+                "wall_s": round(r["wall_s"], 2),
+                "n_unique": r["n_unique"],
+                "n_admitted": r["n_admitted"],
+                "matches_unranged": (
+                    r["n_unique"] == frontier["n_unique"]
+                    and r["n_admitted"] == frontier["n_admitted"]
+                ),
+            }
         queries, query_detail = run_query_timings(
             spark, deadline=t0 + budget
         )
@@ -603,6 +656,9 @@ def driver_main() -> None:
                         # every attempt, incl. degraded-window ones the
                         # best-of picked over (run_frontier_headline doc)
                         "attempts": attempts,
+                        # one ranged-mode pass (scale mode, r4 verdict
+                        # #8); None if the deadline left no room
+                        "ranged": ranged,
                     },
                 }
             )
