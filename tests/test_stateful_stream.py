@@ -89,8 +89,21 @@ def test_politeness_stream_batch_mode(spark):
     )
     try:
         got = politeness_stream(df, min_delay_s=2.0).collect()
-    except Exception:
-        pytest.skip("applyInPandasWithState is streaming-only in this Spark")
+    except Exception as e:
+        # Pinned gate (r4 verdict #7): Spark 4.1.2 hard-refuses the
+        # batch path with UnsupportedOperationException
+        # "applyInPandasWithState is unsupported in batch query. Use
+        # applyInPandas instead." — verified in this sandbox. Skip ONLY
+        # on that exact refusal; anything else is a real bug and must
+        # fail the test. Unskip when a Spark version accepts the batch
+        # path again (3.4.x did).
+        if "unsupported in batch query" in str(e):
+            pytest.skip(
+                "applyInPandasWithState is streaming-only in Spark "
+                f"{spark.version} (UnsupportedOperationException: "
+                "'applyInPandasWithState is unsupported in batch query')"
+            )
+        raise
     h7 = sorted(
         [r for r in got if r.host_hash == 7], key=lambda r: r.seq_in_host
     )
