@@ -95,6 +95,9 @@ BENCH_QUERY_KEYS = [
     "image_scrub",
     "phash_blocklist",
     "recrawl_schedule",
+    # round-5 addition (additive): the simhash candidate join now runs
+    # through the hot-bucket bound — keep its cost visible
+    "dedup_simhash",
 ]
 
 
