@@ -252,7 +252,14 @@ def run_frontier_pipeline(
     # per-host window is whole inside its pass.
     t0 = time.time()
     salt = int(os.environ.get("JIRLBOT_BENCH_SALT", "16"))
-    deg = fresh.groupBy("pld_hash").agg(F.count("*").alias("indegree"))
+    # one row per PLD (N_PLDS, tiny) — materialize so the budget
+    # operator's two references don't each re-aggregate the
+    # frontier-sized fresh table
+    deg = (
+        fresh.groupBy("pld_hash")
+        .agg(F.count("*").alias("indegree"))
+        .localCheckpoint(eager=True)
+    )
     # the SHIPPED variant (the loop + driver key run star_budgets_scalable;
     # the all-PLD single-window star_budgets exists only as the
     # property-test reference) — r4 verdict: the headline must measure
