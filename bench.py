@@ -475,12 +475,16 @@ def run_query_timings(
         # a missing key would look like a dropped operator)
         past = deadline is not None and time.time() > deadline
         n_runs = 1 if past else repeats
+        # the probe gate + extra-attempt chase exist for the repeated
+        # (min-of-N) armor; an explicit REPEATS=1 smoke table keeps the
+        # old exactly-one-run-per-key behavior with no probing or waits
+        armor = not past and n_runs > 1
         runs = []
-        attempts_left = n_runs if past else n_runs + extra
+        attempts_left = n_runs + (extra if armor else 0)
         while attempts_left > 0:
             attempts_left -= 1
-            probe = cpu_probe(0.5) if not past else 0.0
-            while probe < floor and wait_pool > 0 and not past:
+            probe = cpu_probe(0.5) if armor else 0.0
+            while armor and probe < floor and wait_pool > 0:
                 time.sleep(3.0)
                 wait_pool -= 3.5
                 probe = cpu_probe(0.5)
@@ -494,7 +498,7 @@ def run_query_timings(
             # planned repeats done: stop unless EVERY attempt ran under
             # a collapsed probe (then chase one healthy sample with the
             # extra budget, deadline permitting)
-            if past or any(r["probe"] >= floor for r in runs):
+            if not armor or any(r["probe"] >= floor for r in runs):
                 break
             if deadline is not None and time.time() > deadline:
                 break
@@ -609,25 +613,46 @@ def driver_main() -> None:
         # ranged-mode reproducibility artifact (r4 verdict #8): the
         # sequential bucket-range scale mode (JIRLBOT_BENCH_RANGES, the
         # 10^9 one-box move) must be reproducible by the harness, not
-        # only by a builder session — run ONE ranged pass over the same
-        # input and record it. Ranges partition on the dedup/PLD keys so
-        # the counts must equal the unranged headline's exactly.
+        # only by a builder session. Runs at a QUARTER of the headline
+        # scale (r5 review: a full-N ranged pass in a degraded window
+        # could blow the hard deadline the budget machinery promises);
+        # the exactness flag therefore compares against a same-N
+        # unranged twin rather than the headline. Both runs are small
+        # and a deadline check sits between them.
         ranged = None
-        if time.time() < t0 + budget * 0.5:
+        if time.time() < t0 + budget * 0.45:
+            n_r = min(N_URLS, max(1_000_000, N_URLS // 4))
             wd = _mkworkdir("bench_frontier_ranged_")
             try:
-                r = run_frontier_pipeline(spark, N_URLS, wd, n_ranges=4)
+                r = run_frontier_pipeline(spark, n_r, wd, n_ranges=4)
             finally:
                 shutil.rmtree(wd, ignore_errors=True)
+            base = None
+            if n_r == N_URLS:
+                base = frontier
+            elif time.time() < t0 + budget * 0.55:
+                wd2 = _mkworkdir("bench_frontier_rtwin_")
+                try:
+                    base = run_frontier_pipeline(
+                        spark, n_r, wd2, n_ranges=1
+                    )
+                finally:
+                    shutil.rmtree(wd2, ignore_errors=True)
             ranged = {
+                "n_urls": n_r,
                 "n_ranges": r["n_ranges"],
                 "urls_per_sec": round(r["urls_per_sec"], 1),
                 "wall_s": round(r["wall_s"], 2),
                 "n_unique": r["n_unique"],
                 "n_admitted": r["n_admitted"],
+                # None when the deadline left no room for the twin
                 "matches_unranged": (
-                    r["n_unique"] == frontier["n_unique"]
-                    and r["n_admitted"] == frontier["n_admitted"]
+                    None
+                    if base is None
+                    else (
+                        r["n_unique"] == base["n_unique"]
+                        and r["n_admitted"] == base["n_admitted"]
+                    )
                 ),
             }
         queries, query_detail = run_query_timings(
@@ -1141,9 +1166,14 @@ def scaling_main() -> None:
         "shuffle-heavy stages and misattribute the bottleneck.\n\n"
     )
     path = "BENCH/BASELINE.md"
-    if os.environ.get("JIRLBOT_SCALING_APPEND") == "1" and os.path.exists(
-        path
-    ):
+    # APPEND-ONLY by default (r5 review): the file is the cumulative
+    # scaling record across rounds and its own protocol text promises
+    # "All trials are shown" — a silent overwrite (the old default
+    # unless JIRLBOT_SCALING_APPEND=1) curated away below-bar history.
+    # Overwriting now requires the explicit opt-out.
+    if os.path.exists(path) and os.environ.get(
+        "JIRLBOT_SCALING_OVERWRITE"
+    ) != "1":
         with open(path, "a") as f:
             f.write("\n" + section)
     else:

@@ -240,7 +240,13 @@ def star_budgets_scalable(
             ).cast("long").alias("__btop"),
         )
     )
-    return indegree.join(F.broadcast(top), "pld_hash", "left").select(
+    # the overlay is ≤ top_k rows — broadcast it at any sane top_k, but
+    # let the planner pick the join for a caller demanding millions of
+    # exactly-ranked PLDs (a forced broadcast would hit the driver /
+    # 8 GB broadcast limits where the old anti-join merely shuffled)
+    if top_k <= 1_000_000:
+        top = F.broadcast(top)
+    return indegree.join(top, "pld_hash", "left").select(
         "pld_hash",
         "indegree",
         "rank",

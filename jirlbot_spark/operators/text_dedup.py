@@ -200,16 +200,25 @@ def bounded_bucket_self_join(
         return left, right
 
     lt = F.col(ida) < F.col(idb)
-    if max_bucket_size is None:
-        left, right = sides(buckets)
-        return left.join(right, keys).filter(lt)
     if hot_mode not in ("salted", "drop"):
+        # validated even in uncapped mode: a typo'd mode must fail HERE,
+        # not halfway through a later capped run
         raise ValueError(
             f"hot_mode must be 'salted' or 'drop', got {hot_mode!r}"
         )
+    if max_bucket_size is None:
+        left, right = sides(buckets)
+        return left.join(right, keys).filter(lt)
     buckets = buckets.localCheckpoint(eager=True)
-    sizes = buckets.groupBy(*keys).agg(F.count("*").alias("__n"))
-    hot = sizes.filter(F.col("__n") > max_bucket_size)
+    # ONE sizing pass: the hot (keys, count) table is small by
+    # construction (≤ entries/cap rows) — materialize it and derive both
+    # the stats and the broadcast prune set from the checkpoint
+    hot = (
+        buckets.groupBy(*keys)
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > max_bucket_size)
+        .localCheckpoint(eager=True)
+    )
     stats = hot.agg(
         F.count("*").alias("k"),
         F.max("__n").alias("mx"),
@@ -218,9 +227,7 @@ def bounded_bucket_self_join(
     if stats["k"] == 0:
         left, right = sides(buckets)
         return left.join(right, keys).filter(lt)
-    # the hot KEY set is small by construction (≤ entries/cap rows of
-    # key columns) — broadcast it to both the anti and semi prune
-    hot_keys = hot.select(*keys).localCheckpoint(eager=True)
+    hot_keys = hot.select(*keys)
     cold = buckets.join(F.broadcast(hot_keys), keys, "left_anti")
     cleft, cright = sides(cold)
     cold_pairs = cleft.join(cright, keys).filter(lt)
